@@ -1,0 +1,246 @@
+"""Distributed point-in-time (as-of) join.
+
+Semantics: ``pd.merge_asof(turns, state, by=key, on=ts,
+direction='backward', allow_exact_matches=True)`` — attach to every
+turn the latest state row whose timestamp is <= (or < when
+``allow_exact=False``) the turn's timestamp, per key, with **zero
+temporal leakage** (no state from the future, not even at equal
+timestamps when strict).
+
+The reference engine (eHarmony/aloha) has no joins at all — it is
+stateless per-row scoring; its only sequential primitive is
+``StatefulRowCreator.statefulMap`` (aloha-core/.../dataset/
+StatefulRowCreator.scala:36-75), whose doc prescribes "a separate
+starting state for each unit of parallelism" — exactly the
+per-partition carry used here.
+
+Design (Spark-first, scales to 10^12 rows):
+
+1. Tag both inputs and ``unionByName`` them — state rows carry the state
+   payload, turn rows carry the turn payload.  One DataFrame means one
+   shuffle co-partitions both sides by construction; there is no need to
+   force identical range boundaries across two separate DataFrames.
+2. ``repartition(num_partitions, key)`` — hash partition by the join
+   key, so every conversation's turns AND state land in one partition.
+3. ``sortWithinPartitions(key, ts, side)`` — within a partition each
+   conversation is a contiguous run ordered by time; ``side`` breaks
+   timestamp ties so that state sorts before turns when exact matches
+   are allowed (and after when strict).  This leverages Spark's
+   spill-to-disk external sort, so a partition larger than memory is fine.
+4. ``mapInPandas`` single forward pass: forward-fill the state payload
+   within each key group (vectorized pandas ``groupby().ffill()`` over
+   a row-position indirection so multi-column state rows stay atomic),
+   emit only turn rows.  Because rows arrive sorted, the carry between
+   Arrow batches is O(1): only the *last* key's latest state can span a
+   batch boundary.  A mega-conversation therefore streams through in
+   batch-sized chunks — it never has to fit in memory (unlike
+   ``groupBy(key).applyInPandas``).
+
+Skew: a hot key makes one task long, not incorrect.  ``salt_hot_keys``
+splits a hot key's turns across ``salt_buckets`` sub-partitions and
+replicates the hot key's state rows into every sub-partition
+(replicate-the-small-side salting).  Each salted task then computes its
+turns independently — full state replication makes a re-merge reduce
+stage unnecessary, because backward as-of lookups are per-turn pure
+functions of (turn ts, full state history).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+_SIDE = "__asof_side"
+_SALT = "__asof_salt"
+
+
+def _merge_schema(turns: DataFrame, state_cols: Sequence[str],
+                  state: DataFrame) -> StructType:
+    state_fields = {f.name: f for f in state.schema.fields}
+    fields = list(turns.schema.fields)
+    for c in state_cols:
+        f = state_fields[c]
+        fields.append(StructField(f.name, f.dataType, nullable=True))
+    return StructType(fields)
+
+
+def _make_merge_fn(turn_cols: list[str], state_cols: list[str], by: str, on: str):
+    """Build the per-partition streaming merge for mapInPandas."""
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry_key = None          # last key seen in the previous batch
+        carry_state: Optional[tuple] = None  # its latest state payload
+        out_cols = turn_cols + state_cols
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n = len(pdf)
+            is_state = pdf[_SIDE].to_numpy() != 1  # turn side is always 1
+            keys = pdf[by].to_numpy()
+
+            # Row-position indirection keeps multi-column state rows
+            # atomic (a NULL inside a state row must NOT inherit an
+            # older row's value).
+            pos = np.where(is_state, np.arange(n, dtype=np.float64), np.nan)
+            pos_filled = (
+                pd.Series(pos)
+                .groupby(pd.Series(keys), sort=False)
+                .ffill()
+                .to_numpy()
+            )
+
+            # Splice in the carry from the previous batch: rows of the
+            # first key-run that have no state yet inherit carry_state.
+            use_carry = None
+            if carry_state is not None:
+                first_run = keys == carry_key
+                if first_run.any():
+                    # first key run is a prefix (sorted input)
+                    run_end = int(np.argmin(first_run)) if not first_run.all() else n
+                    use_carry = np.zeros(n, dtype=bool)
+                    use_carry[:run_end] = np.isnan(pos_filled[:run_end])
+
+            turn_mask = ~is_state
+            out = {c: pdf[c].to_numpy()[turn_mask] for c in turn_cols}
+            gather = pos_filled[turn_mask]
+            has_state = ~np.isnan(gather)
+            gather_idx = np.where(has_state, gather, 0).astype(np.int64)
+            for ci, c in enumerate(state_cols):
+                vals = pd.Series(pdf[c].to_numpy()[gather_idx])
+                # int/bool batches with no nulls arrive as non-nullable
+                # dtypes; objectify so masking to None survives Arrow
+                if vals.dtype.kind in "iub":
+                    vals = vals.astype(object)
+                vals = vals.mask(~has_state, None)
+                if use_carry is not None:
+                    uc = use_carry[turn_mask]
+                    if uc.any():
+                        cv = carry_state[ci]
+                        if vals.dtype.kind in "iub" and cv is None:
+                            vals = vals.astype(object)
+                        vals = vals.mask(uc, cv)
+                out[c] = vals.to_numpy()
+            yield pd.DataFrame(out, columns=out_cols)
+
+            # Update the carry: latest state for the LAST key in this
+            # batch (earlier keys are complete — input is sorted by key).
+            last_key = keys[-1]
+            last_run = keys == last_key
+            last_pos = pos_filled[-1]
+            if not math.isnan(last_pos):
+                carry_key = last_key
+                carry_state = tuple(pdf[c].iloc[int(last_pos)] for c in state_cols)
+            elif carry_key != last_key:
+                carry_key = last_key
+                carry_state = None
+            # else: keep previous carry (last key continues, no new state)
+
+    return merge
+
+
+def detect_hot_keys(df: DataFrame, by: str, threshold: int) -> list:
+    """Keys whose row count exceeds ``threshold`` (driver-collected;
+    hot keys are by definition few)."""
+    rows = (df.groupBy(by).count().filter(F.col("count") > threshold)
+            .select(by).collect())
+    return [r[0] for r in rows]
+
+
+def asof_join(
+    turns: DataFrame,
+    state: DataFrame,
+    on: str = "ts",
+    by: str = "conv_id",
+    state_cols: Optional[Sequence[str]] = None,
+    *,
+    allow_exact: bool = True,
+    num_partitions: Optional[int] = None,
+    tiebreaker: Optional[str] = None,
+    hot_keys: Optional[Iterable] = None,
+    hot_key_threshold: Optional[int] = None,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Backward as-of join: attach latest ``state_cols`` with
+    ``state[on] <= turns[on]`` (``<`` when allow_exact=False) per ``by``.
+
+    ``tiebreaker``: optional state column; among state rows sharing
+    (by, on) the one with the greatest tiebreaker wins (deterministic).
+    ``hot_keys`` / ``hot_key_threshold``: enable skew salting for the
+    given (or detected) hot keys.
+    """
+    spark = turns.sparkSession
+    if state_cols is None:
+        state_cols = [c for c in state.columns if c not in (by, on)]
+    state_cols = list(state_cols)
+    clash = set(state_cols) & set(turns.columns)
+    if clash:
+        raise ValueError(f"state_cols collide with turn columns: {sorted(clash)}; "
+                         f"rename before joining")
+
+    turn_cols = list(turns.columns)
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    # side: state sorts before turns at equal ts iff exact matches allowed
+    state_side, turn_side = (0, 1) if allow_exact else (2, 1)
+
+    t = turns
+    s = state.select(by, on, *state_cols)
+    for c in state_cols:
+        t = t.withColumn(c, F.lit(None).cast(s.schema[c].dataType))
+    for c in turn_cols:
+        if c not in (by, on) and c not in state_cols:
+            s = s.withColumn(c, F.lit(None).cast(turns.schema[c].dataType))
+    t = t.withColumn(_SIDE, F.lit(turn_side))
+    s = s.withColumn(_SIDE, F.lit(state_side))
+
+    if hot_keys is None and hot_key_threshold is not None:
+        hot_keys = detect_hot_keys(turns, by, hot_key_threshold)
+    hot_keys = list(hot_keys) if hot_keys else []
+
+    if hot_keys:
+        hot = F.col(by).isin(hot_keys)
+        # turns: deterministic pseudo-random salt from the order column
+        t = t.withColumn(
+            _SALT,
+            F.when(hot, F.pmod(F.xxhash64(F.col(on).cast("string"), F.lit(42)),
+                               F.lit(salt_buckets)).cast("int")).otherwise(F.lit(0)))
+        # state: replicate hot-key state into every salt bucket
+        s = s.withColumn(
+            _SALT,
+            F.when(hot, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+             .otherwise(F.lit(0)))
+        part_cols = [by, _SALT]
+    else:
+        t = t.withColumn(_SALT, F.lit(0))
+        s = s.withColumn(_SALT, F.lit(0))
+        part_cols = [by]
+
+    unioned = t.unionByName(s)
+
+    sort_cols: list[Column] = [F.col(by).asc(), F.col(_SALT).asc(),
+                               F.col(on).asc(), F.col(_SIDE).asc()]
+    if tiebreaker is not None:
+        # among equal-ts state rows the greatest tiebreaker must win the
+        # forward fill -> sort it last among state rows
+        sort_cols.append(F.when(F.col(_SIDE) == state_side,
+                                F.col(tiebreaker)).asc_nulls_first())
+
+    merged_key = by if not hot_keys else _SALT  # grouping col inside pandas
+    # group inside the pass by (by, salt) jointly -> synthesize one col
+    schema = _merge_schema(turns, state_cols, state)
+    merge = _make_merge_fn(turn_cols, state_cols, by="__group", on=on)
+
+    arranged = (
+        unioned
+        .repartition(num_partitions, *part_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("__group", F.concat_ws(" ", F.col(by).cast("string"),
+                                           F.col(_SALT).cast("string")))
+    )
+    return arranged.mapInPandas(merge, schema=schema)
