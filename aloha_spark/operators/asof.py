@@ -211,10 +211,13 @@ def asof_join(
             F.when(hot, F.pmod(F.xxhash64(F.col(on).cast("string"), F.lit(42)),
                                F.lit(salt_buckets)).cast("int")).otherwise(F.lit(0)))
         # state: replicate hot-key state into every salt bucket
-        s = s.withColumn(
-            _SALT,
-            F.when(hot, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
-             .otherwise(F.lit(0)))
+        s = (s.withColumn(
+                "__salts",
+                F.when(hot, F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+                 .otherwise(F.array(F.lit(0))))
+             .withColumn(_SALT, F.explode("__salts"))
+             .withColumn(_SALT, F.col(_SALT).cast("int"))
+             .drop("__salts"))
         part_cols = [by, _SALT]
     else:
         t = t.withColumn(_SALT, F.lit(0))
@@ -240,7 +243,7 @@ def asof_join(
         unioned
         .repartition(num_partitions, *part_cols)
         .sortWithinPartitions(*sort_cols)
-        .withColumn("__group", F.concat_ws(" ", F.col(by).cast("string"),
+        .withColumn("__group", F.concat_ws("\x00", F.col(by).cast("string"),
                                            F.col(_SALT).cast("string")))
     )
     return arranged.mapInPandas(merge, schema=schema)

@@ -1,0 +1,160 @@
+"""As-of join engine vs the single-node pandas oracle (pd.merge_asof).
+
+Covers: backward semantics with exact-match ties, strict (<) mode,
+zero temporal leakage (future state rows never observed), multi-column
+state row atomicity (NULL inside a state row must not inherit older
+values), skew salting equivalence, and stable output ordering.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from aloha_spark.data.transcripts import make_state, make_transcripts
+from aloha_spark.operators.asof import asof_join
+from aloha_spark.operators.windows import stable_output_order
+
+
+def _oracle(turns_pd, state_pd, state_cols, allow_exact=True):
+    t = turns_pd.sort_values(["ts", "conv_id"]).reset_index(drop=True)
+    s = (state_pd.sort_values(["ts", "conv_id"]).reset_index(drop=True))
+    out = pd.merge_asof(
+        t, s[["conv_id", "ts"] + state_cols], on="ts", by="conv_id",
+        direction="backward", allow_exact_matches=allow_exact)
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _collect_sorted(df):
+    pdf = df.toPandas()
+    return pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _assert_frames_match(got, exp, state_cols):
+    assert len(got) == len(exp)
+    for c in exp.columns:
+        g, e = got[c], exp[c]
+        if e.dtype.kind == "f":
+            assert np.allclose(g.astype(float).to_numpy(), e.to_numpy(),
+                               equal_nan=True), c
+        else:
+            ge = g.where(pd.notna(g), None)
+            ee = e.where(pd.notna(e), None)
+            assert ge.tolist() == ee.tolist(), c
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    turns = make_transcripts(spark, n_convs=30, turns_per_conv=15).cache()
+    state = make_state(spark, turns).cache()
+    return turns, state, turns.toPandas(), state.toPandas()
+
+
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self, spark, small):
+        turns, state, tp, sp = small
+        got = _collect_sorted(
+            asof_join(turns, state, state_cols=["state_score", "state_tag"]))
+        exp = _oracle(tp, sp, ["state_score", "state_tag"])
+        _assert_frames_match(got, exp, ["state_score", "state_tag"])
+
+    def test_strict_mode_excludes_equal_ts(self, spark, small):
+        turns, state, tp, sp = small
+        # craft exact-tie rows: state exactly at a turn's ts
+        tie_state = turns.limit(5).selectExpr(
+            "conv_id", "ts", "cast(123.5 as double) as state_score",
+            "'TIE' as state_tag")
+        state2 = state.unionByName(tie_state)
+        sp2 = state2.toPandas()
+
+        for allow in (True, False):
+            got = _collect_sorted(asof_join(
+                turns, state2, state_cols=["state_score", "state_tag"],
+                allow_exact=allow))
+            exp = _oracle(tp, sp2, ["state_score", "state_tag"],
+                          allow_exact=allow)
+            _assert_frames_match(got, exp, ["state_score", "state_tag"])
+
+    def test_zero_leakage(self, spark, small):
+        turns, state, _, _ = small
+        out = asof_join(turns, state, state_cols=["state_score", "state_tag"])
+        assert out.where("state_tag = 'LEAKED_FROM_FUTURE'").count() == 0
+        assert out.where("state_score = -1e9").count() == 0
+        # also: joined state ts must be <= turn ts — verify via self-check
+        # by joining back the state table on the attached values
+        j = (out.alias("o")
+             .join(state.alias("s"),
+                   (out.conv_id == state.conv_id)
+                   & (out.state_score == state.state_score)
+                   & (out.state_tag == state.state_tag), "inner")
+             .where("s.ts > o.ts"))
+        assert j.count() == 0
+
+    def test_state_row_atomicity(self, spark):
+        # state row 2 has NULL tag: the turn after it must see NULL tag,
+        # not row 1's tag
+        turns = spark.createDataFrame(
+            [("c1", 0, "2025-01-01 00:00:10"),
+             ("c1", 1, "2025-01-01 00:00:20"),
+             ("c1", 2, "2025-01-01 00:00:30")],
+            "conv_id string, turn_idx int, ts_s string"
+        ).selectExpr("conv_id", "turn_idx", "cast(ts_s as timestamp) as ts")
+        state = spark.createDataFrame(
+            [("c1", "2025-01-01 00:00:05", 1.0, "tagA"),
+             ("c1", "2025-01-01 00:00:25", 2.0, None)],
+            "conv_id string, ts_s string, state_score double, state_tag string"
+        ).selectExpr("conv_id", "cast(ts_s as timestamp) as ts",
+                     "state_score", "state_tag")
+        got = _collect_sorted(
+            asof_join(turns, state, state_cols=["state_score", "state_tag"]))
+        assert got["state_tag"].tolist() == ["tagA", "tagA", None]
+        assert got["state_score"].tolist() == [1.0, 1.0, 2.0]
+
+    def test_no_state_for_conv(self, spark):
+        turns = spark.createDataFrame(
+            [("a", 0, "2025-01-01 00:00:10"), ("b", 0, "2025-01-01 00:00:10")],
+            "conv_id string, turn_idx int, ts_s string"
+        ).selectExpr("conv_id", "turn_idx", "cast(ts_s as timestamp) as ts")
+        state = spark.createDataFrame(
+            [("a", "2025-01-01 00:00:05", 9.0)],
+            "conv_id string, ts_s string, state_score double"
+        ).selectExpr("conv_id", "cast(ts_s as timestamp) as ts", "state_score")
+        got = _collect_sorted(asof_join(turns, state, state_cols=["state_score"]))
+        by_conv = dict(zip(got["conv_id"], got["state_score"]))
+        assert by_conv["a"] == 9.0
+        assert pd.isna(by_conv["b"])
+
+    def test_salted_equals_unsalted(self, spark):
+        turns = make_transcripts(spark, n_convs=10, turns_per_conv=8,
+                                 mega_turns=400).cache()
+        state = make_state(spark, turns).cache()
+        cols = ["state_score", "state_tag"]
+        plain = _collect_sorted(asof_join(turns, state, state_cols=cols))
+        salted = _collect_sorted(asof_join(
+            turns, state, state_cols=cols, hot_keys=["mega"], salt_buckets=4))
+        _assert_frames_match(salted, plain, cols)
+        # auto-detection path
+        detected = _collect_sorted(asof_join(
+            turns, state, state_cols=cols, hot_key_threshold=100,
+            salt_buckets=4))
+        _assert_frames_match(detected, plain, cols)
+
+    def test_tiny_batches_carry(self, spark, small):
+        """Force 1-row Arrow batches so every carry path executes."""
+        turns, state, tp, sp = small
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        try:
+            got = _collect_sorted(asof_join(
+                turns, state, state_cols=["state_score", "state_tag"],
+                num_partitions=2))
+            exp = _oracle(tp, sp, ["state_score", "state_tag"])
+            _assert_frames_match(got, exp, ["state_score", "state_tag"])
+        finally:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+    def test_stable_output_order(self, spark, small):
+        turns, state, _, _ = small
+        out = stable_output_order(
+            asof_join(turns, state, state_cols=["state_score"]))
+        pdf = out.toPandas()
+        key = list(zip(pdf["conv_id"], pdf["turn_idx"]))
+        assert key == sorted(key)
