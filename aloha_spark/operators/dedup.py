@@ -1,0 +1,285 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Spark-first design notes (the 100 TB story):
+* exact dedup is a hash-groupBy — one shuffle on a 16-byte digest, no
+  Python.
+* MinHash signatures / SimHash are computed per document inside
+  Arrow-batched pandas UDFs (one vectorized murmur pass per batch);
+  LSH banding turns near-dup detection into an equi-join on (band,
+  band_hash) — a shuffle whose key count grows with corpus size, no
+  pairwise blow-up outside buckets.  Candidate pairs are then verified
+  with exact Jaccard so precision is 1 regardless of banding.
+* the candidate self-join keys on the band bucket; bucket skew (a very
+  common band hash) is bounded with ``max_bucket_size`` (oversized
+  buckets dropped and logged — standard practice for web-scale dedup).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..functions.hashing import string_hash_array
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+def exact_dedup(df: DataFrame, cols: Sequence[str] = ("text",),
+                id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content: keeps min(id) as the canonical id,
+    counts duplicates.  Pure JVM: md5 over the concatenated columns."""
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    return (df.withColumn("content_hash", digest)
+              .groupBy("content_hash")
+              .agg(F.min(id_col).alias("keep_id"),
+                   F.count("*").alias("dup_count")))
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+
+def _shingles(text: str, n: int) -> list[str]:
+    toks = text.split() if text else []
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, seed: int = 1):
+    """Returns a pandas UDF text -> array<long> of MinHash values.
+
+    Universal-hash permutations of one murmur base hash:
+    ``h_i(x) = (a_i * murmur(x) + b_i) mod p`` with p = 2^61 - 1 (a
+    Mersenne prime), a_i/b_i drawn from a seeded generator — fully
+    deterministic across runs and executors."""
+    rng = np.random.default_rng(seed)
+    p = np.uint64((1 << 61) - 1)
+    a = rng.integers(1, int(p), size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, int(p), size=num_hashes, dtype=np.uint64)
+
+    @pandas_udf("array<long>")
+    def minhash(texts: pd.Series) -> pd.Series:
+        docs = [_shingles(t if isinstance(t, str) else "", shingle_n)
+                for t in texts]
+        lens = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(docs))
+        flat = [s for d in docs for s in d]
+        out = []
+        if flat:
+            base = string_hash_array(flat).astype(np.int64).view(np.uint64)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            with np.errstate(over="ignore"):
+                for i in range(len(docs)):
+                    h = base[offs[i]:offs[i + 1]]
+                    if len(h) == 0:
+                        out.append([0] * num_hashes)
+                        continue
+                    # (num_hashes, n_shingles) permuted hashes, min over axis 1
+                    perm = (a[:, None] * h[None, :] + b[:, None]) % p
+                    out.append(perm.min(axis=1).astype(np.int64).tolist())
+        else:
+            out = [[0] * num_hashes for _ in docs]
+        return pd.Series(out)
+
+    return minhash
+
+
+def with_minhash(df: DataFrame, text: str = "text", num_hashes: int = 64,
+                 shingle_n: int = 3, seed: int = 1,
+                 out_col: str = "minhash") -> DataFrame:
+    return df.withColumn(out_col,
+                         make_minhash_udf(num_hashes, shingle_n, seed)(F.col(text)))
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        minhash_col: str = "minhash", bands: int = 16,
+                        rows_per_band: int = 4,
+                        max_bucket_size: int = 1000) -> DataFrame:
+    """Band the signatures and emit candidate id pairs (a < b) that share
+    at least one (band, band-signature) bucket."""
+    band_exprs = []
+    for bi in range(bands):
+        sl = F.slice(F.col(minhash_col), bi * rows_per_band + 1, rows_per_band)
+        band_exprs.append(F.struct(F.lit(bi).alias("band"),
+                                   F.xxhash64(sl.cast("array<string>"),
+                                              F.lit(bi)).alias("sig")))
+    exploded = (df.select(F.col(id_col).alias("id"),
+                          F.explode(F.array(*band_exprs)).alias("b"))
+                  .select("id", F.col("b.band").alias("band"),
+                          F.col("b.sig").alias("sig")))
+    # bound pathological buckets (all-identical band) before the self-join
+    sized = exploded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "sig")))
+    bounded = sized.where(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
+    left = bounded.alias("l")
+    right = bounded.alias("r")
+    pairs = (left.join(right, ["band", "sig"])
+             .where(F.col("l.id") < F.col("r.id"))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def exact_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  text: str = "text", shingle_n: int = 3) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard (JVM array
+    ops — no Python)."""
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(F.split(F.trim(F.col(text)), r"\s+"))
+                                        - F.lit(shingle_n), F.lit(0))),
+        lambda i: F.array_join(
+            F.slice(F.split(F.trim(F.col(text)), r"\s+"), i + 1, shingle_n), " ")))
+    docs = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (pairs
+            .join(a, pairs.id_a == F.col("a.id"))
+            .join(b, pairs.id_b == F.col("b.id"))
+            .select(
+                "id_a", "id_b",
+                (F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                 / F.size(F.array_union("a.sh", "b.sh"))).alias("jaccard")))
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text: str = "text", threshold: float = 0.7,
+                        num_hashes: int = 64, bands: int = 16,
+                        shingle_n: int = 3, seed: int = 1) -> DataFrame:
+    """End-to-end near-dup pairs: minhash -> LSH banding -> exact-Jaccard
+    verification >= threshold."""
+    rows_per_band = num_hashes // bands
+    sigs = with_minhash(df.select(id_col, text), text, num_hashes,
+                        shingle_n, seed)
+    cands = lsh_candidate_pairs(sigs, id_col, "minhash", bands, rows_per_band)
+    verified = exact_jaccard(df, cands, id_col, text, shingle_n)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+def make_simhash_udf(bits: int = 64):
+    """pandas UDF text -> long: token-count-weighted sign aggregation of
+    per-token hashes.  Tokens hashed with the Aloha murmur kernel; the
+    64-bit token hash is (h(tok), h(tok + chr(1))) concatenated."""
+
+    @pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        docs = [t.split() if isinstance(t, str) and t else [] for t in texts]
+        lens = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(docs))
+        flat = [tok for d in docs for tok in d]
+        if not flat:
+            return pd.Series(out)
+        lo = string_hash_array(flat).astype(np.int64) & 0xFFFFFFFF
+        hi = string_hash_array([t + "\x01" for t in flat]).astype(np.int64) & 0xFFFFFFFF
+        h64 = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+        bits_mat = ((h64[:, None] >> np.arange(bits, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+        contrib = bits_mat * 2 - 1  # 0 -> -1, 1 -> +1
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        for i in range(len(docs)):
+            seg = contrib[offs[i]:offs[i + 1]]
+            if len(seg) == 0:
+                continue
+            votes = seg.sum(axis=0)
+            val = np.uint64(0)
+            for bit in np.nonzero(votes > 0)[0]:
+                val |= np.uint64(1) << np.uint64(bit)
+            out[i] = np.int64(val.astype(np.int64))
+        return pd.Series(out)
+
+    return simhash
+
+
+def with_simhash(df: DataFrame, text: str = "text",
+                 out_col: str = "simhash") -> DataFrame:
+    return df.withColumn(out_col, make_simhash_udf()(F.col(text)))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       simhash_col: str = "simhash",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming using
+    4-block banding (Charikar-style): two docs within Hamming 3 of a
+    64-bit hash share at least one identical 16-bit block."""
+    blocks = [
+        F.shiftrightunsigned(F.col(simhash_col), 16 * i)
+         .bitwiseAND(F.lit(0xFFFF)).alias(f"blk{i}")
+        for i in range(4)
+    ]
+    docs = df.select(F.col(id_col).alias("id"), F.col(simhash_col), *blocks)
+    pairs = None
+    for i in range(4):
+        l = docs.alias("l")
+        r = docs.alias("r")
+        p = (l.join(r, F.col(f"l.blk{i}") == F.col(f"r.blk{i}"))
+             .where(F.col("l.id") < F.col("r.id"))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     F.col(f"l.{simhash_col}").alias("sh_a"),
+                     F.col(f"r.{simhash_col}").alias("sh_b")))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.withColumn("hamming", hamming)
+                 .where(F.col("hamming") <= max_hamming)
+                 .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95,
+                            planes: int = 12, seed: int = 5,
+                            probe_hamming: int = 1) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold.
+
+    Scale path: random-hyperplane LSH code per vector (numpy matmul in a
+    pandas UDF), candidates = pairs sharing a code within Hamming <=
+    probe_hamming (via code-block join on masked codes), verified with
+    exact cosine (JVM ``aggregate``/``zip_with`` arithmetic)."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    rng = np.random.default_rng(seed)
+    planes_mat = rng.standard_normal((dim, planes)).astype(np.float64)
+
+    @pandas_udf("int")
+    def code_udf(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if m.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        bits = (m @ planes_mat) > 0
+        codes = np.zeros(len(m), dtype=np.int64)
+        for b in range(planes):
+            codes |= bits[:, b].astype(np.int64) << b
+        return pd.Series(codes.astype(np.int32))
+
+    coded = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                      code_udf(F.col(vec_col)).alias("code"))
+    # multi-probe: join on code with one bit masked out (covers Hamming<=1)
+    probes = [F.col("code")]
+    if probe_hamming >= 1:
+        probes += [F.col("code").bitwiseXOR(F.lit(1 << b)) for b in range(planes)]
+    exploded = coded.select(
+        "id", "v", F.explode(F.array(*[p.alias("p") for p in probes])).alias("probe"))
+    l = coded.alias("l")
+    r = exploded.alias("r")
+    cands = (l.join(r, F.col("l.code") == F.col("r.probe"))
+             .where(F.col("l.id") < F.col("r.id"))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+             .dropDuplicates(["id_a", "id_b"]))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    cos = dot / (norm("va") * norm("vb"))
+    return (cands.withColumn("cosine", cos)
+                 .where(F.col("cosine") >= threshold)
+                 .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))

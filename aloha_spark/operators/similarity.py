@@ -1,0 +1,151 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths:
+* ``brute_force_topk`` — exact cosine top-k.  Queries are broadcast (the
+  small side) and the corpus streams once; the dot products run inside a
+  numpy matmul over Arrow batches (mapInPandas), giving BLAS throughput,
+  then a per-query window takes the global top-k.  One corpus scan, one
+  small shuffle of (batches x queries x k) candidate rows.
+* ``lsh_topk`` — scale path: random-hyperplane bucketing restricts each
+  query to its own (multi-probed) bucket; same verification arithmetic.
+
+A pure-JVM variant (``brute_force_topk_sql``) using
+``F.zip_with``/``F.aggregate`` exists for oracle parity — Catalyst
+evaluates it without Python, which is the right call when k and the
+query count are tiny.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _cosine_expr(a: str, b: str):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x.cast("double") * x), F.lit(0.0),
+        lambda acc, x: acc + x)
+    return dot / F.sqrt(sq(a) * sq(b))
+
+
+def brute_force_topk_sql(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                         q_id: str = "vec_id", c_id: str = "vec_id",
+                         q_vec: str = "embedding", c_vec: str = "embedding",
+                         round_to: Optional[int] = 6) -> DataFrame:
+    """Exact top-k via broadcast crossJoin + JVM array arithmetic."""
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"))
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
+    scored = (c.crossJoin(F.broadcast(q))
+               .where(F.col("query_id") != F.col("neighbor_id"))
+               .withColumn("cosine", _cosine_expr("qv", "cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    out = (scored.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k)
+                 .select("query_id", "neighbor_id",
+                         (F.round("cosine", round_to) if round_to is not None
+                          else F.col("cosine")).alias("cosine"), "rank"))
+    return out
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                     q_id: str = "vec_id", c_id: str = "vec_id",
+                     q_vec: str = "embedding", c_vec: str = "embedding",
+                     round_to: Optional[int] = 6) -> DataFrame:
+    """Exact top-k, numpy matmul path: queries collected + broadcast as a
+    dense matrix; each corpus Arrow batch contributes its local top-k per
+    query; a final per-query window reduces to the global top-k."""
+    spark = queries.sparkSession
+    qrows = queries.select(q_id, q_vec).collect()
+    q_ids = [r[0] for r in qrows]
+    qm = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, qn))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qmat = bc.value
+        nq = len(ids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.asarray([np.asarray(v, dtype=np.float64)
+                             for v in pdf["cv"]])
+            cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-30)
+            sims = cn @ qmat.T  # (batch, nq)
+            cid = pdf["neighbor_id"].to_numpy()
+            kk = min(k + 1, len(cid))  # +1 allows dropping self-matches later
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(nq):
+                rows = top[:, qi]
+                out_q.extend([ids[qi]] * len(rows))
+                out_c.extend(cid[rows].tolist())
+                out_s.extend(sims[rows, qi].tolist())
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_c,
+                                "cosine": out_s})
+
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"))
+    qf = queries.select(F.col(q_id).alias("query_id")).schema["query_id"]
+    cf = c.schema["neighbor_id"]
+    schema = f"query_id {qf.dataType.simpleString()}, " \
+             f"neighbor_id {cf.dataType.simpleString()}, cosine double"
+    cands = c.mapInPandas(score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (cands.where(F.col("query_id") != F.col("neighbor_id"))
+                 .withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k)
+                 .select("query_id", "neighbor_id",
+                         (F.round("cosine", round_to) if round_to is not None
+                          else F.col("cosine")).alias("cosine"), "rank"))
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             q_id: str = "vec_id", c_id: str = "vec_id",
+             q_vec: str = "embedding", c_vec: str = "embedding",
+             planes: int = 8, seed: int = 5, probe_hamming: int = 1,
+             round_to: Optional[int] = 6) -> DataFrame:
+    """Approximate top-k: random-hyperplane code join (multi-probe)
+    restricts candidates, then exact cosine + window rank."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    dim = int(corpus.select(F.size(c_vec).alias("d")).first()["d"])
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((dim, planes))
+
+    @pandas_udf("int")
+    def code_udf(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if m.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        bits = (m @ mat) > 0
+        codes = np.zeros(len(m), dtype=np.int64)
+        for b in range(planes):
+            codes |= bits[:, b].astype(np.int64) << b
+        return pd.Series(codes.astype(np.int32))
+
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
+                      code_udf(F.col(c_vec)).alias("code"))
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"),
+                       code_udf(F.col(q_vec)).alias("qcode"))
+    probes = [F.col("qcode")]
+    if probe_hamming >= 1:
+        probes += [F.col("qcode").bitwiseXOR(F.lit(1 << b)) for b in range(planes)]
+    qx = q.select("query_id", "qv",
+                  F.explode(F.array(*probes)).alias("probe"))
+    cands = (c.join(F.broadcast(qx), F.col("code") == F.col("probe"))
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine", _cosine_expr("qv", "cv"))
+              .dropDuplicates(["query_id", "neighbor_id"]))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (cands.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k)
+                 .select("query_id", "neighbor_id",
+                         (F.round("cosine", round_to) if round_to is not None
+                          else F.col("cosine")).alias("cosine"), "rank"))

@@ -1,0 +1,121 @@
+"""Text analysis over document tables: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All the cheap statistics stay JVM-side (built-in ``pyspark.sql.functions``
+string/array expressions, whole-stage-codegen friendly, no Python in the
+hot path).  Only the fingerprint (which needs the Aloha-parity
+MurmurHash3 kernel) runs as an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "den", "von", "mit"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es", "los", "por"],
+}
+
+
+def tokens_col(text: str = "text") -> Column:
+    """Whitespace tokens; empty string -> empty array (unlike Java split
+    this is the natural SQL semantics for counting)."""
+    t = F.trim(F.col(text))
+    return F.when(t == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"\s+"))
+
+
+def with_token_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """token_count, char_count, avg_token_len, distinct_ratio."""
+    toks = tokens_col(text)
+    return (df
+            .withColumn("token_count", F.size(toks))
+            .withColumn("char_count", F.length(F.col(text)))
+            .withColumn(
+                "avg_token_len",
+                F.when(F.size(toks) > 0,
+                       F.aggregate(toks, F.lit(0).cast("long"),
+                                   lambda acc, t: acc + F.length(t))
+                       .cast("double") / F.size(toks)))
+            .withColumn(
+                "distinct_ratio",
+                F.when(F.size(toks) > 0,
+                       F.size(F.array_distinct(toks)).cast("double")
+                       / F.size(toks))))
+
+
+def with_quality_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Heuristic quality in [0,1]: length band, punctuation ratio,
+    stopword presence, repetition penalty — all JVM-side arithmetic."""
+    toks = tokens_col(text)
+    n_chars = F.length(F.col(text))
+    punct = F.length(F.regexp_replace(F.col(text), r"[^\.,;:!?]", ""))
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    stop_ratio = F.when(F.size(toks) > 0,
+                        stop_hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+    rep_ratio = F.when(F.size(toks) > 0,
+                       F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double")
+                       / F.size(toks)).otherwise(F.lit(1.0))
+    length_band = F.when((n_chars >= 20) & (n_chars <= 10000), F.lit(1.0)) \
+                   .otherwise(F.lit(0.2))
+    score = (F.lit(0.4) * length_band
+             + F.lit(0.2) * F.least(F.lit(1.0), stop_ratio * 5)
+             + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 10))
+             + F.lit(0.2) * (F.lit(1.0) - rep_ratio))
+    return df.withColumn("quality_score", F.round(score, 6))
+
+
+def with_lang_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Stopword-vote language ID: argmax over per-language stopword hit
+    counts (ties broken toward the lexicographically greatest language
+    code — struct max compares (hits, lang) fieldwise); 'und' when no
+    language scores a hit."""
+    toks = F.transform(tokens_col(text), lambda t: F.lower(t))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # array_max on struct compares fieldwise: (hits, lang); ties -> later
+    # lang code wins, so order langs descending to make earlier win
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "lang_guess",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")))
+
+
+def _fingerprint_kernel(texts: pd.Series) -> pd.Series:
+    """Document fingerprint: 64-bit combination of the two smallest
+    MurmurHash3 token hashes (order-insensitive, content-sensitive).
+    Arrow-batched; hashes all tokens of the batch in one vector op."""
+    from aloha_spark.functions.hashing import string_hash_array
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    toks_per_doc = [t.split() if isinstance(t, str) and t else [] for t in texts]
+    lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
+                       count=len(toks_per_doc))
+    flat = [tok for toks in toks_per_doc for tok in toks]
+    if flat:
+        hashes = string_hash_array(flat).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        for i in range(len(texts)):
+            h = hashes[offs[i]:offs[i + 1]]
+            if len(h) == 0:
+                out[i] = 0
+            else:
+                two = np.sort(h)[:2]
+                lo = two[0]
+                hi = two[1] if len(two) > 1 else two[0]
+                out[i] = (lo << 32) ^ (hi & 0xFFFFFFFF)
+    return pd.Series(out)
+
+
+def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    udf = pandas_udf(_fingerprint_kernel, "long")
+    return df.withColumn("fingerprint", udf(F.col(text)))

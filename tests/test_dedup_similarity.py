@@ -1,0 +1,172 @@
+"""Dedup family + ANN vs brute-force/naive oracles on the driver-provided
+documents/embeddings tables (sf0.001)."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aloha_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash_near_pairs,
+    with_minhash,
+    with_simhash,
+)
+from aloha_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_sql,
+    lsh_topk,
+)
+from aloha_spark.operators.textstats import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def _jaccard(a: str, b: str, n=3):
+    def sh(t):
+        toks = t.split()
+        if len(toks) < n:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+class TestExactDedup:
+    def test_counts(self, spark, docs):
+        out = exact_dedup(docs, ["text"]).toPandas()
+        pdf = docs.toPandas()
+        assert out["dup_count"].sum() == len(pdf)
+        assert len(out) == pdf["text"].nunique()
+        # canonical ids are the min doc_id per text
+        exp = pdf.groupby("text")["doc_id"].min().sort_values().tolist()
+        assert sorted(out["keep_id"].tolist()) == exp
+
+
+class TestMinhashLsh:
+    def test_recall_and_precision_vs_bruteforce(self, spark, docs):
+        small = docs.limit(120).cache()
+        got = minhash_dedup_pairs(small, threshold=0.5, num_hashes=64,
+                                  bands=32, shingle_n=3).toPandas()
+        pdf = small.toPandas()
+        texts = dict(zip(pdf["doc_id"], pdf["text"]))
+        exact = {}
+        for a, b in itertools.combinations(sorted(texts), 2):
+            j = _jaccard(texts[a], texts[b])
+            if j >= 0.5:
+                exact[(a, b)] = j
+        got_pairs = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+        # precision is exact (verified); jaccard values must match
+        for pair, j in got_pairs.items():
+            assert pair in exact
+            assert j == pytest.approx(exact[pair])
+        # recall with 32 bands of 2 rows at j>=0.5: P(miss) <= (1-j^2)^32 < 4e-5
+        assert len(got_pairs) >= len(exact) * 0.99 if exact else True
+
+    def test_signature_deterministic(self, spark, docs):
+        a = with_minhash(docs.limit(10), seed=1).toPandas()
+        b = with_minhash(docs.limit(10), seed=1).toPandas()
+        assert a["minhash"].apply(list).tolist() == b["minhash"].apply(list).tolist()
+
+
+class TestSimhash:
+    def test_identical_texts_same_hash(self, spark, docs):
+        dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+        both = docs.limit(5).unionByName(dup)
+        hashed = with_simhash(both).toPandas()
+        by_text = hashed.groupby("text")["simhash"].nunique()
+        assert (by_text == 1).all()
+        pairs = simhash_near_pairs(with_simhash(both), max_hamming=3).toPandas()
+        # the 5 exact dup pairs must appear at hamming 0
+        exact_pairs = {(i, i + 100000) for i in docs.limit(5).toPandas()["doc_id"]}
+        found = {(r.id_a, r.id_b) for r in pairs.itertuples() if r.hamming == 0}
+        assert exact_pairs <= found
+
+
+class TestEmbeddingOps:
+    def test_brute_force_matches_numpy(self, spark, embs):
+        queries = embs.where("vec_id < 5")
+        got = brute_force_topk(queries, embs, k=3).toPandas()
+        pdf = embs.toPandas()
+        ids = pdf["vec_id"].to_numpy()
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        for qid in range(5):
+            qv = mn[ids == qid][0]
+            sims = mn @ qv
+            order = sorted(zip(-sims, ids), key=lambda t: (t[0], t[1]))
+            exp = [i for s, i in order if i != qid][:3]
+            g = got[got["query_id"] == qid].sort_values("rank")
+            assert g["neighbor_id"].tolist() == exp
+
+    def test_sql_variant_agrees(self, spark, embs):
+        queries = embs.where("vec_id < 3")
+        a = brute_force_topk(queries, embs, k=3).toPandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = brute_force_topk_sql(queries, embs, k=3).toPandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
+        assert np.allclose(a["cosine"], b["cosine"], atol=1e-6)
+
+    def test_lsh_topk_reasonable_recall(self, spark, embs):
+        queries = embs.where("vec_id < 10")
+        exact = brute_force_topk(queries, embs, k=5).toPandas()
+        approx = lsh_topk(queries, embs, k=5, planes=6,
+                          probe_hamming=1).toPandas()
+        # recall@5 of the bucketed path should be well above chance
+        hits = 0
+        for qid in range(10):
+            e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+            hits += len(e & a)
+        assert hits >= 10  # >=20% recall on random data with 6 planes
+
+    def test_neardup_pairs_verified(self, spark, embs):
+        # construct exact duplicates to guarantee pairs exist
+        dup = embs.limit(5).withColumn("vec_id", F.col("vec_id") + 100000)
+        both = embs.limit(5).unionByName(dup)
+        pairs = embedding_neardup_pairs(both, threshold=0.999).toPandas()
+        expect = {(i, i + 100000) for i in embs.limit(5).toPandas()["vec_id"]}
+        got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+        assert expect <= got
+        assert (pairs["cosine"] >= 0.999).all()
+
+
+class TestTextStats:
+    def test_token_stats_match_pandas(self, spark, docs):
+        got = with_token_stats(docs.limit(50)).toPandas()
+        for r in got.itertuples():
+            toks = r.text.split()
+            assert r.token_count == len(toks)
+            assert r.char_count == len(r.text)
+            assert r.avg_token_len == pytest.approx(
+                sum(map(len, toks)) / len(toks))
+            assert r.distinct_ratio == pytest.approx(len(set(toks)) / len(toks))
+
+    def test_quality_and_lang(self, spark, docs):
+        out = with_lang_id(with_quality_score(docs.limit(50))).toPandas()
+        assert out["quality_score"].between(0, 1).all()
+        assert set(out["lang_guess"]) <= {"en", "de", "es", "und"}
+
+    def test_fingerprint_stable_and_content_sensitive(self, spark, docs):
+        a = with_fingerprint(docs.limit(30)).toPandas()
+        b = with_fingerprint(docs.limit(30)).toPandas()
+        assert a["fingerprint"].tolist() == b["fingerprint"].tolist()
+        assert a.groupby("text")["fingerprint"].nunique().eq(1).all()
