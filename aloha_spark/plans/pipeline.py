@@ -1,0 +1,390 @@
+"""Featurize pipeline: PipelineSpec -> DataFrame transformations.
+
+Execution model (reference lifecycle analog, SURVEY §3.1):
+spec JSON is compiled ONCE on the driver into (a) native Column
+expressions for scalar specs (Catalyst tier) and (b) batch callables for
+bag-producing specs; executors evaluate everything over Arrow batches in
+a single ``mapInPandas`` stage — the Arrow batch is the analog of the
+reference's ``--parallel`` chunk (datasetCli.scala:101-124), and the
+task boundary is its thread boundary.  Only a plain picklable
+``_ExecPlan`` (compiled python callables + metadata, no JVM handles)
+ships to executors.
+
+Outputs:
+* ``featurize``        — per-feature ``map<string,double>`` bags +
+  ``missing_features`` / ``erring_features`` bookkeeping columns
+  (FeatureExtractorFunction.scala:48-66 semantics)
+* ``to_sparse_vectors`` — hashed (indices, values) arrays: murmur-hashed
+  keys masked to numBits, sorted, deduped last-wins
+  (LibSvmRowCreator.scala:21-48) — the whole batch hashes in ONE
+  vectorized numpy call
+* ``to_vw_lines`` / ``to_libsvm_lines`` — training-line string column
+* multi-sink fan-out = cache the featurized frame, call several sinks
+  (datasetCli.scala:84-124 analog)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.formatting import decimal_format
+from ..functions.hashing import STRING_SEED, string_hash_array
+from ..functions.scalars import UNK_BAG
+from ..sinks.libsvm import labeled_libsvm_line
+from ..sinks.vw import labeled_vw_line, unlabeled_vw_line
+from .spec import PipelineSpec, compile_batch_fn, try_compile_column
+
+_PREFIX = "__als_"
+
+
+def _lift_to_bag(value, feature_name: str) -> Optional[dict[str, float]]:
+    """Scalar -> [("", x)] lifting (RegressionModelValueToTupleConversions
+    .scala:40-45); dict/bag passthrough; None -> None (missing)."""
+    if value is None:
+        return None
+    if isinstance(value, dict):
+        return {str(k): float(v) for k, v in value.items()}
+    if isinstance(value, bool):
+        return {"": 1.0 if value else 0.0}
+    if isinstance(value, (int, float, np.integer, np.floating)):
+        v = float(value)
+        return None if v != v else {"": v}
+    if isinstance(value, str):
+        return {f"={value}": 1.0}
+    if isinstance(value, (list, tuple)):
+        return {str(k): float(v) for k, v in value}
+    return None
+
+
+@dataclass
+class _FeatPlan:
+    name: str
+    kind: str                    # "column" | "string_column" | "batch"
+    fn: Optional[Callable]       # batch tier only
+    variables: list[str]
+    defaults: dict
+
+
+@dataclass
+class _ExecPlan:
+    """Everything the executors need — fully picklable."""
+    features: list[_FeatPlan]
+    dv: dict[str, _FeatPlan]     # label / importance / tag
+    default_ns: list[int]
+    namespaces: list[tuple[str, list[int]]]
+    num_bits: int
+    num_missing_threshold: Optional[int]
+
+
+def _batch_eval(plan: _ExecPlan, pdf: pd.DataFrame):
+    """Evaluate all features for one Arrow batch.
+
+    Returns (order, prefixed_bags, missing, erring)."""
+    n = len(pdf)
+    bags: dict[str, list] = {}
+    missing = [[] for _ in range(n)]
+    erring = [[] for _ in range(n)]
+
+    for fp in plan.features:
+        name = fp.name
+        if fp.kind in ("column", "string_column"):
+            colv = pdf[_PREFIX + name]
+            vals = colv.to_numpy()
+            isna = colv.isna().to_numpy()
+            as_ind = fp.kind == "string_column"
+            row_bags = []
+            for i in range(n):
+                if isna[i]:
+                    missing[i].append(name)
+                    row_bags.append(dict(UNK_BAG))
+                elif as_ind:
+                    row_bags.append({f"={vals[i]}": 1.0})
+                else:
+                    row_bags.append({"": float(vals[i])})
+            bags[name] = row_bags
+            continue
+
+        var_cols = {}
+        for v in fp.variables:
+            src = v.replace("__", ".")
+            if src not in pdf.columns:
+                raise KeyError(f"feature '{name}' needs column '{src}'")
+            var_cols[v] = pdf[src]
+        row_bags = []
+        for i in range(n):
+            kwargs = {}
+            # a var that is NULL with no spec default marks the feature
+            # missing even when the function still yields a default bag
+            # (GenAggFunc.accessorOutputMissing, func/package.scala:61-92)
+            var_missing = False
+            for v, s in var_cols.items():
+                val = s.iloc[i]
+                if val is None or (isinstance(val, float) and val != val):
+                    if v in fp.defaults:
+                        val = fp.defaults[v]
+                    else:
+                        val = None
+                        var_missing = True
+                kwargs[v] = val
+            try:
+                out = fp.fn(**kwargs)
+                bag = _lift_to_bag(out, name)
+                errored = False
+            except Exception:
+                erring[i].append(name)
+                bag = None
+                errored = True
+            if (bag is None and not errored) or (var_missing and not errored):
+                missing[i].append(name)
+            if bag is None:
+                bag = dict(UNK_BAG)
+            row_bags.append(bag)
+        bags[name] = row_bags
+
+    order = [fp.name for fp in plan.features]
+    # feature-name key prefixing (RegressionFeatures.scala:83)
+    prefixed = [
+        [{name + k: v for k, v in b.items()} for b in bags[name]]
+        for name in order
+    ]
+    return order, prefixed, missing, erring
+
+
+def _eval_dv(plan: _ExecPlan, pdf: pd.DataFrame, dv: str):
+    fp = plan.dv.get(dv)
+    if fp is None:
+        return None
+    if fp.kind in ("column", "string_column"):
+        return pdf[_PREFIX + "dv_" + dv].tolist()
+    out = []
+    for i in range(len(pdf)):
+        kwargs = {}
+        for v in fp.variables:
+            val = pdf[v.replace("__", ".")].iloc[i]
+            if val is None or (isinstance(val, float) and val != val):
+                val = fp.defaults.get(v)
+            kwargs[v] = val
+        try:
+            out.append(fp.fn(**kwargs))
+        except Exception:
+            out.append(None)
+    return out
+
+
+class FeaturePipeline:
+    """Compiled feature pipeline (build once on the driver, reuse)."""
+
+    def __init__(self, spec: PipelineSpec):
+        self.spec = spec
+        self._columns: dict[str, object] = {}   # driver-only JVM handles
+        self._dv_columns: dict[str, object] = {}
+        feats: list[_FeatPlan] = []
+        for p in spec.features:
+            col = try_compile_column(p)
+            if col is not None:
+                self._columns[p.name] = col
+                feats.append(_FeatPlan(p.name, "column", None,
+                                       p.variables, p.defaults))
+            else:
+                feats.append(_FeatPlan(p.name, "batch", compile_batch_fn(p),
+                                       p.variables, p.defaults))
+        dv: dict[str, _FeatPlan] = {}
+        for dv_name, p in (("label", spec.label),
+                           ("importance", spec.importance),
+                           ("tag", spec.tag)):
+            if p is None:
+                continue
+            col = try_compile_column(p)
+            if col is not None:
+                self._dv_columns[dv_name] = col
+                dv[dv_name] = _FeatPlan(dv_name, "column", None,
+                                        p.variables, p.defaults)
+            else:
+                dv[dv_name] = _FeatPlan(dv_name, "batch", compile_batch_fn(p),
+                                        p.variables, p.defaults)
+        self.plan = _ExecPlan(
+            features=feats, dv=dv,
+            default_ns=spec.default_namespace,
+            namespaces=spec.namespace_indices,
+            num_bits=spec.num_bits,
+            num_missing_threshold=spec.num_missing_threshold,
+        )
+
+    # -- stage 1: JVM-side precomputation ----------------------------------
+    def _with_precomputed(self, df: DataFrame) -> DataFrame:
+        for fp in self.plan.features:
+            if fp.name not in self._columns:
+                continue
+            col = self._columns[fp.name]
+            dtype = df.select(col.alias("x")).schema[0].dataType.simpleString()
+            if dtype == "string":
+                fp.kind = "string_column"
+                df = df.withColumn(_PREFIX + fp.name, col)
+            else:
+                fp.kind = "column"
+                df = df.withColumn(_PREFIX + fp.name, col.cast("double"))
+        for dv_name, col in self._dv_columns.items():
+            df = df.withColumn(_PREFIX + "dv_" + dv_name, col)
+        return df
+
+    # -- public transforms --------------------------------------------------
+    def featurize(self, df: DataFrame,
+                  keep_cols: Optional[list] = None) -> DataFrame:
+        """Adds ``features`` (array of per-feature bags in declaration
+        order), ``missing_features``, ``erring_features``."""
+        keep = keep_cols if keep_cols is not None else list(df.columns)
+        pre = self._with_precomputed(df)
+        plan = self.plan
+        keep_t = ", ".join(f"{c} {pre.schema[c].dataType.simpleString()}"
+                           for c in keep)
+        schema = (keep_t + ", " if keep_t else "") + \
+            "features array<map<string,double>>, " \
+            "missing_features array<string>, erring_features array<string>"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                order, bags, missing, erring = _batch_eval(plan, pdf)
+                rows = [[bags[fi][i] for fi in range(len(order))]
+                        for i in range(len(pdf))]
+                out = {c: pdf[c] for c in keep}
+                out["features"] = rows
+                out["missing_features"] = missing
+                out["erring_features"] = erring
+                yield pd.DataFrame(out)
+
+        return pre.mapInPandas(run, schema=schema)
+
+    def _lines_transform(self, df: DataFrame, keep_cols: list,
+                         line_fn: Callable, out_col: str) -> DataFrame:
+        pre = self._with_precomputed(df)
+        plan = self.plan
+        keep_t = ", ".join(f"{c} {pre.schema[c].dataType.simpleString()}"
+                           for c in keep_cols)
+        schema = (keep_t + ", " if keep_t else "") + f"{out_col} string"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out = {c: pdf[c] for c in keep_cols}
+                out[out_col] = line_fn(plan, pdf)
+                yield pd.DataFrame(out)
+
+        return pre.mapInPandas(run, schema=schema)
+
+    def to_vw_lines(self, df: DataFrame, keep_cols: Optional[list] = None,
+                    labeled: Optional[bool] = None,
+                    out_col: str = "vw_line") -> DataFrame:
+        if labeled is None:
+            labeled = self.spec.label is not None
+        keep = keep_cols if keep_cols is not None else []
+
+        def mk(plan: _ExecPlan, pdf: pd.DataFrame) -> list:
+            order, bags, missing, erring = _batch_eval(plan, pdf)
+            labels = _eval_dv(plan, pdf, "label") if labeled else None
+            imps = _eval_dv(plan, pdf, "importance") if labeled else None
+            tags = _eval_dv(plan, pdf, "tag") if labeled else None
+            thr = plan.num_missing_threshold
+            lines = []
+            for i in range(len(pdf)):
+                row = [bags[fi][i] for fi in range(len(order))]
+                if thr is not None and len(missing[i]) > thr:
+                    lines.append(None)  # abort row (RegressionFeatures:99-110)
+                    continue
+                if labeled:
+                    lab = labels[i] if labels else None
+                    imp = imps[i] if imps is not None else 1.0
+                    tag = tags[i] if tags is not None else (
+                        decimal_format(lab, 17) if lab is not None else None)
+                    lines.append(labeled_vw_line(
+                        row, lab, 1.0 if imp is None else imp, tag,
+                        plan.default_ns, plan.namespaces))
+                else:
+                    lines.append(unlabeled_vw_line(row, plan.default_ns,
+                                                   plan.namespaces))
+            return lines
+
+        return self._lines_transform(df, keep, mk, out_col)
+
+    def to_libsvm_lines(self, df: DataFrame, keep_cols: Optional[list] = None,
+                        out_col: str = "libsvm_line",
+                        seed: int = STRING_SEED) -> DataFrame:
+        keep = keep_cols if keep_cols is not None else []
+        labeled = self.spec.label is not None
+
+        def mk(plan: _ExecPlan, pdf: pd.DataFrame) -> list:
+            order, bags, missing, erring = _batch_eval(plan, pdf)
+            labels = _eval_dv(plan, pdf, "label") if labeled else None
+            lines = []
+            for i in range(len(pdf)):
+                row = [bags[fi][i] for fi in range(len(order))]
+                lab = None
+                if labels is not None and labels[i] is not None:
+                    lab = decimal_format(float(labels[i]), 17)
+                lines.append(labeled_libsvm_line(row, lab, plan.num_bits, seed))
+            return lines
+
+        return self._lines_transform(df, keep, mk, out_col)
+
+    def to_sparse_vectors(self, df: DataFrame,
+                          keep_cols: Optional[list] = None,
+                          seed: int = STRING_SEED) -> DataFrame:
+        """Hashed sparse vectors: the whole Arrow batch's keys hash in a
+        single vectorized murmur call; per row: mask, sort, dedupe
+        (last wins)."""
+        keep = keep_cols if keep_cols is not None else list(df.columns)
+        pre = self._with_precomputed(df)
+        plan = self.plan
+        mask = np.int32((1 << plan.num_bits) - 1)
+        keep_t = ", ".join(f"{c} {pre.schema[c].dataType.simpleString()}"
+                           for c in keep)
+        schema = (keep_t + ", " if keep_t else "") + \
+            "indices array<int>, values array<double>, " \
+            "missing_features array<string>"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                order, bags, missing, _ = _batch_eval(plan, pdf)
+                n = len(pdf)
+                all_keys: list[str] = []
+                all_vals: list[float] = []
+                row_lens = np.zeros(n, dtype=np.int64)
+                for i in range(n):
+                    cnt = 0
+                    for fi in range(len(order)):
+                        for k, v in bags[fi][i].items():
+                            all_keys.append(k)
+                            all_vals.append(v)
+                            cnt += 1
+                    row_lens[i] = cnt
+                idx = (string_hash_array(all_keys, seed) & mask
+                       if all_keys else np.empty(0, np.int32))
+                vals = np.asarray(all_vals)
+                offs = np.concatenate(([0], np.cumsum(row_lens)))
+                indices_col, values_col = [], []
+                for i in range(n):
+                    ri = idx[offs[i]:offs[i + 1]]
+                    rv = vals[offs[i]:offs[i + 1]]
+                    order_ = np.argsort(ri, kind="stable")
+                    si, sv = ri[order_], rv[order_]
+                    keep_m = np.ones(len(si), dtype=bool)
+                    if len(si) > 1:
+                        keep_m[:-1] = si[1:] != si[:-1]
+                    indices_col.append(si[keep_m].tolist())
+                    values_col.append(sv[keep_m].tolist())
+                out = {c: pdf[c] for c in keep}
+                out["indices"] = indices_col
+                out["values"] = values_col
+                out["missing_features"] = missing
+                yield pd.DataFrame(out)
+
+        return pre.mapInPandas(run, schema=schema)

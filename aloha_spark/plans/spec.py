@@ -1,0 +1,297 @@
+"""Feature-spec JSON -> execution plan compiler.
+
+The reference compiles feature specs — strings with ``${variable}``
+substitutions and calls into a function library — to JVM bytecode once
+per model load (aloha-core/.../semantics/compiled/CompiledSemantics.scala:
+292-308; variable regex at :275; ``${x:-default}`` split at :261), with
+an ``imports`` whitelist selecting the available functions
+(aloha-core/.../dataset/CovariateProducer.scala:21-40).
+
+Here the same spec grammar compiles to one of two tiers:
+
+* **Column tier** — specs that are pure variable references, literals,
+  arithmetic, comparisons, or whitelisted scalar calls become native
+  Spark ``Column`` trees (Catalyst-optimized, whole-stage codegen;
+  ``${x:-d}`` -> ``coalesce(x, lit(d))``; null propagation comes free
+  from SQL NULL semantics, mirroring Aloha's OptionMath).
+* **Batch tier** — specs that call bag-producing registry functions
+  (``ind``, ``bag``, ``nGrams``, ``skipGrams``, ``sos2`` …) compile to a
+  Python callable evaluated inside Arrow-batched pandas UDFs.  The AST
+  is validated against a whitelist (names + calls only — the analog of
+  the reference's imports whitelist); single-call specs over one string
+  variable dispatch to vectorized batch kernels.
+
+Missing/erring bookkeeping follows FeatureExtractorFunction.scala:48-66:
+a feature whose required variable is NULL yields the default bag
+(``[("=UNK", 1.0)]``) and is recorded in ``missing_features``; a feature
+whose expression raises is recorded in ``erring_features`` and yields
+its default.
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import math
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, functions as F
+
+from ..functions import scalars as _sc
+from ..functions import textfeatures as _tf
+
+# reference regex: CompiledSemantics.scala:275
+VAR_RE = re.compile(r"\$\{([^\s\$\{\}:\|]+)(:\-([^\s\$\{\}:\|]+))?\}")
+
+# functions available to batch-tier specs (the "imports" whitelist)
+REGISTRY: dict[str, Callable] = {
+    "ind": _sc.ind,
+    "intercept": _sc.intercept,
+    "bag": _tf.bag,
+    "nGrams": _tf.n_grams,
+    "skipGrams": _tf.skip_grams,
+    "sos2": _sc.sos2,
+    "sos2U": _sc.sos2_u,
+    "csos2": _sc.csos2,
+    "clamp": _sc.clamp,
+    "log2": _sc.log2,
+    "abs": abs,
+    "min": min,
+    "max": max,
+    "round": round,
+    "len": len,
+    "math": math,
+    "gtLt": _sc.gt_lt,
+    "gtLe": _sc.gt_le,
+    "geLt": _sc.ge_lt,
+    "geLe": _sc.ge_le,
+}
+
+# time constants (reference feature/TimeConstants.scala:16-72)
+TIME_CONSTANTS = {
+    "SECONDS_PER_MINUTE": 60, "SECONDS_PER_HOUR": 3600,
+    "SECONDS_PER_DAY": 86400, "SECONDS_PER_WEEK": 604800,
+    "MINUTES_PER_HOUR": 60, "MINUTES_PER_DAY": 1440,
+    "HOURS_PER_DAY": 24, "DAYS_PER_WEEK": 7,
+    "MILLIS_PER_SECOND": 1000, "MILLIS_PER_MINUTE": 60000,
+    "MILLIS_PER_HOUR": 3600000, "MILLIS_PER_DAY": 86400000,
+}
+REGISTRY.update(TIME_CONSTANTS)
+
+_ALLOWED_NODES = (
+    ast.Expression, ast.Call, ast.Name, ast.Load, ast.Constant, ast.BinOp,
+    ast.UnaryOp, ast.BoolOp, ast.Compare, ast.IfExp, ast.Add, ast.Sub,
+    ast.Mult, ast.Div, ast.Mod, ast.FloorDiv, ast.Pow, ast.USub, ast.UAdd,
+    ast.Not, ast.And, ast.Or, ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt,
+    ast.GtE, ast.keyword, ast.List, ast.Tuple, ast.Attribute,
+)
+
+
+@dataclass
+class ParsedSpec:
+    """One feature spec after variable extraction."""
+    name: str
+    expr: str                       # python expression with bare var names
+    variables: list[str] = field(default_factory=list)
+    defaults: dict[str, Any] = field(default_factory=dict)
+    namespace: str = ""             # "" = VW default namespace
+
+
+def _coerce_default(s: str) -> Any:
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            return s.strip("\"'")
+
+
+def parse_feature_spec(name: str, spec: str, namespace: str = "") -> ParsedSpec:
+    variables: list[str] = []
+    defaults: dict[str, Any] = {}
+
+    def sub(m: re.Match) -> str:
+        var = m.group(1)
+        pyname = var.replace(".", "__")
+        if pyname not in variables:
+            variables.append(pyname)
+        if m.group(3) is not None:
+            defaults[pyname] = _coerce_default(m.group(3))
+        return pyname
+
+    expr = VAR_RE.sub(sub, spec)
+    return ParsedSpec(name=name, expr=expr, variables=variables,
+                      defaults=defaults, namespace=namespace)
+
+
+def _validate_ast(tree: ast.AST, variables: list[str]) -> None:
+    for node in ast.walk(tree):
+        if not isinstance(node, _ALLOWED_NODES):
+            raise ValueError(
+                f"disallowed syntax {type(node).__name__} in feature spec")
+        if isinstance(node, ast.Attribute):
+            # math.<fn> plus a small set of safe data methods
+            safe_methods = {"split", "lower", "upper", "strip", "replace",
+                            "startswith", "endswith", "count", "get", "items",
+                            "keys", "values"}
+            is_math = isinstance(node.value, ast.Name) and node.value.id == "math"
+            if not is_math and node.attr not in safe_methods:
+                raise ValueError(
+                    f"attribute access '.{node.attr}' not in the whitelist")
+            if node.attr.startswith("_"):
+                raise ValueError("dunder/underscore attributes forbidden")
+        if isinstance(node, ast.Name):
+            if node.id not in REGISTRY and node.id not in variables:
+                raise ValueError(f"unknown name '{node.id}' in feature spec "
+                                 f"(not a variable or registry function)")
+
+
+def compile_batch_fn(parsed: ParsedSpec) -> Callable[..., Any]:
+    """Compile to ``fn(**vars) -> value`` with the registry in scope."""
+    tree = ast.parse(parsed.expr, mode="eval")
+    _validate_ast(tree, parsed.variables)
+    code = compile(tree, f"<feature:{parsed.name}>", "eval")
+    registry = dict(REGISTRY)
+
+    def fn(**vars_):
+        return eval(code, {"__builtins__": {}}, {**registry, **vars_})
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Column tier
+
+_COLUMN_FNS = {
+    "clamp": lambda x, lo, hi: F.least(F.greatest(x, lo), hi),
+    "log2": lambda x: F.log2(x),
+    "abs": lambda x: F.abs(x),
+    "min": lambda a, b: F.least(a, b),
+    "max": lambda a, b: F.greatest(a, b),
+    "gtLt": lambda x, lo, hi: (lo < x) & (x < hi),
+    "gtLe": lambda x, lo, hi: (lo < x) & (x <= hi),
+    "geLt": lambda x, lo, hi: (lo <= x) & (x < hi),
+    "geLe": lambda x, lo, hi: (lo <= x) & (x <= hi),
+}
+
+_BIN_OPS = {
+    ast.Add: lambda a, b: a + b, ast.Sub: lambda a, b: a - b,
+    ast.Mult: lambda a, b: a * b, ast.Div: lambda a, b: a / b,
+    ast.Mod: lambda a, b: a % b, ast.Pow: lambda a, b: a ** b,
+}
+_CMP_OPS = {
+    ast.Eq: lambda a, b: a == b, ast.NotEq: lambda a, b: a != b,
+    ast.Lt: lambda a, b: a < b, ast.LtE: lambda a, b: a <= b,
+    ast.Gt: lambda a, b: a > b, ast.GtE: lambda a, b: a >= b,
+}
+
+
+def try_compile_column(parsed: ParsedSpec) -> Optional[Column]:
+    """Column-tier compilation; returns None when the spec needs the
+    batch tier (bag-producing or non-expressible calls)."""
+
+    def conv(node: ast.AST) -> Column:
+        if isinstance(node, ast.Expression):
+            return conv(node.body)
+        if isinstance(node, ast.Constant):
+            if isinstance(node.value, (int, float, str, bool)):
+                return F.lit(node.value)
+            raise _Bail()
+        if isinstance(node, ast.Name):
+            if node.id in parsed.variables:
+                col = F.col(node.id.replace("__", "."))
+                if node.id in parsed.defaults:
+                    col = F.coalesce(col, F.lit(parsed.defaults[node.id]))
+                return col
+            if node.id in TIME_CONSTANTS:
+                return F.lit(TIME_CONSTANTS[node.id])
+            raise _Bail()
+        if isinstance(node, ast.BinOp) and type(node.op) in _BIN_OPS:
+            return _BIN_OPS[type(node.op)](conv(node.left), conv(node.right))
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            return -conv(node.operand)
+        if isinstance(node, ast.Compare) and len(node.ops) == 1 \
+                and type(node.ops[0]) in _CMP_OPS:
+            return _CMP_OPS[type(node.ops[0])](conv(node.left),
+                                               conv(node.comparators[0]))
+        if isinstance(node, ast.IfExp):
+            return F.when(conv(node.test), conv(node.body)) \
+                    .otherwise(conv(node.orelse))
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Name) \
+                and node.func.id in _COLUMN_FNS and not node.keywords:
+            args = [conv(a) for a in node.args]
+            return _COLUMN_FNS[node.func.id](*args)
+        raise _Bail()
+
+    class _Bail(Exception):
+        pass
+
+    try:
+        tree = ast.parse(parsed.expr, mode="eval")
+        _validate_ast(tree, parsed.variables)
+        return conv(tree)
+    except _Bail:
+        return None
+    except ValueError:
+        raise
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Pipeline spec (the whole JSON document)
+
+@dataclass
+class PipelineSpec:
+    features: list[ParsedSpec]
+    namespaces: dict[str, list[str]]      # ns name -> feature names
+    label: Optional[ParsedSpec] = None
+    importance: Optional[ParsedSpec] = None
+    tag: Optional[ParsedSpec] = None
+    num_bits: int = 18
+    num_missing_threshold: Optional[int] = None
+
+    @property
+    def default_namespace(self) -> list[int]:
+        named = {f for fs in self.namespaces.values() for f in fs}
+        return [i for i, f in enumerate(self.features) if f.name not in named]
+
+    @property
+    def namespace_indices(self) -> list[tuple[str, list[int]]]:
+        idx = {f.name: i for i, f in enumerate(self.features)}
+        return [(ns, [idx[f] for f in fs if f in idx])
+                for ns, fs in self.namespaces.items()]
+
+    @classmethod
+    def from_json(cls, doc: str | dict) -> "PipelineSpec":
+        if isinstance(doc, str):
+            doc = json.loads(doc)
+        feats = []
+        for f in doc["features"]:
+            if isinstance(f, dict):
+                feats.append(parse_feature_spec(f["name"], f["spec"]))
+            else:
+                raise ValueError("feature entries must be {name, spec} objects")
+        nss = {k: list(v) for k, v in doc.get("namespaces", {}).items()}
+        mk = lambda key: (parse_feature_spec(key, doc[key])  # noqa: E731
+                          if key in doc and doc[key] is not None else None)
+        return cls(
+            features=feats, namespaces=nss,
+            label=mk("label"), importance=mk("importance"), tag=mk("tag"),
+            num_bits=int(doc.get("numBits", 18)),
+            num_missing_threshold=doc.get("numMissingThreshold"),
+        )
+
+    def required_columns(self) -> list[str]:
+        cols: list[str] = []
+        for p in self.features + [self.label, self.importance, self.tag]:
+            if p is None:
+                continue
+            for v in p.variables:
+                c = v.replace("__", ".").split(".")[0]
+                if c not in cols:
+                    cols.append(c)
+        return cols
