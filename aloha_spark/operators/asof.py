@@ -69,19 +69,24 @@ def _merge_schema(turns: DataFrame, state_cols: Sequence[str],
     return StructType(fields)
 
 
-def _make_merge_fn(turn_cols: list[str], state_cols: list[str], by: str, on: str):
-    """Build the per-partition streaming merge for mapInPandas."""
+def _make_merge_fn(turn_cols: list[str], state_cols: list[str],
+                   by_cols: list[str], on: str):
+    """Build the per-partition streaming merge for mapInPandas.
+
+    Grouping uses the raw key columns (never a concatenated string — a
+    synthetic separator can be corrupted in Arrow transport, which would
+    silently merge adjacent groups and leak state across them)."""
 
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry_key = None          # last key seen in the previous batch
-        carry_state: Optional[tuple] = None  # its latest state payload
+        carry_key: Optional[tuple] = None     # last key of previous batch
+        carry_state: Optional[tuple] = None   # its latest state payload
         out_cols = turn_cols + state_cols
         for pdf in batches:
             if pdf.empty:
                 continue
             n = len(pdf)
             is_state = pdf[_SIDE].to_numpy() != 1  # turn side is always 1
-            keys = pdf[by].to_numpy()
+            key_arrays = [pdf[c].to_numpy() for c in by_cols]
 
             # Row-position indirection keeps multi-column state rows
             # atomic (a NULL inside a state row must NOT inherit an
@@ -89,7 +94,7 @@ def _make_merge_fn(turn_cols: list[str], state_cols: list[str], by: str, on: str
             pos = np.where(is_state, np.arange(n, dtype=np.float64), np.nan)
             pos_filled = (
                 pd.Series(pos)
-                .groupby(pd.Series(keys), sort=False)
+                .groupby([pd.Series(a) for a in key_arrays], sort=False)
                 .ffill()
                 .to_numpy()
             )
@@ -98,8 +103,10 @@ def _make_merge_fn(turn_cols: list[str], state_cols: list[str], by: str, on: str
             # first key-run that have no state yet inherit carry_state.
             use_carry = None
             if carry_state is not None:
-                first_run = keys == carry_key
-                if first_run.any():
+                first_run = np.ones(n, dtype=bool)
+                for arr, ck in zip(key_arrays, carry_key):
+                    first_run &= arr == ck
+                if first_run.any() and first_run[0]:
                     # first key run is a prefix (sorted input)
                     run_end = int(np.argmin(first_run)) if not first_run.all() else n
                     use_carry = np.zeros(n, dtype=bool)
@@ -129,8 +136,7 @@ def _make_merge_fn(turn_cols: list[str], state_cols: list[str], by: str, on: str
 
             # Update the carry: latest state for the LAST key in this
             # batch (earlier keys are complete — input is sorted by key).
-            last_key = keys[-1]
-            last_run = keys == last_key
+            last_key = tuple(arr[-1] for arr in key_arrays)
             last_pos = pos_filled[-1]
             if not math.isnan(last_pos):
                 carry_key = last_key
@@ -234,16 +240,12 @@ def asof_join(
         sort_cols.append(F.when(F.col(_SIDE) == state_side,
                                 F.col(tiebreaker)).asc_nulls_first())
 
-    merged_key = by if not hot_keys else _SALT  # grouping col inside pandas
-    # group inside the pass by (by, salt) jointly -> synthesize one col
     schema = _merge_schema(turns, state_cols, state)
-    merge = _make_merge_fn(turn_cols, state_cols, by="__group", on=on)
+    merge = _make_merge_fn(turn_cols, state_cols, by_cols=[by, _SALT], on=on)
 
     arranged = (
         unioned
         .repartition(num_partitions, *part_cols)
         .sortWithinPartitions(*sort_cols)
-        .withColumn("__group", F.concat_ws("\x00", F.col(by).cast("string"),
-                                           F.col(_SALT).cast("string")))
     )
     return arranged.mapInPandas(merge, schema=schema)

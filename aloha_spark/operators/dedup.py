@@ -275,10 +275,12 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
              .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                      F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
              .dropDuplicates(["id_a", "id_b"]))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x))
     cos = dot / (norm("va") * norm("vb"))
     return (cands.withColumn("cosine", cos)
                  .where(F.col("cosine") >= threshold)

@@ -25,8 +25,11 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _cosine_expr(a: str, b: str):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    # cast BEFORE multiplying: float32 products lose ~1e-8 precision,
+    # enough to flip 6-decimal rounding against a double-precision oracle
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
     sq = lambda c: F.aggregate(  # noqa: E731
         F.transform(F.col(c), lambda x: x.cast("double") * x), F.lit(0.0),
         lambda acc, x: acc + x)

@@ -24,6 +24,15 @@ def turn_window(by: str = "conv_id", order: Sequence[str] = ("turn_idx",)) -> Wi
     return Window.partitionBy(by).orderBy(*order)
 
 
+def epoch_seconds(c) -> "F.Column":
+    """Timestamp -> fractional epoch seconds; handles both TIMESTAMP and
+    TIMESTAMP_NTZ (parquet default in Spark 4, not castable to double).
+    NTZ values are interpreted in the session time zone — pin
+    spark.sql.session.timeZone=UTC for determinism."""
+    col = c if not isinstance(c, str) else F.col(c)
+    return F.unix_micros(col.cast("timestamp_ltz")) / F.lit(1e6)
+
+
 def with_lag_lead(df: DataFrame, cols: Sequence[str], by: str = "conv_id",
                   order: Sequence[str] = ("turn_idx",), k: int = 1,
                   lead: bool = True) -> DataFrame:
@@ -44,7 +53,7 @@ def with_ts_delta(df: DataFrame, ts: str = "ts", by: str = "conv_id",
     w = turn_window(by, order)
     return df.withColumn(
         out_col,
-        F.col(ts).cast("double") - F.lag(F.col(ts).cast("double"), 1).over(w))
+        epoch_seconds(ts) - F.lag(epoch_seconds(ts), 1).over(w))
 
 
 def with_backfill(df: DataFrame, cols: Sequence[str], by: str = "conv_id",
@@ -71,7 +80,7 @@ def with_session_id(df: DataFrame, ts: str = "ts", by: str = "conv_id",
     """
     order = list(order) if order else [ts]
     w = turn_window(by, order)
-    gap = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double"), 1).over(w)
+    gap = epoch_seconds(ts) - F.lag(epoch_seconds(ts), 1).over(w)
     new_session = F.when(gap > F.lit(float(gap_seconds)), F.lit(1)).otherwise(F.lit(0))
     return df.withColumn(out_col, F.sum(new_session).over(
         turn_window(by, order).rowsBetween(Window.unboundedPreceding, 0)))
