@@ -37,7 +37,12 @@ from ..functions.hashing import STRING_SEED, string_hash_array
 from ..functions.scalars import UNK_BAG
 from ..sinks.libsvm import labeled_libsvm_line
 from ..sinks.vw import labeled_vw_line, unlabeled_vw_line
-from .spec import PipelineSpec, compile_batch_fn, try_compile_column
+from .spec import (
+    PipelineSpec,
+    compile_batch_fn,
+    try_compile_column,
+    try_compile_vbatch,
+)
 
 _PREFIX = "__als_"
 
@@ -109,12 +114,27 @@ def _batch_eval(plan: _ExecPlan, pdf: pd.DataFrame):
             bags[name] = row_bags
             continue
 
-        var_cols = {}
+        if fp.kind == "vbatch":
+            src = fp.variables[0].replace("__", ".")
+            series = pdf[src]
+            isna = series.isna().to_numpy()
+            outs = fp.fn(series)
+            row_bags = []
+            for i in range(n):
+                b = outs[i]
+                if b is None or isna[i]:
+                    missing[i].append(name)
+                row_bags.append(dict(UNK_BAG) if b is None else b)
+            bags[name] = row_bags
+            continue
+
+        var_lists = {}
         for v in fp.variables:
             src = v.replace("__", ".")
             if src not in pdf.columns:
                 raise KeyError(f"feature '{name}' needs column '{src}'")
-            var_cols[v] = pdf[src]
+            var_lists[v] = pdf[src].tolist()
+        var_items = list(var_lists.items())
         row_bags = []
         for i in range(n):
             kwargs = {}
@@ -122,8 +142,8 @@ def _batch_eval(plan: _ExecPlan, pdf: pd.DataFrame):
             # missing even when the function still yields a default bag
             # (GenAggFunc.accessorOutputMissing, func/package.scala:61-92)
             var_missing = False
-            for v, s in var_cols.items():
-                val = s.iloc[i]
+            for v, vals_ in var_items:
+                val = vals_[i]
                 if val is None or (isinstance(val, float) and val != val):
                     if v in fp.defaults:
                         val = fp.defaults[v]
@@ -190,6 +210,11 @@ class FeaturePipeline:
                 self._columns[p.name] = col
                 feats.append(_FeatPlan(p.name, "column", None,
                                        p.variables, p.defaults))
+                continue
+            vb = try_compile_vbatch(p)
+            if vb is not None:
+                fn, var = vb
+                feats.append(_FeatPlan(p.name, "vbatch", fn, [var], {}))
             else:
                 feats.append(_FeatPlan(p.name, "batch", compile_batch_fn(p),
                                        p.variables, p.defaults))

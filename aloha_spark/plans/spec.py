@@ -45,13 +45,24 @@ from ..functions import textfeatures as _tf
 # reference regex: CompiledSemantics.scala:275
 VAR_RE = re.compile(r"\$\{([^\s\$\{\}:\|]+)(:\-([^\s\$\{\}:\|]+))?\}")
 
+# Scala-spec kwarg names -> python kernel kwarg names
+KWARG_ALIASES = {"maxElements": "max_elements", "splitString": "split"}
+
+
+def _alias_kwargs(fn: Callable) -> Callable:
+    def wrapped(*args, **kwargs):
+        kw = {KWARG_ALIASES.get(k, k): v for k, v in kwargs.items()}
+        return fn(*args, **kw)
+    return wrapped
+
+
 # functions available to batch-tier specs (the "imports" whitelist)
 REGISTRY: dict[str, Callable] = {
     "ind": _sc.ind,
     "intercept": _sc.intercept,
-    "bag": _tf.bag,
-    "nGrams": _tf.n_grams,
-    "skipGrams": _tf.skip_grams,
+    "bag": _alias_kwargs(_tf.bag),
+    "nGrams": _alias_kwargs(_tf.n_grams),
+    "skipGrams": _alias_kwargs(_tf.skip_grams),
     "sos2": _sc.sos2,
     "sos2U": _sc.sos2_u,
     "csos2": _sc.csos2,
@@ -160,6 +171,50 @@ def compile_batch_fn(parsed: ParsedSpec) -> Callable[..., Any]:
         return eval(code, {"__builtins__": {}}, {**registry, **vars_})
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Vectorized-batch tier: single-call specs ``fn(${var}, const...)`` over
+# one variable dispatch to whole-batch kernels (functions/batch.py)
+
+def try_compile_vbatch(parsed: ParsedSpec):
+    """Returns ``(kernel_fn, var_name)`` where ``kernel_fn(series) ->
+    list[bag|None]``, or None if the spec doesn't fit the pattern."""
+    from ..functions.batch import BATCH_KERNELS
+
+    try:
+        tree = ast.parse(parsed.expr, mode="eval")
+    except SyntaxError:
+        return None
+    node = tree.body
+    if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+            and node.func.id in BATCH_KERNELS):
+        return None
+    if not node.args or not isinstance(node.args[0], ast.Name):
+        return None
+    var = node.args[0].id
+    if var not in parsed.variables or var in parsed.defaults:
+        return None
+    const_args = []
+    for a in node.args[1:]:
+        if isinstance(a, ast.Constant):
+            const_args.append(a.value)
+        elif isinstance(a, ast.UnaryOp) and isinstance(a.op, ast.USub) \
+                and isinstance(a.operand, ast.Constant):
+            const_args.append(-a.operand.value)
+        else:
+            return None
+    kwargs = {}
+    for kw in node.keywords:
+        if kw.arg is None or not isinstance(kw.value, ast.Constant):
+            return None
+        kwargs[KWARG_ALIASES.get(kw.arg, kw.arg)] = kw.value.value
+    kernel = BATCH_KERNELS[node.func.id]
+
+    def fn(series):
+        return kernel(series, *const_args, **kwargs)
+
+    return fn, var
 
 
 # ---------------------------------------------------------------------------

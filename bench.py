@@ -1,0 +1,132 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+The flagship measurement is the end-to-end point-in-time featurization
+(as-of join + windowed features + hashed sparse feature vectors) over
+the transcript view of the events table; ``turns_per_sec`` is reported
+alongside.  Every query materializes via the noop sink (full compute,
+no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("aloha-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
+        .config("spark.default.parallelism", str(max(2 * cpus, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def flagship(spark, sf_dir):
+    """entry()-equivalent pipeline at the bench scale factor."""
+    import __spark_entry__ as em
+    from aloha_spark.operators.asof import asof_join
+    from aloha_spark.operators.windows import (
+        with_backfill, with_lag_lead, with_session_id, with_ts_delta)
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+
+    t = em.transcripts_from_events(spark, sf_dir)
+    s = em.state_from_events(spark, sf_dir)
+    x = asof_join(t, s, on="ts", by="conv_id", state_cols=["state_score"])
+    x = with_lag_lead(x, ["text"], order=("turn_idx",), lead=False)
+    x = with_backfill(x, ["tool"], order=("turn_idx",))
+    x = with_ts_delta(x, order=("turn_idx",))
+    x = with_session_id(x, gap_seconds=1800.0, order=("turn_idx",))
+    spec = PipelineSpec.from_json({
+        "features": [
+            {"name": "role", "spec": "ind(${role})"},
+            {"name": "tool", "spec": "ind(${last_tool})"},
+            {"name": "bow", "spec": "bag(${text})"},
+            {"name": "prev_bow", "spec": "bag(${prev_text:-''})"},
+            {"name": "dt", "spec": "clamp(${dt_prev_sec:-0}, 0, 86400)"},
+            {"name": "dt_bin", "spec": "sos2U(${dt_prev_sec}, 0, 7200, 600)"},
+            {"name": "state", "spec": "${state_score:-0}"},
+        ],
+        "namespaces": {}, "numBits": 18})
+    pipe = FeaturePipeline(spec)
+    return pipe.to_sparse_vectors(
+        x, keep_cols=["conv_id", "turn_idx", "session_id"])
+
+
+BENCH_QUERIES = [
+    "pit_pipeline", "asof_state", "asof_salted", "sessionize",
+    "window_lag_lead", "rolling_tool_count", "session_stats",
+    "pricing_summary", "broadcast_join", "linear_score",
+    "doc_tokens", "doc_stats", "dedup_exact", "dedup_minhash",
+    "simhash", "ann_topk", "feature_vectors", "vw_lines",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as em
+
+    spark = build_spark(cpus)
+    try:
+        qdefs = em.queries()
+        timings: dict[str, float] = {}
+
+        # flagship: end-to-end featurization; timed after a JVM/Arrow
+        # warm-up pass at a smaller scale
+        n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        materialize(flagship(spark, "/root/testdata/sf0.001"))  # warm-up
+        t0 = time.time()
+        materialize(flagship(spark, sf_dir))
+        t_flag = time.time() - t0
+        timings["featurize_e2e"] = round(t_flag, 3)
+
+        for name in BENCH_QUERIES:
+            fn = qdefs[name]
+            t0 = time.time()
+            materialize(fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        print(json.dumps({
+            "metric": "e2e_asof_windowed_featurization",
+            "value": timings["featurize_e2e"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "turns": n_turns,
+            "turns_per_sec": round(n_turns / t_flag, 1),
+            "total_sec": total,
+            "cpus": cpus,
+        }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
