@@ -170,9 +170,29 @@ def asof_join(
     hot_keys: Optional[Iterable] = None,
     hot_key_threshold: Optional[int] = None,
     salt_buckets: int = 8,
+    mode: str = "window",
 ) -> DataFrame:
     """Backward as-of join: attach latest ``state_cols`` with
     ``state[on] <= turns[on]`` (``<`` when allow_exact=False) per ``by``.
+
+    ``mode="window"`` (default): after the union, the merge is a pure
+    Catalyst plan — pack the state payload into one struct (NULL on turn
+    rows; a struct keeps multi-column state rows atomic) and take
+    ``last(struct, ignorenulls=True)`` over
+    ``Window.partitionBy(key).orderBy(ts, side)`` with an
+    unbounded-preceding frame, then keep turn rows.  One shuffle, zero
+    Python, whole-stage-codegen'd — and downstream turn windows that
+    partition by the same key reuse the exchange.  (PySpark local-mode
+    lesson baked in here: a mapInPandas stage pipelined into a shuffle
+    runs a Python worker AND a JVM thread per task; at full-machine
+    parallelism that oversubscribes every core and the stage stops
+    scaling.  Keeping the join JVM-side is what preserves >=0.8 N->4N
+    efficiency.)
+
+    ``mode="merge"``: the explicit partition-local two-pointer streaming
+    merge in mapInPandas (pd.merge_asof semantics) — kept as the
+    reference implementation and for engines where the window above
+    can't express extensions (e.g. per-row custom carry logic).
 
     ``tiebreaker``: optional state column; among state rows sharing
     (by, on) the one with the greatest tiebreaker wins (deterministic).
@@ -239,6 +259,29 @@ def asof_join(
         # forward fill -> sort it last among state rows
         sort_cols.append(F.when(F.col(_SIDE) == state_side,
                                 F.col(tiebreaker)).asc_nulls_first())
+
+    if mode == "window":
+        from pyspark.sql import Window
+
+        order_cols: list[Column] = [F.col(on).asc(), F.col(_SIDE).asc()]
+        if tiebreaker is not None:
+            order_cols.append(F.when(F.col(_SIDE) == state_side,
+                                     F.col(tiebreaker)).asc_nulls_first())
+        w = (Window.partitionBy(*part_cols).orderBy(*order_cols)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        packed = unioned.withColumn(
+            "__state",
+            F.when(F.col(_SIDE) != turn_side,
+                   F.struct(*[F.col(c).alias(c) for c in state_cols])))
+        filled = packed.withColumn(
+            "__filled", F.last("__state", ignorenulls=True).over(w))
+        out = filled.where(F.col(_SIDE) == turn_side).select(
+            *turn_cols,
+            *[F.col("__filled")[c].alias(c) for c in state_cols])
+        return out
+
+    if mode != "merge":
+        raise ValueError(f"unknown asof mode: {mode!r}")
 
     schema = _merge_schema(turns, state_cols, state)
     merge = _make_merge_fn(turn_cols, state_cols, by_cols=[by, _SALT], on=on)

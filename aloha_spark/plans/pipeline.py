@@ -394,18 +394,26 @@ class FeaturePipeline:
                 idx = (string_hash_array(all_keys, seed) & mask
                        if all_keys else np.empty(0, np.int32))
                 vals = np.asarray(all_vals)
-                offs = np.concatenate(([0], np.cumsum(row_lens)))
-                indices_col, values_col = [], []
-                for i in range(n):
-                    ri = idx[offs[i]:offs[i + 1]]
-                    rv = vals[offs[i]:offs[i + 1]]
-                    order_ = np.argsort(ri, kind="stable")
-                    si, sv = ri[order_], rv[order_]
-                    keep_m = np.ones(len(si), dtype=bool)
-                    if len(si) > 1:
-                        keep_m[:-1] = si[1:] != si[:-1]
-                    indices_col.append(si[keep_m].tolist())
-                    values_col.append(sv[keep_m].tolist())
+                # ONE lexsort over the whole batch replaces n per-row
+                # argsorts: order by (row, hashed index); lexsort is
+                # stable, so equal (row, idx) entries keep insertion
+                # order and keep-last == SortedMap last-wins semantics
+                row_ids = np.repeat(np.arange(n, dtype=np.int64), row_lens)
+                order_ = np.lexsort((idx, row_ids))
+                s_rid = row_ids[order_]
+                s_idx = idx[order_]
+                s_val = vals[order_]
+                keep_m = np.ones(len(s_idx), dtype=bool)
+                if len(s_idx) > 1:
+                    keep_m[:-1] = (s_idx[1:] != s_idx[:-1]) | \
+                        (s_rid[1:] != s_rid[:-1])
+                k_rid = s_rid[keep_m]
+                k_idx = s_idx[keep_m]
+                k_val = s_val[keep_m]
+                counts = np.bincount(k_rid, minlength=n).astype(np.int64)
+                cuts = np.cumsum(counts)[:-1]
+                indices_col = np.split(k_idx, cuts)
+                values_col = np.split(k_val, cuts)
                 out = {c: pdf[c] for c in keep}
                 out["indices"] = indices_col
                 out["values"] = values_col

@@ -1,0 +1,108 @@
+"""spark-submit entry point: point-in-time featurization job.
+
+Usage:
+    spark-submit --py-files aloha_spark.zip jobs/featurize.py \
+        --turns <path> --state <path> --out <path> --lineage <path> \
+        --spec <spec.json> [--format parquet|iceberg] \
+        [--hot-key-threshold 1000000] [--salt-buckets 16] \
+        [--num-buckets 256] [--resume]
+
+Config is the spec JSON — the pipeline keeps the reference's "models
+are messages" property (reference README.md:25): the same job binary
+serves any feature set by swapping the external spec document.
+
+Build the zip:  cd <repo> && zip -r aloha_spark.zip aloha_spark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser()
+    p.add_argument("--turns", required=True)
+    p.add_argument("--state", required=False)
+    p.add_argument("--out", required=True)
+    p.add_argument("--lineage", required=True)
+    p.add_argument("--spec", required=True, help="feature-spec JSON path")
+    p.add_argument("--format", default="parquet")
+    p.add_argument("--state-cols", default=None,
+                   help="comma list; default = all non-key state columns")
+    p.add_argument("--by", default="conv_id")
+    p.add_argument("--on", default="ts")
+    p.add_argument("--order", default="turn_idx")
+    p.add_argument("--gap-seconds", type=float, default=1800.0)
+    p.add_argument("--hot-key-threshold", type=int, default=None)
+    p.add_argument("--salt-buckets", type=int, default=16)
+    p.add_argument("--num-buckets", type=int, default=256)
+    p.add_argument("--group-size", type=int, default=32)
+    p.add_argument("--output", choices=["sparse", "vw", "libsvm"],
+                   default="sparse")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv or sys.argv[1:])
+
+    from pyspark.sql import SparkSession
+
+    from aloha_spark.operators.asof import asof_join
+    from aloha_spark.operators.windows import (
+        with_backfill, with_lag_lead, with_session_id, with_ts_delta)
+    from aloha_spark.plans.lineage import write_with_lineage
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    from aloha_spark.sources.tables import read_table
+
+    spark = (SparkSession.builder.appName("aloha-spark-featurize")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+
+    t0 = time.time()
+    with open(args.spec) as f:
+        spec = PipelineSpec.from_json(f.read())
+    pipe = FeaturePipeline(spec)
+
+    turns = read_table(spark, args.turns, args.format)
+    x = turns
+    if args.state:
+        state = read_table(spark, args.state, args.format)
+        state_cols = (args.state_cols.split(",") if args.state_cols else None)
+        x = asof_join(x, state, on=args.on, by=args.by,
+                      state_cols=state_cols,
+                      hot_key_threshold=args.hot_key_threshold,
+                      salt_buckets=args.salt_buckets)
+    x = with_lag_lead(x, ["text"], by=args.by, order=(args.order,), lead=False)
+    x = with_backfill(x, ["tool"], by=args.by, order=(args.order,))
+    x = with_ts_delta(x, ts=args.on, by=args.by, order=(args.order,))
+    x = with_session_id(x, ts=args.on, by=args.by, order=[args.order],
+                        gap_seconds=args.gap_seconds)
+
+    keep = [args.by, args.order, args.on]
+    if args.output == "sparse":
+        out = pipe.to_sparse_vectors(x, keep_cols=keep)
+    elif args.output == "vw":
+        out = pipe.to_vw_lines(x, keep_cols=keep)
+    else:
+        out = pipe.to_libsvm_lines(x, keep_cols=keep)
+
+    report = write_with_lineage(
+        out, args.out, args.lineage, key=args.by, ts_col=args.on,
+        num_buckets=args.num_buckets, group_size=args.group_size)
+    print(json.dumps({
+        "written_buckets": len(report.written_buckets),
+        "skipped_buckets": len(report.skipped_buckets),
+        "groups": report.groups,
+        "wall_sec": round(time.time() - t0, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

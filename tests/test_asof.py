@@ -50,10 +50,12 @@ def small(spark):
 
 
 class TestAsofJoin:
-    def test_matches_pandas_merge_asof(self, spark, small):
+    @pytest.mark.parametrize("mode", ["window", "merge"])
+    def test_matches_pandas_merge_asof(self, spark, small, mode):
         turns, state, tp, sp = small
         got = _collect_sorted(
-            asof_join(turns, state, state_cols=["state_score", "state_tag"]))
+            asof_join(turns, state, state_cols=["state_score", "state_tag"],
+                      mode=mode))
         exp = _oracle(tp, sp, ["state_score", "state_tag"])
         _assert_frames_match(got, exp, ["state_score", "state_tag"])
 
@@ -67,12 +69,13 @@ class TestAsofJoin:
         sp2 = state2.toPandas()
 
         for allow in (True, False):
-            got = _collect_sorted(asof_join(
-                turns, state2, state_cols=["state_score", "state_tag"],
-                allow_exact=allow))
-            exp = _oracle(tp, sp2, ["state_score", "state_tag"],
-                          allow_exact=allow)
-            _assert_frames_match(got, exp, ["state_score", "state_tag"])
+            for mode in ("window", "merge"):
+                got = _collect_sorted(asof_join(
+                    turns, state2, state_cols=["state_score", "state_tag"],
+                    allow_exact=allow, mode=mode))
+                exp = _oracle(tp, sp2, ["state_score", "state_tag"],
+                              allow_exact=allow)
+                _assert_frames_match(got, exp, ["state_score", "state_tag"])
 
     def test_zero_leakage(self, spark, small):
         turns, state, _, _ = small
@@ -104,10 +107,12 @@ class TestAsofJoin:
             "conv_id string, ts_s string, state_score double, state_tag string"
         ).selectExpr("conv_id", "cast(ts_s as timestamp) as ts",
                      "state_score", "state_tag")
-        got = _collect_sorted(
-            asof_join(turns, state, state_cols=["state_score", "state_tag"]))
-        assert got["state_tag"].tolist() == ["tagA", "tagA", None]
-        assert got["state_score"].tolist() == [1.0, 1.0, 2.0]
+        for mode in ("window", "merge"):
+            got = _collect_sorted(asof_join(
+                turns, state, state_cols=["state_score", "state_tag"],
+                mode=mode))
+            assert got["state_tag"].tolist() == ["tagA", "tagA", None], mode
+            assert got["state_score"].tolist() == [1.0, 1.0, 2.0], mode
 
     def test_no_state_for_conv(self, spark):
         turns = spark.createDataFrame(
@@ -129,9 +134,11 @@ class TestAsofJoin:
         state = make_state(spark, turns).cache()
         cols = ["state_score", "state_tag"]
         plain = _collect_sorted(asof_join(turns, state, state_cols=cols))
-        salted = _collect_sorted(asof_join(
-            turns, state, state_cols=cols, hot_keys=["mega"], salt_buckets=4))
-        _assert_frames_match(salted, plain, cols)
+        for mode in ("window", "merge"):
+            salted = _collect_sorted(asof_join(
+                turns, state, state_cols=cols, hot_keys=["mega"],
+                salt_buckets=4, mode=mode))
+            _assert_frames_match(salted, plain, cols)
         # auto-detection path
         detected = _collect_sorted(asof_join(
             turns, state, state_cols=cols, hot_key_threshold=100,
@@ -145,7 +152,7 @@ class TestAsofJoin:
         try:
             got = _collect_sorted(asof_join(
                 turns, state, state_cols=["state_score", "state_tag"],
-                num_partitions=2))
+                num_partitions=2, mode="merge"))
             exp = _oracle(tp, sp, ["state_score", "state_tag"])
             _assert_frames_match(got, exp, ["state_score", "state_tag"])
         finally:

@@ -1,0 +1,141 @@
+"""Model-dataflow layer: constant / tree / segmentation / doubleToLong /
+regression (+spline) / categorical distribution / exploration."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aloha_spark.plans.models import (
+    ModelContext,
+    alias_structures,
+    apply_model,
+    constant_delta_spline,
+    hashed_categorical,
+)
+
+
+def test_alias_sampler_distribution():
+    # alias structures must preserve the target distribution when fed
+    # uniform (k, f) pairs
+    probs = [0.2, 0.5, 0.3]
+    alias, pr = alias_structures(probs)
+    counts = [0, 0, 0]
+    n = 60000
+    for i in range(n):
+        k = i % 3
+        f = ((i * 2654435761) % 100000) / 100000.0
+        from aloha_spark.plans.models import alias_sample
+        counts[alias_sample(alias, pr, k, f)] += 1
+    got = [c / n for c in counts]
+    assert np.allclose(got, probs, atol=0.02)
+
+
+def test_hashed_categorical_deterministic():
+    a = hashed_categorical(["u123", "ctx"], [0.5, 0.5])
+    b = hashed_categorical(["u123", "ctx"], [0.5, 0.5])
+    assert a == b
+    outs = {hashed_categorical([f"user{i}"], [0.3, 0.7]) for i in range(50)}
+    assert outs == {0, 1}
+
+
+def test_spline_golden():
+    sp = constant_delta_spline(0.0, 1.0, [0.0, 10.0, 20.0])
+    assert sp(0.0) == 0.0
+    assert sp(0.25) == 5.0
+    assert sp(0.5) == 10.0
+    assert sp(2.0) == 20.0  # clamped
+    one = constant_delta_spline(3.0, 3.0, [7.0])
+    assert one(99.0) == 7.0
+
+
+def test_constant_and_double_to_long(spark):
+    df = spark.range(3)
+    out = apply_model(df, {"modelType": "Constant", "value": 2.5}, "c")
+    assert [r.c for r in out.collect()] == [2.5] * 3
+    m = {"modelType": "DoubleToLong",
+         "submodel": {"modelType": "Constant", "value": 2.6},
+         "scale": 10.0, "translation": 1.0, "round": True,
+         "clampLower": 0, "clampUpper": 25}
+    out = apply_model(df, m, "v")
+    # round(2.6*10+1)=27 -> clamp 25
+    assert [r.v for r in out.collect()] == [25] * 3
+
+
+def test_segmentation(spark):
+    df = spark.createDataFrame([(0.5,), (1.5,), (9.0,)], "x double")
+    m = {"modelType": "Segmentation",
+         "submodel": {"modelType": "Spec", "spec": "${x}"},
+         "thresholds": [1, 5], "labels": ["low", "mid", "high"]}
+    out = apply_model(df, m, "seg")
+    assert [r.seg for r in out.orderBy("x").collect()] == \
+        ["low", "mid", "high"]
+
+
+def test_decision_tree(spark):
+    df = spark.createDataFrame([(1.0, 10.0), (5.0, 2.0), (-1.0, 0.0)],
+                               "a double, b double")
+    m = {"modelType": "DecisionTree", "returnBest": False,
+         "nodes": [
+             {"id": 0, "value": -99.0,
+              "selector": {"predicates": ["${a} > 0", "${a} <= 0"]},
+              "children": [1, 2]},
+             {"id": 1, "value": 0.0,
+              "selector": {"predicates": ["${b} > 5", "${b} <= 5"]},
+              "children": [3, 4]},
+             {"id": 2, "value": 3.0},
+             {"id": 3, "value": 1.0},
+             {"id": 4, "value": 2.0},
+         ]}
+    out = apply_model(df, m, "leaf")
+    assert [r.leaf for r in out.orderBy("a").collect()] == [3.0, 1.0, 2.0]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CASE WHEN" in plan  # lazy branch evaluation, not a UDF
+
+
+def test_regression_scoring(spark):
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    df = spark.createDataFrame([("MALE", 23.0), ("FEMALE", 10.0)],
+                               "gender string, bmi double")
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "gender", "spec": "ind(${gender})"},
+                     {"name": "bmi", "spec": "${bmi}"}],
+        "namespaces": {}})
+    feat = FeaturePipeline(spec).featurize(df)
+    m = {"modelType": "Regression",
+         "weights": {"gender=MALE": 1.0, "gender=FEMALE": 2.0, "bmi": 0.1}}
+    out = apply_model(feat, m, "score")
+    got = {r.gender: r.score for r in out.collect()}
+    assert got["MALE"] == pytest.approx(1.0 + 2.3)
+    assert got["FEMALE"] == pytest.approx(2.0 + 1.0)
+    # spline calibration
+    m2 = dict(m, spline={"min": 0.0, "max": 10.0,
+                         "knots": [0.0, 100.0]})
+    out2 = apply_model(feat, m2, "score")
+    got2 = {r.gender: r.score for r in out2.collect()}
+    assert got2["MALE"] == pytest.approx(33.0)
+
+
+def test_exploration_models(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "uid long")
+    m = {"modelType": "EpsilonGreedyExploration",
+         "defaultPolicy": {"modelType": "Constant", "value": 1},
+         "epsilon": 0.3, "salt": "${uid}",
+         "classLabels": ["a", "b", "c"]}
+    out = apply_model(df, m, "act").toPandas()
+    assert set(out["act"]) <= {"a", "b", "c"}
+    assert (out["act"] == "a").mean() > 0.5   # mostly exploit
+    assert set(out["act"]) == {"a", "b", "c"}  # but explores too
+    # deterministic
+    out2 = apply_model(df, m, "act").toPandas()
+    assert out["act"].tolist() == out2["act"].tolist()
+
+    boot = {"modelType": "BootstrapExploration",
+            "policies": [{"modelType": "Constant", "value": 1},
+                         {"modelType": "Constant", "value": 2},
+                         {"modelType": "Constant", "value": 1}],
+            "salt": "${uid}", "classLabels": ["a", "b"]}
+    ob = apply_model(df, boot, "act").toPandas()
+    assert set(ob["act"]) == {"a", "b"}
+    probs = set(ob["act_prob"].round(4))
+    assert probs <= {round(1 / 3, 4), round(2 / 3, 4)}
