@@ -284,6 +284,55 @@ def q_doc_bigrams(spark, sf_dir):
     return docs.mapInPandas(run, "doc_id long, gram string, cnt double")
 
 
+def q_doc_skipgrams(spark, sf_dir):
+    """1-skip-2-grams via the Aloha kernel (SkipGrams.scala window
+    semantics), exploded to (doc_id, gram, cnt)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aloha_spark.functions.textfeatures import skip_grams
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, gs, cnts = [], [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                for k, v in skip_grams(txt if isinstance(txt, str) else "",
+                                       2, 1).items():
+                    ids.append(did)
+                    gs.append(k)
+                    cnts.append(v)
+            yield pd.DataFrame({"doc_id": ids, "gram": gs, "cnt": cnts})
+
+    return docs.mapInPandas(run, "doc_id long, gram string, cnt double")
+
+
+def q_turn_reindex(spark, sf_dir):
+    from aloha_spark.operators.windows import with_turn_reindex
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("conv_id"), "event_id",
+        "value")
+    out = with_turn_reindex(ev, by="conv_id", order=["value", "event_id"],
+                            out_col="value_rank")
+    return out.select("conv_id", "event_id",
+                      F.col("value_rank").cast("long").alias("value_rank"))
+
+
+def q_csv_lines(spark, sf_dir):
+    from aloha_spark.sinks.csv_sink import csv_lines
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    feats = [{"name": "name", "column": "c_name"},
+             {"name": "segment", "column": "c_mktsegment"},
+             {"name": "acctbal", "column": "c_acctbal",
+              "type": "decimal(12,2)"}]
+    out, _header = csv_lines(cust.withColumn(
+        "c_mktsegment", F.when(F.col("c_acctbal") < 0, None)
+                         .otherwise(F.col("c_mktsegment"))), feats)
+    return out.select(F.col("name").alias("c_name"), "csv_line")
+
+
 def q_doc_stats(spark, sf_dir):
     from aloha_spark.operators.textstats import with_token_stats
     return with_token_stats(_docs(spark, sf_dir)).select(
@@ -473,6 +522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text features (§2.3)
         "doc_tokens": q_doc_tokens,
         "doc_bigrams": q_doc_bigrams,
+        "doc_skipgrams": q_doc_skipgrams,
+        "turn_reindex": q_turn_reindex,
+        "csv_lines": q_csv_lines,
         "doc_stats": q_doc_stats,
         "lang_guess": q_lang_guess,
         "doc_quality": q_doc_quality,
@@ -625,6 +677,30 @@ FROM (SELECT doc_id,
                     i -> '=' || ts[i] || '_' || ts[i+1])) AS gram
       FROM toks) g
 GROUP BY doc_id, gram""",
+        "doc_skipgrams": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ts
+  FROM documents)
+SELECT doc_id, gram, CAST(COUNT(*) AS DOUBLE) AS cnt
+FROM (SELECT doc_id,
+             UNNEST(flatten(list_transform(range(1, len(ts) + 1),
+                 i -> list_transform(range(i + 1, least(len(ts), i + 2) + 1),
+                      j -> '=' || ts[i] || '_' || ts[j])))) AS gram
+      FROM toks) g
+GROUP BY doc_id, gram""",
+        "turn_reindex": """
+SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY value, event_id) - 1 AS BIGINT)
+         AS value_rank
+FROM events""",
+        "csv_lines": """
+SELECT c_name,
+       c_name || ',' ||
+       COALESCE(CASE WHEN c_acctbal < 0 THEN NULL
+                     ELSE c_mktsegment END, 'NULL') || ',' ||
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS csv_line
+FROM customer""",
         "doc_stats": """
 WITH toks AS (
   SELECT doc_id, text,

@@ -55,19 +55,30 @@ def make_transcripts(spark: SparkSession, n_convs: int = 100,
 
 def _decorate_turns(base: DataFrame) -> DataFrame:
     # inter-turn gap: mostly 45s, every ~17th turn a 40-minute gap
-    # (session boundary); cumulative sum makes ts monotone per conv.
+    # (session boundary), every ~23rd turn a zero gap (duplicate-ts tie
+    # fixture); cumulative sum keeps ts non-decreasing per conv.
     step = F.when(F.pmod(_h("conv_id", "turn_idx", seed=11), F.lit(17)) == 0,
-                  F.lit(2400)).otherwise(F.lit(45) + F.pmod(_h("conv_id", "turn_idx", seed=13), F.lit(20)))
+                  F.lit(2400)) \
+            .when(F.pmod(_h("conv_id", "turn_idx", seed=19), F.lit(23)) == 0,
+                  F.lit(0)) \
+            .otherwise(F.lit(45) + F.pmod(_h("conv_id", "turn_idx", seed=13), F.lit(20)))
     w = Window.partitionBy("conv_id").orderBy("turn_idx") \
               .rowsBetween(Window.unboundedPreceding, 0)
     df = base.withColumn("__offset", F.sum(step).over(w))
 
-    text = F.concat_ws(" ", F.transform(
+    base_text = F.concat_ws(" ", F.transform(
         F.sequence(F.lit(0), F.lit(2) + F.pmod(_h("conv_id", "turn_idx", seed=17), F.lit(9))),
         lambda i: F.element_at(
             F.array(*[F.lit(wd) for wd in WORDS]),
             (F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx"), i, F.lit(23)),
                     F.lit(len(WORDS))) + 1).cast("int"))))
+
+    # missing-data fixtures: occasional empty text and NULL text
+    text = F.when(F.pmod(_h("conv_id", "turn_idx", seed=53), F.lit(29)) == 0,
+                  F.lit("")) \
+            .when(F.pmod(_h("conv_id", "turn_idx", seed=59), F.lit(31)) == 0,
+                  F.lit(None).cast("string")) \
+            .otherwise(base_text)
 
     role = F.element_at(F.array(*[F.lit(r) for r in ROLES]),
                         (F.pmod(_h("conv_id", "turn_idx", seed=29), F.lit(len(ROLES))) + 1).cast("int"))

@@ -111,6 +111,7 @@ class ModelContext:
     """Carries shared compilation context (feature column name etc.)."""
     features_col: str = "features"          # array<map<string,double>>
     missing_col: str = "missing_features"
+    feature_order: Optional[list[str]] = None  # names aligned with the array
 
 
 Builder = Callable[[DataFrame, str, ModelContext], DataFrame]
@@ -244,12 +245,17 @@ def _decision_tree(doc) -> Builder:
 
 
 def _regression(doc) -> Builder:
-    """RegressionModel.scala:64-113 (1st order): score = Σ w[key]*x[key]
-    over the prefixed feature-bag keys, + optional constant-delta spline
-    + numMissingThreshold abort.  Runs as one Arrow-batched pandas UDF
-    over the featurized bags column."""
+    """RegressionModel.scala:64-113: score = Σ w[key]*x[key] over the
+    prefixed feature-bag keys, plus higher-order terms
+    (``higherOrderFeatures``: [{"features": {featureName: [key...]},
+    "wt": w}] — term = wt * Π bag_of(featureName)[key], zero if any key
+    absent; RegressionModelJson.scala:12-22, RegressionModel.scala:
+    167-176), optional constant-delta spline + numMissingThreshold
+    abort.  Runs as one Arrow-batched pandas UDF over the featurized
+    bags column."""
     weights: dict[str, float] = {k: float(v)
                                  for k, v in doc.get("weights", {}).items()}
+    hof_docs = doc.get("higherOrderFeatures") or []
     spline_doc = doc.get("spline")
     spline = (constant_delta_spline(spline_doc["min"], spline_doc["max"],
                                     spline_doc["knots"])
@@ -258,6 +264,18 @@ def _regression(doc) -> Builder:
 
     def b(df, out, ctx):
         from pyspark.sql.pandas.functions import pandas_udf
+
+        hof_terms: list[tuple[list[tuple[int, str]], float]] = []
+        if hof_docs:
+            if not ctx.feature_order:
+                raise ValueError("higherOrderFeatures need "
+                                 "ModelContext.feature_order")
+            name_to_idx = {n: i for i, n in enumerate(ctx.feature_order)}
+            for h in hof_docs:
+                pairs = [(name_to_idx[fname], key)
+                         for fname, keys in h["features"].items()
+                         for key in keys]
+                hof_terms.append((pairs, float(h["wt"])))
 
         @pandas_udf("double")
         def score_udf(features: pd.Series, missing: pd.Series) -> pd.Series:
@@ -272,6 +290,15 @@ def _regression(doc) -> Builder:
                         w = weights.get(k)
                         if w is not None:
                             s += w * v
+                for pairs, wt in hof_terms:
+                    term = wt
+                    for fi, key in pairs:
+                        x = bags[fi].get(key)
+                        if x is None:
+                            term = 0.0
+                            break
+                        term *= x
+                    s += term
                 res[i] = spline(s) if spline else s
             return pd.Series(res)
 

@@ -175,6 +175,106 @@ def _batch_eval(plan: _ExecPlan, pdf: pd.DataFrame):
     return order, prefixed, missing, erring
 
 
+def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame):
+    """Dict-free evaluator for the hashed-vector sink: returns
+    (keys, vals, row_ids, missing) with feature-name prefixing applied
+    during flattening.  Entries are feature-major; the assembly lexsort
+    re-groups by row while its stability preserves feature-declaration
+    order for last-wins dedupe."""
+    n = len(pdf)
+    keys: list[str] = []
+    vals: list[float] = []
+    row_id_chunks: list[np.ndarray] = []
+    missing = [[] for _ in range(n)]
+    arange = np.arange(n, dtype=np.int64)
+
+    for fp in plan.features:
+        name = fp.name
+        unk = name + "=UNK"
+        if fp.kind in ("column", "string_column"):
+            colv = pdf[_PREFIX + name]
+            isna = colv.isna().to_numpy()
+            if fp.kind == "string_column":
+                vs = colv.tolist()
+                keys.extend(
+                    unk if isna[i] else f"{name}={vs[i]}" for i in range(n))
+                vals.extend(1.0 for _ in range(n))
+            else:
+                v = colv.to_numpy(dtype=np.float64, na_value=np.nan)
+                if isna.any():
+                    keys.extend(unk if m else name for m in isna)
+                    vals.extend(np.where(isna, 1.0, np.nan_to_num(v)).tolist())
+                else:
+                    keys.extend([name] * n)
+                    vals.extend(v.tolist())
+            row_id_chunks.append(arange)
+            if isna.any():
+                for i in np.nonzero(isna)[0]:
+                    missing[i].append(name)
+            continue
+
+        if fp.kind == "vbatch":
+            src = fp.variables[0].replace("__", ".")
+            series = pdf[src]
+            isna_arr = series.isna().to_numpy()
+            outs = fp.fn(series)
+            rids = []
+            for i in range(n):
+                b = outs[i]
+                if b is None or isna_arr[i]:
+                    missing[i].append(name)
+                if b is None:
+                    keys.append(unk)
+                    vals.append(1.0)
+                    rids.append(i)
+                else:
+                    for k, v in b.items():
+                        keys.append(name + k)
+                        vals.append(v)
+                        rids.append(i)
+            row_id_chunks.append(np.asarray(rids, dtype=np.int64))
+            continue
+
+        # generic tier
+        var_items = [(v, pdf[v.replace("__", ".")].tolist())
+                     for v in fp.variables]
+        rids = []
+        for i in range(n):
+            kwargs = {}
+            var_missing = False
+            for v, vl in var_items:
+                val = vl[i]
+                if val is None or (isinstance(val, float) and val != val):
+                    if v in fp.defaults:
+                        val = fp.defaults[v]
+                    else:
+                        val = None
+                        var_missing = True
+                kwargs[v] = val
+            try:
+                bag = _lift_to_bag(fp.fn(**kwargs), name)
+                errored = False
+            except Exception:
+                bag = None
+                errored = True
+            if (bag is None and not errored) or (var_missing and not errored):
+                missing[i].append(name)
+            if bag is None:
+                keys.append(unk)
+                vals.append(1.0)
+                rids.append(i)
+            else:
+                for k, v in bag.items():
+                    keys.append(name + k)
+                    vals.append(v)
+                    rids.append(i)
+        row_id_chunks.append(np.asarray(rids, dtype=np.int64))
+
+    row_ids = (np.concatenate(row_id_chunks) if row_id_chunks
+               else np.empty(0, dtype=np.int64))
+    return keys, vals, row_ids, missing
+
+
 def _eval_dv(plan: _ExecPlan, pdf: pd.DataFrame, dv: str):
     fp = plan.dv.get(dv)
     if fp is None:
@@ -378,27 +478,17 @@ class FeaturePipeline:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                order, bags, missing, _ = _batch_eval(plan, pdf)
+                all_keys, all_vals, row_ids, missing = \
+                    _batch_eval_flat(plan, pdf)
                 n = len(pdf)
-                all_keys: list[str] = []
-                all_vals: list[float] = []
-                row_lens = np.zeros(n, dtype=np.int64)
-                for i in range(n):
-                    cnt = 0
-                    for fi in range(len(order)):
-                        for k, v in bags[fi][i].items():
-                            all_keys.append(k)
-                            all_vals.append(v)
-                            cnt += 1
-                    row_lens[i] = cnt
                 idx = (string_hash_array(all_keys, seed) & mask
                        if all_keys else np.empty(0, np.int32))
                 vals = np.asarray(all_vals)
                 # ONE lexsort over the whole batch replaces n per-row
                 # argsorts: order by (row, hashed index); lexsort is
                 # stable, so equal (row, idx) entries keep insertion
-                # order and keep-last == SortedMap last-wins semantics
-                row_ids = np.repeat(np.arange(n, dtype=np.int64), row_lens)
+                # (= feature declaration) order and keep-last ==
+                # SortedMap last-wins semantics
                 order_ = np.lexsort((idx, row_ids))
                 s_rid = row_ids[order_]
                 s_idx = idx[order_]

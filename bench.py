@@ -72,6 +72,10 @@ def flagship(spark, sf_dir):
         ],
         "namespaces": {}, "numBits": 18})
     pipe = FeaturePipeline(spec)
+    # row-local featurization: rebalance off the conv-hash partitioning
+    # so a skewed conversation doesn't serialize one task
+    cpus = int(spark.sparkContext.defaultParallelism)
+    x = x.repartition(max(cpus, 8))
     return pipe.to_sparse_vectors(
         x, keep_cols=["conv_id", "turn_idx", "session_id"])
 

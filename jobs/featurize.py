@@ -85,6 +85,9 @@ def main(argv=None):
                         gap_seconds=args.gap_seconds)
 
     keep = [args.by, args.order, args.on]
+    # featurization is row-local; rebalance away from conv-hash
+    # partitioning so skewed conversations don't serialize one task
+    x = x.repartition(int(spark.sparkContext.defaultParallelism) * 2)
     if args.output == "sparse":
         out = pipe.to_sparse_vectors(x, keep_cols=keep)
     elif args.output == "vw":

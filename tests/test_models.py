@@ -139,3 +139,25 @@ def test_exploration_models(spark):
     assert set(ob["act"]) == {"a", "b"}
     probs = set(ob["act_prob"].round(4))
     assert probs <= {round(1 / 3, 4), round(2 / 3, 4)}
+
+
+def test_regression_higher_order(spark):
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    df = spark.createDataFrame([("MALE", 2.0), ("FEMALE", 3.0)],
+                               "gender string, bmi double")
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "gender", "spec": "ind(${gender})"},
+                     {"name": "bmi", "spec": "${bmi}"}],
+        "namespaces": {}})
+    feat = FeaturePipeline(spec).featurize(df)
+    m = {"modelType": "Regression", "weights": {"bmi": 1.0},
+         "higherOrderFeatures": [
+             {"features": {"gender": ["gender=MALE"], "bmi": ["bmi"]},
+              "wt": 10.0}]}
+    ctx = ModelContext(feature_order=["gender", "bmi"])
+    out = apply_model(feat, m, "score", ctx)
+    got = {r.gender: r.score for r in out.collect()}
+    # MALE: 2 + 10*1*2 = 22 ; FEMALE: 3 + 0 (MALE key absent) = 3
+    assert got["MALE"] == pytest.approx(22.0)
+    assert got["FEMALE"] == pytest.approx(3.0)

@@ -1,0 +1,47 @@
+"""Aloha CSV typed-schema reader + multimodal plumbing."""
+
+import pytest
+
+from aloha_spark.sources.multimodal import (
+    decode_image,
+    extract_media_features,
+    synthesize_media,
+)
+from aloha_spark.sources.tables import parse_csv_type, read_aloha_csv
+
+
+def test_parse_csv_type_lattice():
+    from pyspark.sql.types import DoubleType, IntegerType, StringType
+    assert parse_csv_type("i") == (IntegerType(), False, False)
+    assert parse_csv_type("oi") == (IntegerType(), True, False)
+    assert parse_csv_type("vd") == (DoubleType(), False, True)
+    assert parse_csv_type("vos") == (StringType(), True, True)
+    with pytest.raises(ValueError):
+        parse_csv_type("zz")
+
+
+def test_read_aloha_csv(spark, tmp_path):
+    p = tmp_path / "data.tsv"
+    p.write_text("MALE\t170\t1,2,3\nFEMALE\t\t4\n")
+    df = read_aloha_csv(spark, str(p),
+                        {"gender": "e", "height": "oi", "nums": "vi"})
+    rows = {r.gender: r for r in df.collect()}
+    assert rows["MALE"].height == 170
+    assert rows["MALE"].nums == [1, 2, 3]
+    assert rows["FEMALE"].height is None  # empty string is missing
+    assert rows["FEMALE"].nums == [4]
+
+
+def test_multimodal_stub_and_plumbing(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = synthesize_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_media_features(media, fake=True).toPandas()
+    assert len(feats) == 20
+    assert (feats["n_bytes"] > 0).all()
+    assert feats["mean_intensity"].between(0, 255).all()
+    # real decode is stubbed
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes", fake=False)
+    # deterministic fake decode
+    assert (decode_image(b"abc", fake=True) == decode_image(b"abc", fake=True)).all()
