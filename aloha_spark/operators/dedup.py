@@ -68,21 +68,24 @@ def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, seed: int = 1):
                 for t in texts]
         lens = np.fromiter((len(d) for d in docs), dtype=np.int64, count=len(docs))
         flat = [s for d in docs for s in d]
-        out = []
-        if flat:
-            base = string_hash_array(flat).astype(np.int64).view(np.uint64)
-            offs = np.concatenate(([0], np.cumsum(lens)))
-            with np.errstate(over="ignore"):
-                for i in range(len(docs)):
-                    h = base[offs[i]:offs[i + 1]]
-                    if len(h) == 0:
-                        out.append([0] * num_hashes)
-                        continue
-                    # (num_hashes, n_shingles) permuted hashes, min over axis 1
-                    perm = (a[:, None] * h[None, :] + b[:, None]) % p
-                    out.append(perm.min(axis=1).astype(np.int64).tolist())
-        else:
-            out = [[0] * num_hashes for _ in docs]
+        n_docs = len(docs)
+        if not flat:
+            return pd.Series([[0] * num_hashes] * n_docs)
+        base = string_hash_array(flat).astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            # (num_hashes, total_shingles) permutations for the WHOLE
+            # batch at once, then segment-min per doc via reduceat
+            perm = (a[:, None] * base[None, :] + b[:, None]) % p
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        nonempty = lens > 0
+        # reduceat over non-empty docs only: their starts are strictly
+        # increasing and each segment ends exactly at the next one
+        starts_ne = offs[:-1][nonempty]
+        mins_ne = np.minimum.reduceat(perm, starts_ne, axis=1)
+        sigs_ne = mins_ne.T.astype(np.int64)
+        out: list = [[0] * num_hashes] * n_docs
+        for j, i in enumerate(np.nonzero(nonempty)[0]):
+            out[i] = sigs_ne[j].tolist()
         return pd.Series(out)
 
     return minhash
@@ -182,15 +185,15 @@ def make_simhash_udf(bits: int = 64):
                     & np.uint64(1)).astype(np.int64)
         contrib = bits_mat * 2 - 1  # 0 -> -1, 1 -> +1
         offs = np.concatenate(([0], np.cumsum(lens)))
-        for i in range(len(docs)):
-            seg = contrib[offs[i]:offs[i + 1]]
-            if len(seg) == 0:
-                continue
-            votes = seg.sum(axis=0)
-            val = np.uint64(0)
-            for bit in np.nonzero(votes > 0)[0]:
-                val |= np.uint64(1) << np.uint64(bit)
-            out[i] = np.int64(val.astype(np.int64))
+        nonempty = lens > 0
+        starts_ne = offs[:-1][nonempty]
+        votes_ne = np.add.reduceat(contrib, starts_ne, axis=0)
+        pos = votes_ne > 0                       # (n_nonempty, bits)
+        weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+        vals = (pos.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        vals = vals.view(np.int64)  # bit-preserving (bit 63 may be set)
+        for j, i in enumerate(np.nonzero(nonempty)[0]):
+            out[i] = vals[j]
         return pd.Series(out)
 
     return simhash
