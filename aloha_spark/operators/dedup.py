@@ -131,12 +131,15 @@ def exact_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   text: str = "text", shingle_n: int = 3) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard (JVM array
     ops — no Python)."""
+    toks = F.split(F.trim(F.col(text)), r"\s+")
+    # tokenize once per row, then shingle over the materialized array —
+    # a lambda that re-splits per shingle would be O(tokens^2)
+    with_toks = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
     sh = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(F.split(F.trim(F.col(text)), r"\s+"))
-                                        - F.lit(shingle_n), F.lit(0))),
-        lambda i: F.array_join(
-            F.slice(F.split(F.trim(F.col(text)), r"\s+"), i + 1, shingle_n), " ")))
-    docs = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+        F.sequence(F.lit(0), F.greatest(F.size(F.col("toks")) - F.lit(shingle_n),
+                                        F.lit(0))),
+        lambda i: F.array_join(F.slice(F.col("toks"), i + 1, shingle_n), " ")))
+    docs = with_toks.select("id", sh.alias("sh"))
     a = docs.alias("a")
     b = docs.alias("b")
     return (pairs
