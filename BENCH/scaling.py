@@ -170,6 +170,8 @@ def main():
         "levels": {str(c): results[c] for c in levels},
     }
     print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH", "last_scaling.json"), "w") as f:
+        json.dump(summary, f)
 
     rows_n = results[levels[0]]["rows"]
     table = "\n".join(

@@ -210,37 +210,57 @@ def _segmentation(doc) -> Builder:
 
 
 def _decision_tree(doc) -> Builder:
-    """BasicDecisionTree (models/tree/decision/BasicDecisionTree.scala +
-    LinearNodeSelector): nodes with predicate lists; nested CASE WHEN
-    gives the same lazy per-branch evaluation.  ``returnBest`` controls
-    whether an unmatched interior node yields its own value (True) or
-    null (False, missingDataOk=false semantics)."""
+    """BasicDecisionTree + ModelDecisionTree (models/tree/decision/):
+    nodes with predicate lists; nested CASE WHEN gives the same lazy
+    per-branch evaluation.  A node ``value`` may itself be a model doc
+    (ModelDecisionTree.scala:39-55) — submodel leaves are precomputed
+    into temp columns the CASE references, so unchosen branches still
+    cost nothing at the expression level while Column-tier submodels
+    collapse into the same projection.  ``returnBest`` controls whether
+    an unmatched interior node yields its own value (True) or null
+    (False, missingDataOk=false semantics)."""
     return_best = bool(doc.get("returnBest", False))
     nodes = {n["id"]: n for n in doc["nodes"]}
     root_id = doc["nodes"][0]["id"]
+    submodel_leaves = {n["id"]: build_model(n["value"])
+                       for n in doc["nodes"] if isinstance(n["value"], dict)}
 
-    def node_expr(nid) -> Column:
+    def node_expr(nid, out) -> Column:
         node = nodes[nid]
-        value = F.lit(node["value"])
+        if nid in submodel_leaves:
+            value = F.col(f"{out}__leaf{nid}")
+        else:
+            value = F.lit(node["value"])
         selector = node.get("selector")
         if not selector:
             return value
         # linear selector: list of (predicate, child) evaluated in order
         children = node["children"]
         preds = selector["predicates"]
-        expr: Optional[Column] = None
         branches = []
         for p, child in zip(preds, children):
-            branches.append((_compile_scalar(p), node_expr(child)))
-        fallback = value if return_best else F.lit(None).cast(
-            "double" if isinstance(node["value"], (int, float)) else "string")
+            branches.append((_compile_scalar(p), node_expr(child, out)))
+        if return_best:
+            fallback = value
+        else:
+            v = node["value"]
+            fallback = F.lit(None).cast(
+                "double" if isinstance(v, (int, float, dict)) else "string")
         col = fallback
         for pred, sub in reversed(branches):
             col = F.when(pred, sub).otherwise(col)
         return col
 
     def b(df, out, ctx):
-        return df.withColumn(out, node_expr(root_id))
+        tmp_cols = []
+        for nid, sub in submodel_leaves.items():
+            tmp = f"{out}__leaf{nid}"
+            df = sub(df, tmp, ctx)
+            tmp_cols.append(tmp)
+        df = df.withColumn(out, node_expr(root_id, out))
+        for tmp in tmp_cols:
+            df = df.drop(tmp)
+        return df
     return b
 
 

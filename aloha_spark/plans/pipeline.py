@@ -458,6 +458,67 @@ class FeaturePipeline:
 
         return self._lines_transform(df, keep, mk, out_col)
 
+    def to_multilabel_blocks(self, df: DataFrame, n_labels: int,
+                             positive_col: str,
+                             keep_cols: Optional[list] = None,
+                             downsample_negatives_to: Optional[int] = None,
+                             base_seed: int = 0,
+                             out_col: str = "vw_block") -> DataFrame:
+        """CSOAA-LDF multilabel blocks (reference S8/S9).
+
+        ``positive_col``: array<int> column of positive label indices.
+        ``downsample_negatives_to``: when set, keep that many negatives
+        per row via the stateless java.util.Random-compatible reservoir
+        sampler with a deterministic per-partition seed (the reference's
+        'unique seed per unit of parallelism' contract,
+        VwDownsampledMultilabelRowCreator.scala:57-67)."""
+        from pyspark import TaskContext
+
+        from ..functions.rand import partition_seed, sample_combination
+        from ..sinks.vw import multilabel_vw_block
+
+        keep = keep_cols if keep_cols is not None else []
+        pre = self._with_precomputed(df)
+        plan = self.plan
+        keep_t = ", ".join(f"{c} {pre.schema[c].dataType.simpleString()}"
+                           for c in keep)
+        schema = (keep_t + ", " if keep_t else "") + \
+            f"{out_col} array<string>"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+            seed = partition_seed(base_seed, pid)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                order, bags, missing, erring = _batch_eval(plan, pdf)
+                blocks = []
+                for i in range(len(pdf)):
+                    row = [bags[fi][i] for fi in range(len(order))]
+                    pv = pdf[positive_col].iloc[i]
+                    pos = set() if pv is None else {int(x) for x in pv}
+                    if downsample_negatives_to is not None:
+                        negs = [x for x in range(n_labels) if x not in pos]
+                        idxs, seed = sample_combination(
+                            len(negs), downsample_negatives_to, seed)
+                        label_ids = sorted(pos | {negs[j] for j in idxs})
+                        block = multilabel_vw_block(
+                            row, n_labels, pos, plan.default_ns,
+                            plan.namespaces)
+                        # keep shared + dummies + selected label lines
+                        head, labels_lines = block[:3], block[3:]
+                        block = head + [labels_lines[j] for j in label_ids]
+                    else:
+                        block = multilabel_vw_block(
+                            row, n_labels, pos, plan.default_ns,
+                            plan.namespaces)
+                    blocks.append(block)
+                out = {c: pdf[c] for c in keep}
+                out[out_col] = blocks
+                yield pd.DataFrame(out)
+
+        return pre.mapInPandas(run, schema=schema)
+
     def to_sparse_vectors(self, df: DataFrame,
                           keep_cols: Optional[list] = None,
                           seed: int = STRING_SEED) -> DataFrame:

@@ -117,6 +117,13 @@ def main():
             timings[name] = round(time.time() - t0, 3)
 
         total = round(sum(timings.values()), 3)
+        scaling = None
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH", "last_scaling.json")) as f:
+                scaling = json.load(f)
+        except Exception:
+            pass
         print(json.dumps({
             "metric": "e2e_asof_windowed_featurization",
             "value": timings["featurize_e2e"],
@@ -127,6 +134,7 @@ def main():
             "turns_per_sec": round(n_turns / t_flag, 1),
             "total_sec": total,
             "cpus": cpus,
+            "scaling": scaling,
         }))
     finally:
         spark.stop()

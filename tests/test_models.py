@@ -161,3 +161,54 @@ def test_regression_higher_order(spark):
     # MALE: 2 + 10*1*2 = 22 ; FEMALE: 3 + 0 (MALE key absent) = 3
     assert got["MALE"] == pytest.approx(22.0)
     assert got["FEMALE"] == pytest.approx(3.0)
+
+
+def test_model_decision_tree_submodel_leaves(spark):
+    df = spark.createDataFrame([(1.0,), (-1.0,)], "a double")
+    m = {"modelType": "DecisionTree", "returnBest": False,
+         "nodes": [
+             {"id": 0, "value": 0.0,
+              "selector": {"predicates": ["${a} > 0", "${a} <= 0"]},
+              "children": [1, 2]},
+             {"id": 1, "value": {"modelType": "Spec", "spec": "${a} * 10"}},
+             {"id": 2, "value": {"modelType": "Constant", "value": -5.0}},
+         ]}
+    out = apply_model(df, m, "score")
+    got = {r.a: r.score for r in out.collect()}
+    assert got[1.0] == 10.0 and got[-1.0] == -5.0
+    assert "score__leaf1" not in out.columns
+
+
+def test_multilabel_blocks_and_downsampling(spark):
+    from pyspark.sql import functions as F
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    df = spark.createDataFrame(
+        [("a b", [0]), ("c d", [2, 3])],
+        "text string, pos array<int>")
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "w", "spec": "bag(${text})"}],
+        "namespaces": {}})
+    pipe = FeaturePipeline(spec)
+    full = pipe.to_multilabel_blocks(df, n_labels=5, positive_col="pos",
+                                     keep_cols=["text"]).toPandas()
+    b = dict(zip(full["text"], full["vw_block"]))
+    assert list(b["a b"])[0].startswith("shared ")
+    assert len(b["a b"]) == 5 + 3
+    assert "0:0 |Y _0" in list(b["a b"])
+    assert "2:0 |Y _2" in list(b["c d"]) and "1:1 |Y _1" in list(b["c d"])
+
+    down = pipe.to_multilabel_blocks(
+        df, n_labels=5, positive_col="pos", keep_cols=["text"],
+        downsample_negatives_to=2, base_seed=7).toPandas()
+    d = dict(zip(down["text"], down["vw_block"]))
+    # positives always kept; 2 negatives sampled
+    lines = list(d["c d"])[3:]
+    assert sum(l.split(":")[1].startswith("0") for l in lines) == 2  # positives
+    assert len(lines) == 4  # 2 positives + 2 sampled negatives
+    # deterministic
+    down2 = pipe.to_multilabel_blocks(
+        df, n_labels=5, positive_col="pos", keep_cols=["text"],
+        downsample_negatives_to=2, base_seed=7).toPandas()
+    assert [list(x) for x in down["vw_block"]] == \
+        [list(x) for x in down2["vw_block"]]
