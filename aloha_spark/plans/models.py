@@ -444,6 +444,31 @@ _BUILDERS: dict[str, Callable[[dict], Builder]] = {
 
 
 def apply_model(df: DataFrame, doc: dict, out: str = "score",
-                ctx: Optional[ModelContext] = None) -> DataFrame:
-    """Compile + apply a model JSON to a DataFrame."""
-    return build_model(doc)(df, out, ctx or ModelContext())
+                ctx: Optional[ModelContext] = None,
+                audit: bool = False) -> DataFrame:
+    """Compile + apply a model JSON to a DataFrame.
+
+    ``audit=True`` additionally emits ``<out>_audit`` — a struct
+    ``(model_id, value, prob, missing, errors)`` per row, the flat form
+    of the reference's score-audit tree (audit/impl/tree/
+    tree_auditors.scala:107-196); per-stage dataset-level audit lives in
+    the lineage table (plans/lineage.py)."""
+    ctx = ctx or ModelContext()
+    df2 = build_model(doc)(df, out, ctx)
+    if audit:
+        model_id = str(doc.get("modelId", {}).get("id", doc["modelType"]))
+        prob = (F.col(out + "_prob")
+                if out + "_prob" in df2.columns else F.lit(None).cast("double"))
+        errors = (F.col(out + "_errors")
+                  if out + "_errors" in df2.columns
+                  else F.array().cast("array<string>"))
+        missing = (F.col(ctx.missing_col)
+                   if ctx.missing_col in df2.columns
+                   else F.array().cast("array<string>"))
+        df2 = df2.withColumn(out + "_audit", F.struct(
+            F.lit(model_id).alias("model_id"),
+            F.col(out).cast("string").alias("value"),
+            prob.alias("prob"),
+            missing.alias("missing"),
+            errors.alias("errors")))
+    return df2

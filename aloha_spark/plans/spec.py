@@ -74,11 +74,23 @@ REGISTRY: dict[str, Callable] = {
     "round": round,
     "len": len,
     "math": math,
+    "sized": lambda x, n: _sized(x, n),
     "gtLt": _sc.gt_lt,
     "gtLe": _sc.gt_le,
     "geLt": _sc.ge_lt,
     "geLe": _sc.ge_le,
 }
+
+def _sized(x, n: int):
+    """Vector-size guard (reference csv/json/csvJson.scala:286-302):
+    a sized feature requires exactly n elements; violation surfaces in
+    erring_features (the engine's error channel)."""
+    if x is None:
+        return None
+    if len(x) != n:
+        raise ValueError(f"sized({n}) got {len(x)} elements")
+    return x
+
 
 # time constants (reference feature/TimeConstants.scala:16-72)
 TIME_CONSTANTS = {

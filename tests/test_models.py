@@ -212,3 +212,31 @@ def test_multilabel_blocks_and_downsampling(spark):
         downsample_negatives_to=2, base_seed=7).toPandas()
     assert [list(x) for x in down["vw_block"]] == \
         [list(x) for x in down2["vw_block"]]
+
+
+def test_sized_guard_errors(spark):
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    df = spark.createDataFrame([([1.0, 2.0],), ([1.0],)],
+                               "xs array<double>")
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "v", "spec": "sized(${xs}, 2)[0]"}],
+        "namespaces": {}})
+    # indexing not allowed -> use plain sized passthrough via len
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "v", "spec": "len(sized(${xs}, 2))"}],
+        "namespaces": {}})
+    out = FeaturePipeline(spec).featurize(df).toPandas()
+    by_len = {len(r["xs"]): r for _, r in out.iterrows()}
+    assert list(by_len[2]["erring_features"]) == []
+    assert list(by_len[1]["erring_features"]) == ["v"]
+
+
+def test_audit_struct(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    m = {"modelType": "Spec", "spec": "${x} + 1",
+         "modelId": {"id": 42, "name": "m"}}
+    out = apply_model(df, m, "score", audit=True).collect()[0]
+    a = out.score_audit
+    assert a.model_id == "42" and a.value == "2.0"
+    assert list(a.errors) == [] and list(a.missing) == []
