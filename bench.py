@@ -80,6 +80,56 @@ def flagship(spark, sf_dir):
         x, keep_cols=["conv_id", "turn_idx", "session_id"])
 
 
+def flagship_synthetic(spark, n_turns: int = 2_000_000):
+    """The scaling workload at bench time: production-shaped featurize
+    over n_turns synthetic transcripts (cached parquet in /tmp)."""
+    import os
+
+    from aloha_spark.data.transcripts import make_state, make_transcripts
+    from aloha_spark.operators.asof import asof_join
+    from aloha_spark.operators.windows import (
+        with_backfill, with_lag_lead, with_session_id, with_ts_delta)
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+
+    data_dir = f"/tmp/aloha_bench_{n_turns}"
+    if not os.path.exists(f"{data_dir}/state/_SUCCESS"):
+        n_convs = max(100, n_turns // 100)
+        mega = n_turns // 20
+        per_conv = (n_turns - mega) // n_convs
+        t = make_transcripts(spark, n_convs=n_convs, turns_per_conv=per_conv,
+                             mega_turns=mega, partitions=64)
+        t.write.mode("overwrite").parquet(f"{data_dir}/turns")
+        make_state(spark, spark.read.parquet(f"{data_dir}/turns")) \
+            .write.mode("overwrite").parquet(f"{data_dir}/state")
+    turns = spark.read.parquet(f"{data_dir}/turns")
+    state = spark.read.parquet(f"{data_dir}/state")
+    x = asof_join(turns, state, on="ts", by="conv_id",
+                  state_cols=["state_score", "state_tag"],
+                  hot_keys=["mega"], salt_buckets=8)
+    x = with_lag_lead(x, ["text"], order=("turn_idx",), lead=False)
+    x = with_backfill(x, ["tool"], order=("turn_idx",))
+    x = with_ts_delta(x, order=("turn_idx",))
+    x = with_session_id(x, gap_seconds=1800.0, order=("turn_idx",))
+    spec = PipelineSpec.from_json({
+        "features": [
+            {"name": "role", "spec": "ind(${role})"},
+            {"name": "tool", "spec": "ind(${last_tool})"},
+            {"name": "bow", "spec": "bag(${text})"},
+            {"name": "bi", "spec": "nGrams(${text}, 2)"},
+            {"name": "sk", "spec": "skipGrams(${text}, 2, 1)"},
+            {"name": "prev_bow", "spec": "bag(${prev_text:-''})"},
+            {"name": "dt", "spec": "clamp(${dt_prev_sec:-0}, 0, 86400)"},
+            {"name": "dt_bin", "spec": "sos2U(${dt_prev_sec}, 0, 7200, 600)"},
+            {"name": "state", "spec": "${state_score:-0}"},
+        ], "namespaces": {}, "numBits": 18})
+    pipe = FeaturePipeline(spec)
+    cpus = int(spark.sparkContext.defaultParallelism)
+    x = x.repartition(max(cpus, 8))
+    return pipe.to_sparse_vectors(
+        x, keep_cols=["conv_id", "turn_idx", "session_id"]), n_turns
+
+
 BENCH_QUERIES = [
     "pit_pipeline", "asof_state", "asof_salted", "sessionize",
     "window_lag_lead", "rolling_tool_count", "session_stats",
@@ -116,6 +166,16 @@ def main():
             materialize(fn(spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
 
+        # at-scale measurement last (its heap churn must not pollute the
+        # small-query timings): 2M synthetic turns, production-shaped
+        # feature set, warmed before timing
+        big_df, big_n = flagship_synthetic(spark)
+        materialize(big_df.limit(100000))  # warm-up
+        t0 = time.time()
+        materialize(big_df)
+        t_big = time.time() - t0
+        timings["featurize_2m_synthetic"] = round(t_big, 3)
+
         total = round(sum(timings.values()), 3)
         scaling = None
         try:
@@ -132,6 +192,7 @@ def main():
             "sf": sf,
             "turns": n_turns,
             "turns_per_sec": round(n_turns / t_flag, 1),
+            "turns_per_sec_at_2m": round(big_n / t_big, 1),
             "total_sec": total,
             "cpus": cpus,
             "scaling": scaling,
