@@ -45,47 +45,20 @@ RUNNER = textwrap.dedent("""
              .config("spark.driver.memory", "24g")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
-    from aloha_spark.operators.asof import asof_join
-    from aloha_spark.operators.windows import (
-        with_backfill, with_lag_lead, with_session_id, with_ts_delta)
-    from aloha_spark.plans.pipeline import FeaturePipeline
-    from aloha_spark.plans.spec import PipelineSpec
+    from aloha_spark.plans.flagship import flagship_vectors
 
     turns = spark.read.parquet(f"{{data_dir}}/turns")
     state = spark.read.parquet(f"{{data_dir}}/state")
     n = turns.count()
 
     def pipeline():
-        x = asof_join(turns, state, on="ts", by="conv_id",
-                      state_cols=["state_score", "state_tag"],
-                      hot_keys=["mega"], salt_buckets=8,
-                      num_partitions=max(2 * cpus, 8))
-        x = with_lag_lead(x, ["text"], order=("turn_idx",), lead=False)
-        x = with_backfill(x, ["tool"], order=("turn_idx",))
-        x = with_ts_delta(x, order=("turn_idx",))
-        x = with_session_id(x, gap_seconds=1800.0, order=("turn_idx",))
-        # production-shaped feature set: unigrams + bigrams +
-        # 1-skip-2-grams + prev-turn bag — the text kernels dominate,
-        # as they do in a real training-data featurization job
-        spec = PipelineSpec.from_json({{
-            "features": [
-                {{"name": "role", "spec": "ind(${{role}})"}},
-                {{"name": "tool", "spec": "ind(${{last_tool}})"}},
-                {{"name": "bow", "spec": "bag(${{text}})"}},
-                {{"name": "bi", "spec": "nGrams(${{text}}, 2)"}},
-                {{"name": "sk", "spec": "skipGrams(${{text}}, 2, 1)"}},
-                {{"name": "prev_bow", "spec": "bag(${{prev_text:-''}})"}},
-                {{"name": "dt", "spec": "clamp(${{dt_prev_sec:-0}}, 0, 86400)"}},
-                {{"name": "dt_bin", "spec": "sos2U(${{dt_prev_sec}}, 0, 7200, 600)"}},
-                {{"name": "state", "spec": "${{state_score:-0}}"}},
-            ], "namespaces": {{}}, "numBits": 18}})
-        pipe = FeaturePipeline(spec)
-        # featurization is row-local: rebalance away from the window
-        # stage's conv-hash partitioning so the mega-conversation's
-        # partition doesn't become a single straggler task
-        x = x.repartition(max(2 * cpus, 8))
-        return pipe.to_sparse_vectors(
-            x, keep_cols=["conv_id", "turn_idx", "session_id"])
+        # windows-first + salted window-mode as-of + rebalance before the
+        # Python featurize stage (see aloha_spark/plans/flagship.py)
+        return flagship_vectors(turns, state,
+                                state_cols=["state_score", "state_tag"],
+                                hot_keys=["mega"], salt_buckets=8,
+                                num_partitions=max(2 * cpus, 8),
+                                rebalance_to=max(2 * cpus, 8))
 
     # warm-up (JIT, python workers) on a slice
     pipeline().limit(50000).write.format("noop").mode("overwrite").save()
@@ -110,7 +83,7 @@ GENERATOR = textwrap.dedent("""
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.ui.enabled", "false").getOrCreate())
     n_convs = max(100, turns_n // 100)
-    mega = turns_n // 20          # 5% of rows in one conversation
+    mega = turns_n // 100         # 1% of rows in one conversation
     per_conv = (turns_n - mega) // n_convs
     t = make_transcripts(spark, n_convs=n_convs, turns_per_conv=per_conv,
                          mega_turns=mega, partitions=64)
@@ -132,7 +105,7 @@ def run(cmd):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--turns", type=int, default=4_000_000)
+    ap.add_argument("--turns", type=int, default=8_000_000)
     ap.add_argument("--levels", default="2,8,32",
                     help="comma list; every adjacent 4x pair is reported")
     ap.add_argument("--data-dir", default=None)
@@ -187,7 +160,7 @@ Workload: flagship point-in-time pipeline — salted as-of join (hot key
 `mega`, 8 salt buckets) + lag/backfill/Δt/sessionization windows +
 Aloha-style hashed sparse feature vectors (unigram/bigram/1-skip-2-gram
 bags + indicators + SOS2 bins; murmur stringHash parity, 18-bit mask) — over {rows_n:,} deterministic synthetic transcript turns
-(5% of rows in one mega-conversation; the state table contains
+(1% of rows in one mega-conversation; the state table contains
 future-dated rows that the zero-leakage merge must exclude).  Each level
 is a fresh JVM (`local[N]`), timed after a warm-up pass, materialized
 via the noop sink (full compute, no collect).

@@ -172,15 +172,10 @@ def q_asof_strict(spark, sf_dir):
 
 def q_pit_pipeline(spark, sf_dir):
     """Flagship: as-of join + lag + backfill + sessionization combined."""
-    from aloha_spark.operators.asof import asof_join
-    from aloha_spark.operators.windows import (
-        with_backfill, with_lag_lead, with_session_id)
+    from aloha_spark.plans.flagship import point_in_time_features
     t = transcripts_from_events(spark, sf_dir)
     s = state_from_events(spark, sf_dir)
-    x = asof_join(t, s, on="ts", by="conv_id", state_cols=["state_score"])
-    x = with_lag_lead(x, ["text"], order=("turn_idx",), lead=False)
-    x = with_backfill(x, ["tool"], order=("turn_idx",))
-    x = with_session_id(x, gap_seconds=1800.0, order=("turn_idx",))
+    x = point_in_time_features(t, s, state_cols=["state_score"])
     return x.select("conv_id", "turn_idx", "text", "prev_text", "last_tool",
                     F.col("session_id").cast("long").alias("session_id"),
                     "state_score")
@@ -466,20 +461,16 @@ def q_media_features(spark, sf_dir):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: point-in-time featurization — as-of join +
     window features + hashed sparse feature vectors."""
-    from aloha_spark.operators.asof import asof_join
-    from aloha_spark.operators.windows import (
-        stable_output_order, with_backfill, with_lag_lead, with_session_id,
-        with_ts_delta)
+    from aloha_spark.operators.windows import stable_output_order
+    from aloha_spark.plans.flagship import point_in_time_features
     from aloha_spark.plans.pipeline import FeaturePipeline
     from aloha_spark.plans.spec import PipelineSpec
 
     t = transcripts_from_events(spark, SF0001)
     s = state_from_events(spark, SF0001)
-    x = asof_join(t, s, on="ts", by="conv_id", state_cols=["state_score"])
-    x = with_lag_lead(x, ["text"], order=("turn_idx",), lead=False)
-    x = with_backfill(x, ["tool"], order=("turn_idx",))
-    x = with_ts_delta(x, order=("turn_idx",))
-    x = with_session_id(x, gap_seconds=1800.0, order=("turn_idx",))
+    # windows-first ordering: turn-side window features are computed on
+    # the narrow turns frame, then the as-of join attaches state
+    x = point_in_time_features(t, s, state_cols=["state_score"])
 
     spec = PipelineSpec.from_json({
         "features": [
@@ -701,6 +692,35 @@ SELECT c_name,
                      ELSE c_mktsegment END, 'NULL') || ',' ||
        CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS csv_line
 FROM customer""",
+        "doc_quality": """
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN TRIM(text) = '' THEN []
+              ELSE string_split_regex(TRIM(text), '\\s+') END AS ts,
+         LENGTH(text) AS n_chars,
+         LENGTH(regexp_replace(text, '[^\\.,;:!?]', '', 'g')) AS punct
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars ELSE 0.0 END
+      AS punct_ratio,
+    CASE WHEN len(ts) > 0 THEN
+      len(list_filter(ts, x -> list_contains(
+        ['the','a','of','and','to','in','is','it','that','for'],
+        lower(x))))::DOUBLE / len(ts)
+    ELSE 0.0 END AS stop_ratio,
+    CASE WHEN len(ts) > 0
+         THEN 1.0 - len(list_distinct(ts))::DOUBLE / len(ts)
+         ELSE 1.0 END AS rep_ratio,
+    CASE WHEN n_chars BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.2 END
+      AS length_band
+  FROM t)
+SELECT doc_id,
+       ROUND(0.4 * length_band
+             + 0.2 * LEAST(1.0, stop_ratio * 5)
+             + 0.2 * (1.0 - LEAST(1.0, punct_ratio * 10))
+             + 0.2 * (1.0 - rep_ratio), 6) AS quality_score
+FROM s""",
         "doc_stats": """
 WITH toks AS (
   SELECT doc_id, text,

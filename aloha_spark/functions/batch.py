@@ -125,3 +125,133 @@ BATCH_KERNELS = {
     "sos2U": sos2u_batch,
     "csos2": csos2_batch,
 }
+
+
+# ---------------------------------------------------------------------------
+# Flat tier: whole-batch text kernels for the hashed sparse-vector sink.
+#
+# The dict tiers above materialize one Python dict per row; at 10^6+ rows
+# per task that is the hot path.  The flat tier never builds per-row
+# dicts: it tokenizes each source column ONCE per Arrow batch (shared
+# across every feature reading that column), pd.factorize()s the token
+# stream, counts (row, token) pairs with one np.unique over packed int64
+# codes, and murmur-hashes only the per-batch UNIQUE key table (vocab-
+# sized, not entry-sized).  Output is (hashed_idx, values, row_ids)
+# arrays ready for the sink's batch lexsort.  Semantics are identical to
+# bag()/n_grams()/skip_grams() for the supported cases; unsupported
+# arguments (maxElements, n>2 grams) fall back to the dict tier.
+
+class TokenCache:
+    """Per-batch tokenization shared across features.
+
+    key: (column, split, default) -> (tokens object-array, row_ids,
+    isna bool-array).  ``default`` is the spec-level ${var:-default}
+    string substituted for NULL input (None = no default: NULL rows
+    yield no tokens and are reported missing)."""
+
+    def __init__(self, pdf: pd.DataFrame):
+        self.pdf = pdf
+        self._cache: dict = {}
+
+    def get(self, col: str, split: str, default):
+        key = (col, split, default)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        from .textfeatures import _tokenize
+        vals = self.pdf[col].tolist()
+        n = len(vals)
+        isna = np.zeros(n, dtype=bool)
+        per_row: list = [None] * n
+        lens = np.zeros(n, dtype=np.int64)
+        for i, v in enumerate(vals):
+            if _is_missing(v):
+                if default is None:
+                    isna[i] = True
+                    per_row[i] = ()
+                    continue
+                v = default
+            toks = _tokenize(v, split)
+            per_row[i] = toks
+            lens[i] = len(toks)
+        flat: list = []
+        for toks in per_row:
+            if toks:
+                flat.extend(toks)
+        tokens = np.array(flat, dtype=object)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+        out = (tokens, row_ids, isna)
+        self._cache[key] = out
+        return out
+
+
+def _count_packed(codes: np.ndarray, row_ids: np.ndarray, n_codes: int):
+    """Count (row, code) pairs: one np.unique over packed int64 keys.
+    Returns (rows, codes, counts)."""
+    packed = row_ids * np.int64(n_codes) + codes
+    uniq, counts = np.unique(packed, return_counts=True)
+    return uniq // n_codes, uniq % n_codes, counts.astype(np.float64)
+
+
+def _hash_key_table(uniques, fmt, hash_fn) -> np.ndarray:
+    """Hash the (small) unique-key table once; entries gather from it."""
+    table = [fmt(u) for u in uniques]
+    return hash_fn(table)
+
+
+def bag_flat(cache: TokenCache, col: str, name: str, hash_fn,
+             prefix: str = "=", suffix: str = "", split: str = r"\s+",
+             default=None):
+    tokens, row_ids, isna = cache.get(col, split, default)
+    if len(tokens) == 0:
+        return (np.empty(0, np.int32), np.empty(0, np.float64),
+                np.empty(0, np.int64), isna)
+    codes, uniques = pd.factorize(tokens)
+    rows, out_codes, counts = _count_packed(codes, row_ids, len(uniques))
+    table = _hash_key_table(
+        uniques, lambda t: f"{name}{prefix}{t}{suffix}", hash_fn)
+    return table[out_codes], counts, rows, isna
+
+
+def _pair_entries(codes: np.ndarray, row_ids: np.ndarray, dist: int):
+    """(anchor, anchor+dist) same-row code pairs."""
+    if len(codes) <= dist:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    same = row_ids[dist:] == row_ids[:-dist]
+    return codes[:-dist][same], codes[dist:][same], row_ids[:-dist][same]
+
+
+def pairgrams_flat(cache: TokenCache, col: str, name: str, hash_fn,
+                   distances: tuple, sep: str = "_", prefix: str = "=",
+                   suffix: str = "", split: str = r"\s+", default=None):
+    """Shared kernel for nGrams(s,2) (distances=(1,)) and
+    skipGrams(s,2,k) (distances=(1..k+1)): counts of token pairs at the
+    given in-row offsets, key = prefix + t1 + sep + t2 + suffix."""
+    tokens, row_ids, isna = cache.get(col, split, default)
+    if len(tokens) == 0:
+        return (np.empty(0, np.int32), np.empty(0, np.float64),
+                np.empty(0, np.int64), isna)
+    codes, uniques = pd.factorize(tokens)
+    U = np.int64(len(uniques))
+    c1s, c2s, rs = [], [], []
+    for d in distances:
+        a, b, r = _pair_entries(codes, row_ids, d)
+        c1s.append(a)
+        c2s.append(b)
+        rs.append(r)
+    c1 = np.concatenate(c1s)
+    c2 = np.concatenate(c2s)
+    rows_in = np.concatenate(rs)
+    if len(c1) == 0:
+        return (np.empty(0, np.int32), np.empty(0, np.float64),
+                np.empty(0, np.int64), isna)
+    pair_code = c1 * U + c2
+    pcodes, puniq = pd.factorize(pair_code)
+    rows, out_p, counts = _count_packed(pcodes, rows_in, len(puniq))
+    table = _hash_key_table(
+        puniq,
+        lambda p: f"{name}{prefix}{uniques[p // U]}{sep}{uniques[p % U]}"
+                  f"{suffix}",
+        hash_fn)
+    return table[out_p], counts, rows, isna

@@ -100,8 +100,15 @@ def write_with_lineage(
         part = b.where(F.col(BUCKET_COL).isin(group))
         (part.write.mode("overwrite").partitionBy(BUCKET_COL)
              .parquet(out_path))
-        lin = _lineage_rows(part, ts_col, checksum_cols) \
-            .withColumn("batch_id", F.lit(groups))
+        # record EMPTY buckets too (row_count=0, null stats): without
+        # this a sparse key range re-processes every empty bucket on
+        # every resume
+        ids = spark.createDataFrame([(x,) for x in group],
+                                    f"{BUCKET_COL} int")
+        lin = (ids.join(_lineage_rows(part, ts_col, checksum_cols),
+                        BUCKET_COL, "left")
+               .withColumn("row_count", F.coalesce("row_count", F.lit(0)))
+               .withColumn("batch_id", F.lit(groups)))
         lin.write.mode("append").parquet(lineage_path)
         written.extend(group)
         groups += 1
@@ -121,7 +128,8 @@ def verify_lineage(spark: SparkSession, out_path: str, lineage_path: str,
         .select(BUCKET_COL, "row_count", "min_ts", "max_ts", "checksum")
     a, r = actual.alias("a"), recorded.alias("r")
     return (a.join(r, BUCKET_COL, "full_outer")
-             .where((F.col("a.row_count").isNull())
-                    | (F.col("r.row_count").isNull())
-                    | (F.col("a.row_count") != F.col("r.row_count"))
-                    | (F.col("a.checksum") != F.col("r.checksum"))))
+             .where((F.coalesce(F.col("a.row_count"), F.lit(0))
+                     != F.coalesce(F.col("r.row_count"), F.lit(0)))
+                    | (F.col("a.checksum").isNotNull()
+                       & F.col("r.checksum").isNotNull()
+                       & (F.col("a.checksum") != F.col("r.checksum")))))

@@ -41,6 +41,7 @@ from .spec import (
     PipelineSpec,
     compile_batch_fn,
     try_compile_column,
+    try_compile_flat,
     try_compile_vbatch,
 )
 
@@ -73,6 +74,9 @@ class _FeatPlan:
     fn: Optional[Callable]       # batch tier only
     variables: list[str]
     defaults: dict
+    # flat whole-batch kernel for the hashed-vector sink (bag/2-grams):
+    # fn(cache, name, hash_fn) -> (idx, vals, row_ids, isna)
+    flat_fn: Optional[Callable] = None
 
 
 @dataclass
@@ -175,39 +179,71 @@ def _batch_eval(plan: _ExecPlan, pdf: pd.DataFrame):
     return order, prefixed, missing, erring
 
 
-def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame):
+def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn):
     """Dict-free evaluator for the hashed-vector sink: returns
-    (keys, vals, row_ids, missing) with feature-name prefixing applied
-    during flattening.  Entries are feature-major; the assembly lexsort
-    re-groups by row while its stability preserves feature-declaration
-    order for last-wins dedupe."""
+    (hashed_idx, vals, row_ids, missing) with feature-name prefixing
+    applied during flattening and ``hash_fn`` (murmur stringHash +
+    numBits mask) applied per feature chunk.  Entries are feature-major;
+    the assembly lexsort re-groups by row while its stability preserves
+    feature-declaration order for last-wins dedupe.
+
+    Features with a flat kernel (bag / 2-grams) never materialize
+    per-row dicts and hash only their per-batch unique-key table; the
+    other tiers hash their entry keys chunk-wise."""
+    from ..functions.batch import TokenCache
+
     n = len(pdf)
-    keys: list[str] = []
-    vals: list[float] = []
+    idx_chunks: list[np.ndarray] = []
+    val_chunks: list[np.ndarray] = []
     row_id_chunks: list[np.ndarray] = []
     missing = [[] for _ in range(n)]
     arange = np.arange(n, dtype=np.int64)
+    cache = TokenCache(pdf)
+
+    def emit(keys: list, vals_: list, rids) -> None:
+        idx_chunks.append(hash_fn(keys))
+        val_chunks.append(np.asarray(vals_, dtype=np.float64))
+        row_id_chunks.append(np.asarray(rids, dtype=np.int64))
 
     for fp in plan.features:
         name = fp.name
         unk = name + "=UNK"
+
+        if fp.flat_fn is not None:
+            idx, vals_, rids, isna = fp.flat_fn(cache, name, hash_fn)
+            idx_chunks.append(idx)
+            val_chunks.append(vals_)
+            row_id_chunks.append(rids)
+            if isna.any():
+                miss_rows = np.nonzero(isna)[0]
+                unk_idx = hash_fn([unk])
+                idx_chunks.append(np.full(len(miss_rows), unk_idx[0],
+                                          dtype=unk_idx.dtype))
+                val_chunks.append(np.ones(len(miss_rows), dtype=np.float64))
+                row_id_chunks.append(miss_rows.astype(np.int64))
+                for i in miss_rows:
+                    missing[i].append(name)
+            continue
+
         if fp.kind in ("column", "string_column"):
             colv = pdf[_PREFIX + name]
             isna = colv.isna().to_numpy()
+            keys: list = []
+            vals_: list = []
             if fp.kind == "string_column":
                 vs = colv.tolist()
                 keys.extend(
                     unk if isna[i] else f"{name}={vs[i]}" for i in range(n))
-                vals.extend(1.0 for _ in range(n))
+                vals_ = [1.0] * n
             else:
                 v = colv.to_numpy(dtype=np.float64, na_value=np.nan)
                 if isna.any():
                     keys.extend(unk if m else name for m in isna)
-                    vals.extend(np.where(isna, 1.0, np.nan_to_num(v)).tolist())
+                    vals_ = np.where(isna, 1.0, np.nan_to_num(v)).tolist()
                 else:
                     keys.extend([name] * n)
-                    vals.extend(v.tolist())
-            row_id_chunks.append(arange)
+                    vals_ = v.tolist()
+            emit(keys, vals_, arange)
             if isna.any():
                 for i in np.nonzero(isna)[0]:
                     missing[i].append(name)
@@ -218,27 +254,27 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame):
             series = pdf[src]
             isna_arr = series.isna().to_numpy()
             outs = fp.fn(series)
-            rids = []
+            keys, vals_, rids = [], [], []
             for i in range(n):
                 b = outs[i]
                 if b is None or isna_arr[i]:
                     missing[i].append(name)
                 if b is None:
                     keys.append(unk)
-                    vals.append(1.0)
+                    vals_.append(1.0)
                     rids.append(i)
                 else:
                     for k, v in b.items():
                         keys.append(name + k)
-                        vals.append(v)
+                        vals_.append(v)
                         rids.append(i)
-            row_id_chunks.append(np.asarray(rids, dtype=np.int64))
+            emit(keys, vals_, rids)
             continue
 
         # generic tier
         var_items = [(v, pdf[v.replace("__", ".")].tolist())
                      for v in fp.variables]
-        rids = []
+        keys, vals_, rids = [], [], []
         for i in range(n):
             kwargs = {}
             var_missing = False
@@ -261,18 +297,24 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame):
                 missing[i].append(name)
             if bag is None:
                 keys.append(unk)
-                vals.append(1.0)
+                vals_.append(1.0)
                 rids.append(i)
             else:
                 for k, v in bag.items():
                     keys.append(name + k)
-                    vals.append(v)
+                    vals_.append(v)
                     rids.append(i)
-        row_id_chunks.append(np.asarray(rids, dtype=np.int64))
+        emit(keys, vals_, rids)
 
-    row_ids = (np.concatenate(row_id_chunks) if row_id_chunks
-               else np.empty(0, dtype=np.int64))
-    return keys, vals, row_ids, missing
+    if row_id_chunks:
+        idx = np.concatenate(idx_chunks)
+        vals = np.concatenate(val_chunks)
+        row_ids = np.concatenate(row_id_chunks)
+    else:
+        idx = np.empty(0, dtype=np.int32)
+        vals = np.empty(0, dtype=np.float64)
+        row_ids = np.empty(0, dtype=np.int64)
+    return idx, vals, row_ids, missing
 
 
 def _eval_dv(plan: _ExecPlan, pdf: pd.DataFrame, dv: str):
@@ -314,10 +356,14 @@ class FeaturePipeline:
             vb = try_compile_vbatch(p)
             if vb is not None:
                 fn, var = vb
-                feats.append(_FeatPlan(p.name, "vbatch", fn, [var], {}))
+                fp = _FeatPlan(p.name, "vbatch", fn, [var], {})
             else:
-                feats.append(_FeatPlan(p.name, "batch", compile_batch_fn(p),
-                                       p.variables, p.defaults))
+                fp = _FeatPlan(p.name, "batch", compile_batch_fn(p),
+                               p.variables, p.defaults)
+            flat = try_compile_flat(p)
+            if flat is not None:
+                fp.flat_fn = flat[0]
+            feats.append(fp)
         dv: dict[str, _FeatPlan] = {}
         for dv_name, p in (("label", spec.label),
                            ("importance", spec.importance),
@@ -535,16 +581,16 @@ class FeaturePipeline:
             "indices array<int>, values array<double>, " \
             "missing_features array<string>"
 
+        def hash_fn(keys):
+            return string_hash_array(keys, seed) & mask
+
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                all_keys, all_vals, row_ids, missing = \
-                    _batch_eval_flat(plan, pdf)
+                idx, vals, row_ids, missing = \
+                    _batch_eval_flat(plan, pdf, hash_fn)
                 n = len(pdf)
-                idx = (string_hash_array(all_keys, seed) & mask
-                       if all_keys else np.empty(0, np.int32))
-                vals = np.asarray(all_vals)
                 # ONE lexsort over the whole batch replaces n per-row
                 # argsorts: order by (row, hashed index); lexsort is
                 # stable, so equal (row, idx) entries keep insertion

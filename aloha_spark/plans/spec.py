@@ -189,6 +189,87 @@ def compile_batch_fn(parsed: ParsedSpec) -> Callable[..., Any]:
 # Vectorized-batch tier: single-call specs ``fn(${var}, const...)`` over
 # one variable dispatch to whole-batch kernels (functions/batch.py)
 
+def try_compile_flat(parsed: ParsedSpec):
+    """Compile ``bag(${t})`` / ``nGrams(${t}, 2)`` / ``skipGrams(${t}, 2, k)``
+    to a flat whole-batch kernel for the hashed sparse-vector sink
+    (no per-row dicts; unique-key-table hashing; shared tokenization).
+
+    Returns ``(fn, src_col)`` where
+    ``fn(cache, feature_name, hash_fn) -> (idx, vals, row_ids, isna)``,
+    or None when the spec doesn't fit (maxElements, n != 2, non-const
+    args, non-string default) — those run on the dict tiers instead.
+    """
+    from ..functions.batch import bag_flat, pairgrams_flat
+
+    try:
+        tree = ast.parse(parsed.expr, mode="eval")
+    except SyntaxError:
+        return None
+    node = tree.body
+    if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+            and node.func.id in ("bag", "nGrams", "skipGrams")):
+        return None
+    if not node.args or not isinstance(node.args[0], ast.Name):
+        return None
+    var = node.args[0].id
+    if var not in parsed.variables:
+        return None
+    default = parsed.defaults.get(var)
+    if default is not None and not isinstance(default, str):
+        return None
+    consts = []
+    for a in node.args[1:]:
+        if not isinstance(a, ast.Constant):
+            return None
+        consts.append(a.value)
+    kwargs = {}
+    for kw in node.keywords:
+        if kw.arg is None or not isinstance(kw.value, ast.Constant):
+            return None
+        kwargs[KWARG_ALIASES.get(kw.arg, kw.arg)] = kw.value.value
+    if "max_elements" in kwargs:
+        return None
+    src_col = var.replace("__", ".")
+
+    fname = node.func.id
+    if fname == "bag":
+        # bag(s, prefix="=", suffix="", split=r"\s+", max_elements=None)
+        names = ["prefix", "suffix", "split", "max_elements"]
+        for i, v in enumerate(consts):
+            kwargs.setdefault(names[i], v)
+        if kwargs.get("max_elements") is not None:
+            return None
+        kwargs.pop("max_elements", None)
+        bound = dict(kwargs)
+
+        def fn(cache, name, hash_fn, _col=src_col, _kw=bound, _d=default):
+            return bag_flat(cache, _col, name, hash_fn, default=_d, **_kw)
+
+        return fn, src_col
+
+    # nGrams(s, n, sep, prefix, suffix, split, max_elements)
+    # skipGrams(s, n, k, sep, prefix, suffix, split, max_elements)
+    if fname == "nGrams":
+        names = ["n", "sep", "prefix", "suffix", "split", "max_elements"]
+    else:
+        names = ["n", "k", "sep", "prefix", "suffix", "split", "max_elements"]
+    for i, v in enumerate(consts):
+        kwargs.setdefault(names[i], v)
+    if kwargs.get("n") != 2 or kwargs.get("max_elements") is not None:
+        return None
+    k = int(kwargs.get("k", 0)) if fname == "skipGrams" else 0
+    distances = tuple(range(1, k + 2))
+    bound = {kk: vv for kk, vv in kwargs.items()
+             if kk in ("sep", "prefix", "suffix", "split")}
+
+    def fn(cache, name, hash_fn, _col=src_col, _kw=bound, _d=default,
+           _dist=distances):
+        return pairgrams_flat(cache, _col, name, hash_fn, _dist,
+                              default=_d, **_kw)
+
+    return fn, src_col
+
+
 def try_compile_vbatch(parsed: ParsedSpec):
     """Returns ``(kernel_fn, var_name)`` where ``kernel_fn(series) ->
     list[bag|None]``, or None if the spec doesn't fit the pattern."""

@@ -1,0 +1,139 @@
+"""Custom stateful streaming operator: per-turn features with
+carried per-conversation state (``applyInPandasWithState``).
+
+This is the streaming analog of the batch window operators
+(operators/windows.py): for every arriving turn it emits
+``dt_prev_sec`` (gap to the previous turn), ``last_tool``
+(last-known-value backfill), and a gap-based ``session_id`` — but
+instead of a shuffle+sort over history, a per-``conv_id`` state row
+carries (last event-time, last tool, current session id) across
+micro-batches, so state size is O(active conversations), not O(turns).
+
+It is also the closest Spark analog of the reference's only stateful
+primitive, ``StatefulRowCreator.statefulMap`` (aloha-core/.../dataset/
+StatefulRowCreator.scala:36-75): referentially-transparent state
+threaded through an ordered iterator, one state per unit of
+parallelism — here the unit is the conversation group.
+
+State TTL note: ``GroupStateTimeout.ProcessingTimeTimeout`` hard-crashes
+the Python worker in this sandbox's PySpark build (reproduced with a
+minimal canary independent of this module), so idle-conversation
+eviction uses ``NoTimeout`` here; on a deployment where the timeout
+path works (or with transformWithState + native TTL), re-enable
+``setTimeoutDuration`` to bound state by activity.
+
+Ordering contract: rows are processed sorted by (ts, turn_idx) within
+each micro-batch; turns that arrive in a *later* micro-batch with an
+*earlier* event time are features-of-record only in the batch engine
+(the streaming tail is approximate under out-of-order arrival; the
+batch pipeline recomputes bounded slices exactly — see
+streaming/sessionize.py design notes).  State for idle conversations is
+bounded as described in the TTL note above.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+TURN_FEATURES_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", LongType()),
+    StructField("role", StringType()),
+    StructField("text", StringType()),
+    StructField("tool", StringType()),
+    StructField("ts", StringType()),            # ISO string (sink-friendly)
+    StructField("dt_prev_sec", DoubleType()),
+    StructField("last_tool", StringType()),
+    StructField("session_id", LongType()),
+])
+
+# state: last event-time (epoch ns), last known tool, current session id
+STATE_SCHEMA = StructType([
+    StructField("last_ts_ns", LongType()),
+    StructField("last_tool", StringType()),
+    StructField("session_id", LongType()),
+])
+
+
+def _make_update_fn(gap_seconds: float):
+    gap_ns = int(gap_seconds * 1_000_000_000)
+
+    def update(key: Tuple[str],
+               pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        last_ts_ns, last_tool, session_id = (
+            state.get if state.exists else (None, None, 0))
+        conv_id = key[0]
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            # normalize to ns regardless of the Arrow batch's unit
+            ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
+            out_dt, out_tool, out_sid = [], [], []
+            for t_ns, tool in zip(ts_ns.tolist(), pdf["tool"].tolist()):
+                if last_ts_ns is None:
+                    dt = None
+                else:
+                    dt = (t_ns - last_ts_ns) / 1e9
+                    if t_ns - last_ts_ns > gap_ns:
+                        session_id += 1
+                if tool is not None and tool == tool:  # non-null, non-NaN
+                    last_tool = tool
+                last_ts_ns = t_ns
+                out_dt.append(dt)
+                out_tool.append(last_tool)
+                out_sid.append(session_id)
+            yield pd.DataFrame({
+                "conv_id": conv_id,
+                "turn_idx": pdf["turn_idx"].astype("int64"),
+                "role": pdf["role"],
+                "text": pdf["text"],
+                "tool": pdf["tool"],
+                "ts": pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "dt_prev_sec": out_dt,
+                "last_tool": out_tool,
+                "session_id": out_sid,
+            })
+        state.update((last_ts_ns, last_tool, session_id))
+
+    return update
+
+
+def streaming_turn_features(stream: DataFrame,
+                            gap_seconds: float = 1800.0) -> DataFrame:
+    """Attach dt_prev_sec / last_tool backfill / session_id to a
+    transcript stream, state carried per conv_id across micro-batches."""
+    return (stream.groupBy("conv_id").applyInPandasWithState(
+        _make_update_fn(gap_seconds),
+        outputStructType=TURN_FEATURES_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_turn_features_to_memory(spark, src_path: str,
+                                gap_seconds: float = 1800.0,
+                                query_name: str = "turn_features",
+                                max_files: int = 1) -> None:
+    """Drain ``src_path`` with availableNow (one file per micro-batch by
+    default, exercising cross-batch state carry) into a memory sink."""
+    from .sessionize import read_transcript_stream
+
+    feats = streaming_turn_features(
+        read_transcript_stream(spark, src_path, max_files=max_files),
+        gap_seconds)
+    q = (feats.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()

@@ -47,37 +47,12 @@ def materialize(df) -> int:
 def flagship(spark, sf_dir):
     """entry()-equivalent pipeline at the bench scale factor."""
     import __spark_entry__ as em
-    from aloha_spark.operators.asof import asof_join
-    from aloha_spark.operators.windows import (
-        with_backfill, with_lag_lead, with_session_id, with_ts_delta)
-    from aloha_spark.plans.pipeline import FeaturePipeline
-    from aloha_spark.plans.spec import PipelineSpec
+    from aloha_spark.plans.flagship import FLAGSHIP_SPEC_SMALL, flagship_vectors
 
     t = em.transcripts_from_events(spark, sf_dir)
     s = em.state_from_events(spark, sf_dir)
-    x = asof_join(t, s, on="ts", by="conv_id", state_cols=["state_score"])
-    x = with_lag_lead(x, ["text"], order=("turn_idx",), lead=False)
-    x = with_backfill(x, ["tool"], order=("turn_idx",))
-    x = with_ts_delta(x, order=("turn_idx",))
-    x = with_session_id(x, gap_seconds=1800.0, order=("turn_idx",))
-    spec = PipelineSpec.from_json({
-        "features": [
-            {"name": "role", "spec": "ind(${role})"},
-            {"name": "tool", "spec": "ind(${last_tool})"},
-            {"name": "bow", "spec": "bag(${text})"},
-            {"name": "prev_bow", "spec": "bag(${prev_text:-''})"},
-            {"name": "dt", "spec": "clamp(${dt_prev_sec:-0}, 0, 86400)"},
-            {"name": "dt_bin", "spec": "sos2U(${dt_prev_sec}, 0, 7200, 600)"},
-            {"name": "state", "spec": "${state_score:-0}"},
-        ],
-        "namespaces": {}, "numBits": 18})
-    pipe = FeaturePipeline(spec)
-    # row-local featurization: rebalance off the conv-hash partitioning
-    # so a skewed conversation doesn't serialize one task
-    cpus = int(spark.sparkContext.defaultParallelism)
-    x = x.repartition(max(cpus, 8))
-    return pipe.to_sparse_vectors(
-        x, keep_cols=["conv_id", "turn_idx", "session_id"])
+    return flagship_vectors(t, s, spec=FLAGSHIP_SPEC_SMALL,
+                            state_cols=["state_score"])
 
 
 def flagship_synthetic(spark, n_turns: int = 2_000_000):
@@ -86,16 +61,12 @@ def flagship_synthetic(spark, n_turns: int = 2_000_000):
     import os
 
     from aloha_spark.data.transcripts import make_state, make_transcripts
-    from aloha_spark.operators.asof import asof_join
-    from aloha_spark.operators.windows import (
-        with_backfill, with_lag_lead, with_session_id, with_ts_delta)
-    from aloha_spark.plans.pipeline import FeaturePipeline
-    from aloha_spark.plans.spec import PipelineSpec
+    from aloha_spark.plans.flagship import flagship_vectors
 
     data_dir = f"/tmp/aloha_bench_{n_turns}"
     if not os.path.exists(f"{data_dir}/state/_SUCCESS"):
         n_convs = max(100, n_turns // 100)
-        mega = n_turns // 20
+        mega = n_turns // 100
         per_conv = (n_turns - mega) // n_convs
         t = make_transcripts(spark, n_convs=n_convs, turns_per_conv=per_conv,
                              mega_turns=mega, partitions=64)
@@ -104,30 +75,37 @@ def flagship_synthetic(spark, n_turns: int = 2_000_000):
             .write.mode("overwrite").parquet(f"{data_dir}/state")
     turns = spark.read.parquet(f"{data_dir}/turns")
     state = spark.read.parquet(f"{data_dir}/state")
-    x = asof_join(turns, state, on="ts", by="conv_id",
-                  state_cols=["state_score", "state_tag"],
-                  hot_keys=["mega"], salt_buckets=8)
-    x = with_lag_lead(x, ["text"], order=("turn_idx",), lead=False)
-    x = with_backfill(x, ["tool"], order=("turn_idx",))
-    x = with_ts_delta(x, order=("turn_idx",))
-    x = with_session_id(x, gap_seconds=1800.0, order=("turn_idx",))
-    spec = PipelineSpec.from_json({
-        "features": [
-            {"name": "role", "spec": "ind(${role})"},
-            {"name": "tool", "spec": "ind(${last_tool})"},
-            {"name": "bow", "spec": "bag(${text})"},
-            {"name": "bi", "spec": "nGrams(${text}, 2)"},
-            {"name": "sk", "spec": "skipGrams(${text}, 2, 1)"},
-            {"name": "prev_bow", "spec": "bag(${prev_text:-''})"},
-            {"name": "dt", "spec": "clamp(${dt_prev_sec:-0}, 0, 86400)"},
-            {"name": "dt_bin", "spec": "sos2U(${dt_prev_sec}, 0, 7200, 600)"},
-            {"name": "state", "spec": "${state_score:-0}"},
-        ], "namespaces": {}, "numBits": 18})
-    pipe = FeaturePipeline(spec)
-    cpus = int(spark.sparkContext.defaultParallelism)
-    x = x.repartition(max(cpus, 8))
-    return pipe.to_sparse_vectors(
-        x, keep_cols=["conv_id", "turn_idx", "session_id"]), n_turns
+    return flagship_vectors(turns, state,
+                            state_cols=["state_score", "state_tag"],
+                            hot_keys=["mega"], salt_buckets=8), n_turns
+
+
+_RUNNER_2M = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from bench import build_spark, materialize, flagship_synthetic
+spark = build_spark({cpus})
+df, n = flagship_synthetic(spark, {n_turns})
+materialize(df.limit(100000))  # warm-up (JIT, Python workers)
+t0 = time.time()
+materialize(df)
+print(json.dumps({{"wall_sec": time.time() - t0}}))
+spark.stop()
+"""
+
+
+def _measure_2m_subprocess(cpus: int, n_turns: int) -> float:
+    import subprocess
+    repo = os.path.dirname(os.path.abspath(__file__))
+    script = _RUNNER_2M.format(repo=repo, cpus=cpus, n_turns=n_turns)
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True)
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-2000:])
+        raise RuntimeError("2M subprocess measurement failed")
+    line = [ln for ln in out.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)["wall_sec"]
 
 
 BENCH_QUERIES = [
@@ -166,14 +144,14 @@ def main():
             materialize(fn(spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
 
-        # at-scale measurement last (its heap churn must not pollute the
-        # small-query timings): 2M synthetic turns, production-shaped
-        # feature set, warmed before timing
-        big_df, big_n = flagship_synthetic(spark)
-        materialize(big_df.limit(100000))  # warm-up
-        t0 = time.time()
-        materialize(big_df)
-        t_big = time.time() - t0
+        # at-scale measurement in a FRESH JVM subprocess: isolates it
+        # from the small-query timings in both directions (its heap
+        # churn doesn't pollute them; their accumulated GC pressure
+        # doesn't tax it) — mirrors how BENCH/scaling.py measures
+        big_n = 2_000_000
+        if not os.path.exists(f"/tmp/aloha_bench_{big_n}/state/_SUCCESS"):
+            flagship_synthetic(spark, big_n)  # generates the parquet inputs
+        t_big = _measure_2m_subprocess(cpus, big_n)
         timings["featurize_2m_synthetic"] = round(t_big, 3)
 
         total = round(sum(timings.values()), 3)

@@ -5,7 +5,10 @@ Usage:
         --turns <path> --state <path> --out <path> --lineage <path> \
         --spec <spec.json> [--format parquet|iceberg] \
         [--hot-key-threshold 1000000] [--salt-buckets 16] \
-        [--num-buckets 256] [--resume]
+        [--num-buckets 256]
+
+Resume is implicit: buckets already recorded in the lineage table are
+skipped on re-run (delete the lineage path to force a full rewrite).
 
 Config is the spec JSON — the pipeline keeps the reference's "models
 are messages" property (reference README.md:25): the same job binary
@@ -70,7 +73,14 @@ def main(argv=None):
     pipe = FeaturePipeline(spec)
 
     turns = read_table(spark, args.turns, args.format)
-    x = turns
+    # turn-side windows FIRST (narrow frame, one exchange serves all
+    # four specs), then the as-of join — see aloha_spark/plans/flagship.py
+    x = with_lag_lead(turns, ["text"], by=args.by, order=(args.order,),
+                      lead=False)
+    x = with_backfill(x, ["tool"], by=args.by, order=(args.order,))
+    x = with_ts_delta(x, ts=args.on, by=args.by, order=(args.order,))
+    x = with_session_id(x, ts=args.on, by=args.by, order=[args.order],
+                        gap_seconds=args.gap_seconds)
     if args.state:
         state = read_table(spark, args.state, args.format)
         state_cols = (args.state_cols.split(",") if args.state_cols else None)
@@ -78,11 +88,6 @@ def main(argv=None):
                       state_cols=state_cols,
                       hot_key_threshold=args.hot_key_threshold,
                       salt_buckets=args.salt_buckets)
-    x = with_lag_lead(x, ["text"], by=args.by, order=(args.order,), lead=False)
-    x = with_backfill(x, ["tool"], by=args.by, order=(args.order,))
-    x = with_ts_delta(x, ts=args.on, by=args.by, order=(args.order,))
-    x = with_session_id(x, ts=args.on, by=args.by, order=[args.order],
-                        gap_seconds=args.gap_seconds)
 
     keep = [args.by, args.order, args.on]
     # featurization is row-local; rebalance away from conv-hash

@@ -1,0 +1,79 @@
+"""applyInPandasWithState per-turn features: cross-micro-batch state
+carry must reproduce the batch window operators exactly for in-order
+arrival (one source file per micro-batch)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aloha_spark.operators.windows import (
+    with_backfill,
+    with_session_id,
+    with_ts_delta,
+)
+from aloha_spark.streaming.stateful import run_turn_features_to_memory
+
+
+def _write_sliced_turns(spark, path: str, n_convs: int = 6,
+                        turns_per_conv: int = 30, slices: int = 3) -> None:
+    """Deterministic turns, written as ``slices`` time-ordered files so
+    availableNow(maxFilesPerTrigger=1) crosses state between batches."""
+    rows = []
+    for c in range(n_convs):
+        t0 = 1_700_000_000 + c * 7_919
+        for i in range(turns_per_conv):
+            # occasional >30min gaps -> multiple sessions per conv
+            t0 += 120 if (i % 7) else 2_400
+            rows.append((f"c{c}", i, "user" if i % 2 else "assistant",
+                         f"turn {i} of c{c}",
+                         "search" if i % 5 == 0 else None, t0))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "epoch"])
+    pdf["ts"] = pd.to_datetime(pdf["epoch"], unit="s")
+    pdf = pdf.drop(columns=["epoch"]).sort_values(["ts", "conv_id"])
+    per = (len(pdf) + slices - 1) // slices
+    os.makedirs(path, exist_ok=True)
+    for s in range(slices):
+        chunk = pdf.iloc[s * per:(s + 1) * per]
+        spark.createDataFrame(chunk).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{path}/slice={s}")
+    # flatten: move part files up so the stream reads them as N files
+    import glob
+    import shutil
+    for s in range(slices):
+        for i, f in enumerate(
+                sorted(glob.glob(f"{path}/slice={s}/part-*.parquet"))):
+            shutil.move(f, f"{path}/{s:02d}_{i}.parquet")
+        shutil.rmtree(f"{path}/slice={s}")
+
+
+@pytest.mark.usefixtures("spark")
+class TestStreamingTurnFeatures:
+    def test_matches_batch_windows_across_microbatches(self, spark, tmp_path):
+        src = str(tmp_path / "turns_stream")
+        _write_sliced_turns(spark, src)
+
+        run_turn_features_to_memory(spark, src, gap_seconds=1800.0,
+                                    query_name="tf_test", max_files=1)
+        got = (spark.table("tf_test")
+               .select("conv_id", "turn_idx", "dt_prev_sec", "last_tool",
+                       "session_id")
+               .orderBy("conv_id", "turn_idx").toPandas())
+
+        batch_src = spark.read.parquet(src)
+        oracle = with_session_id(
+            with_backfill(with_ts_delta(batch_src), ["tool"]),
+            gap_seconds=1800.0)
+        exp = (oracle.select("conv_id", "turn_idx", "dt_prev_sec",
+                             F.col("last_tool"),
+                             F.col("session_id").cast("long"))
+               .orderBy("conv_id", "turn_idx").toPandas())
+
+        assert len(got) == len(exp) > 0
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      exp.reset_index(drop=True),
+                                      check_dtype=False)
+        # multiple sessions must actually occur (gap rows present)
+        assert exp.groupby("conv_id")["session_id"].max().min() >= 1
