@@ -231,6 +231,52 @@ def q_linear_score(spark, sf_dir):
                 .agg(F.round(F.sum("w"), 6).alias("score")))
 
 
+def q_tree_risk(spark, sf_dir):
+    """M3 decision tree (BasicDecisionTree) compiled to nested CASE WHEN
+    — lazy per-branch evaluation, no UDF."""
+    from aloha_spark.plans.models import apply_model
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    m = {"modelType": "DecisionTree", "returnBest": True,
+         "nodes": [
+             {"id": 0, "value": 0.0,
+              "selector": {"predicates": ["${c_acctbal} < 0",
+                                          "${c_acctbal} >= 0"]},
+              "children": [1, 2]},
+             {"id": 1, "value": -1.0},
+             {"id": 2, "value": 0.5,
+              "selector": {"predicates": ["${c_acctbal} > 5000",
+                                          "${c_acctbal} <= 5000"]},
+              "children": [3, 4]},
+             {"id": 3, "value": 2.0},
+             {"id": 4, "value": 1.0},
+         ]}
+    return apply_model(c, m, "risk").select("c_custkey", "risk")
+
+
+def q_order_segment(spark, sf_dir):
+    """M5 segmentation: threshold-scan of a submodel score -> label."""
+    from aloha_spark.plans.models import apply_model
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = {"modelType": "Segmentation",
+         "submodel": {"modelType": "Spec", "spec": "${o_totalprice}"},
+         "thresholds": [50000, 150000],
+         "labels": ["small", "mid", "large"]}
+    return apply_model(o, m, "segment").select("o_orderkey", "segment")
+
+
+def q_price_bucket(spark, sf_dir):
+    """M7 DoubleToLong: clamp(round(scale*x + translation)) — scala
+    .round = floor(x + 0.5)."""
+    from aloha_spark.plans.models import apply_model
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    m = {"modelType": "DoubleToLong",
+         "submodel": {"modelType": "Spec", "spec": "${l_extendedprice}"},
+         "scale": 0.001, "translation": 0.0, "round": True,
+         "clampLower": 0, "clampUpper": 60}
+    return apply_model(li, m, "bucket") \
+        .select("l_orderkey", "l_linenumber", "bucket")
+
+
 # --------------------------------------------------------------------------
 # text features (documents table)
 
@@ -364,6 +410,18 @@ def q_ann_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     q = embs.where("vec_id < 10")
     return brute_force_topk(q, embs, k=3).select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"))
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN with nprobe == n_centroids (exhaustive probing) — exact
+    by construction, so the brute-force DuckDB oracle gates the whole
+    IVF machinery (train / assign / probe / verify)."""
+    from aloha_spark.operators.similarity import ivf_topk
+    embs = _embs(spark, sf_dir)
+    q = embs.where("vec_id < 10")
+    return ivf_topk(q, embs, k=3, n_centroids=8, nprobe=8).select(
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("long").alias("rank"))
 
@@ -510,6 +568,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join": q_broadcast_join,
         "interval_filter": q_interval_filter,
         "linear_score": q_linear_score,
+        # model dataflow layer (SURVEY §2.8)
+        "tree_risk": q_tree_risk,
+        "order_segment": q_order_segment,
+        "price_bucket": q_price_bucket,
         # text features (§2.3)
         "doc_tokens": q_doc_tokens,
         "doc_bigrams": q_doc_bigrams,
@@ -523,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         # embeddings
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embed_neardup": q_embed_neardup,
         # rows-only (hash parity / formats / approx)
         "feature_vectors": q_feature_vectors,
@@ -692,6 +755,23 @@ SELECT c_name,
                      ELSE c_mktsegment END, 'NULL') || ',' ||
        CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS csv_line
 FROM customer""",
+        "tree_risk": """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN -1.0
+            WHEN c_acctbal > 5000 THEN 2.0
+            ELSE 1.0 END AS risk
+FROM customer""",
+        "order_segment": """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice <= 50000 THEN 'small'
+            WHEN o_totalprice <= 150000 THEN 'mid'
+            ELSE 'large' END AS segment
+FROM orders""",
+        "price_bucket": """
+SELECT l_orderkey, l_linenumber,
+       CAST(LEAST(60, GREATEST(0,
+            FLOOR(l_extendedprice * 0.001 + 0.5))) AS BIGINT) AS bucket
+FROM lineitem""",
         "doc_quality": """
 WITH t AS (
   SELECT doc_id, text,
@@ -767,6 +847,24 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents""",
         "ann_topk": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         (SELECT SUM(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+          FROM (SELECT UNNEST(q.embedding) AS a,
+                       UNNEST(c.embedding) AS b) x)
+         / (SQRT((SELECT SUM(CAST(y.a AS DOUBLE) * CAST(y.a AS DOUBLE))
+                  FROM (SELECT UNNEST(q.embedding) AS a) y))
+            * SQRT((SELECT SUM(CAST(z.b AS DOUBLE) * CAST(z.b AS DOUBLE))
+                    FROM (SELECT UNNEST(c.embedding) AS b) z))) AS cos
+  FROM q, embeddings c WHERE q.vec_id != c.vec_id)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+       CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM pairs) r
+WHERE rnk <= 3""",
+        "ann_topk_ivf": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -152,3 +152,91 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                  .select("query_id", "neighbor_id",
                          (F.round("cosine", round_to) if round_to is not None
                           else F.col("cosine")).alias("cosine"), "rank"))
+
+
+def _kmeans_fit(sample: np.ndarray, n_centroids: int, seed: int,
+                iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd iterations on a driver-side sample (numpy).
+    Centroids on unit-normalized vectors approximate spherical k-means."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cent = sample[rng.choice(n, size=min(n_centroids, n), replace=False)]
+    for _ in range(iters):
+        sims = sample @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for ci in range(len(cent)):
+            members = sample[assign == ci]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[ci] = m / max(np.linalg.norm(m), 1e-30)
+    return cent
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             q_id: str = "vec_id", c_id: str = "vec_id",
+             q_vec: str = "embedding", c_vec: str = "embedding",
+             n_centroids: int = 16, nprobe: int = 2, seed: int = 7,
+             train_sample: int = 4096,
+             round_to: Optional[int] = 6) -> DataFrame:
+    """IVF (inverted-file) ANN — the classic scale path:
+
+    1. TRAIN: spherical k-means on a driver-collected sample (seeded,
+       deterministic) gives ``n_centroids`` coarse cells; the centroid
+       matrix is broadcast (tiny: n_centroids x dim).
+    2. ASSIGN: one vectorized pandas UDF maps every corpus row to its
+       nearest-centroid cell id — the inverted file is just a column,
+       so at 100 TB it lives with the data (partition/cluster by it)
+       and never materializes driver-side.
+    3. PROBE: each query expands to its ``nprobe`` closest cells
+       (explode), the candidate join is an equi-join on cell id
+       (queries broadcast), and exact cosine + window rank verify.
+
+    ``nprobe == n_centroids`` degenerates to exact brute force, which is
+    the oracle gate; recall grows with nprobe at cost proportional to
+    the probed fraction of the corpus."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    spark = corpus.sparkSession
+    samp = corpus.select(c_vec).limit(train_sample).collect()
+    m = np.asarray([np.asarray(r[0], dtype=np.float64) for r in samp])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    cent = _kmeans_fit(m, n_centroids, seed)
+    bc = spark.sparkContext.broadcast(cent)
+
+    @pandas_udf("int")
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        mm = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mm.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-30)
+        return pd.Series(np.argmax(mm @ c.T, axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        mm = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mm.size == 0:
+            return pd.Series([])
+        mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-30)
+        sims = mm @ c.T
+        npb = min(nprobe, sims.shape[1])
+        top = np.argsort(-sims, axis=1)[:, :npb]
+        return pd.Series([row.astype(np.int32).tolist() for row in top])
+
+    c = corpus.select(F.col(c_id).alias("neighbor_id"),
+                      F.col(c_vec).alias("cv"),
+                      cell_udf(F.col(c_vec)).alias("cell"))
+    q = queries.select(F.col(q_id).alias("query_id"),
+                       F.col(q_vec).alias("qv"),
+                       F.explode(probe_udf(F.col(q_vec))).alias("cell"))
+    cands = (c.join(F.broadcast(q), "cell")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine", _cosine_expr("qv", "cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (cands.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k)
+                 .select("query_id", "neighbor_id",
+                         (F.round("cosine", round_to) if round_to is not None
+                          else F.col("cosine")).alias("cosine"), "rank"))

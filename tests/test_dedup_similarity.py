@@ -170,3 +170,40 @@ class TestTextStats:
         b = with_fingerprint(docs.limit(30)).toPandas()
         assert a["fingerprint"].tolist() == b["fingerprint"].tolist()
         assert a.groupby("text")["fingerprint"].nunique().eq(1).all()
+
+
+class TestIvfTopk:
+    def _clustered(self, spark, n=300, dim=16, n_clusters=6, seed=3):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((n_clusters, dim)) * 4
+        rows = []
+        for i in range(n):
+            c = i % n_clusters
+            v = centers[c] + rng.standard_normal(dim) * 0.3
+            rows.append((i, v.tolist()))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_exhaustive_probe_equals_brute_force(self, spark):
+        from aloha_spark.operators.similarity import brute_force_topk, ivf_topk
+        embs = self._clustered(spark)
+        q = embs.where("vec_id < 8")
+        exact = brute_force_topk(q, embs, k=5).orderBy("query_id", "rank") \
+            .collect()
+        ivf = ivf_topk(q, embs, k=5, n_centroids=6, nprobe=6) \
+            .orderBy("query_id", "rank").collect()
+        assert [(r.query_id, r.neighbor_id, r.cosine) for r in exact] == \
+               [(r.query_id, r.neighbor_id, r.cosine) for r in ivf]
+
+    def test_narrow_probe_recall(self, spark):
+        from aloha_spark.operators.similarity import brute_force_topk, ivf_topk
+        embs = self._clustered(spark)
+        q = embs.where("vec_id < 8")
+        exact = brute_force_topk(q, embs, k=5).collect()
+        approx = ivf_topk(q, embs, k=5, n_centroids=6, nprobe=1).collect()
+        truth = {(r.query_id, r.neighbor_id) for r in exact}
+        got = {(r.query_id, r.neighbor_id) for r in approx}
+        recall = len(truth & got) / len(truth)
+        # well-separated clusters: probing the single nearest cell must
+        # recover nearly all true neighbors
+        assert recall >= 0.9, recall
