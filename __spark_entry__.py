@@ -218,17 +218,62 @@ def q_interval_filter(spark, sf_dir):
 
 
 def q_linear_score(spark, sf_dir):
-    """A1 analog: sparse linear dot product w.x over token weights via
-    broadcast dimension join + map-side-combinable agg."""
+    """A1 analog: sparse linear dot product w.x over token weights.
+
+    Shuffle-free formulation: the weight vector is a map LITERAL inside
+    the projection (the degenerate broadcast join), and the per-document
+    score is one `aggregate` over the token array — a single scan, no
+    explode, no shuffle, whole-stage-codegen'd.  Documents with no
+    matching token are excluded (inner-join semantics, same as the
+    oracle's join + groupBy)."""
     weights = [("the", 1.0), ("data", 2.0), ("spark", 3.0), ("query", -1.5),
                ("fast", 0.5), ("slow", -0.5)]
     docs = _docs(spark, sf_dir)
-    wdf = spark.createDataFrame(weights, "token string, w double")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
-    return (toks.join(F.broadcast(wdf), "token")
-                .groupBy("doc_id")
-                .agg(F.round(F.sum("w"), 6).alias("score")))
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights for x in kv])
+    toks = F.split(F.trim("text"), r"\s+")
+    score = F.aggregate(
+        toks, F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(wmap[t], F.lit(0.0)))
+    hit = F.exists(toks, lambda t: wmap[t].isNotNull())
+    return (docs.select("doc_id", F.round(score, 6).alias("score"),
+                        hit.alias("__hit"))
+                .where("__hit").drop("__hit"))
+
+
+def q_proto_roundtrip(spark, sf_dir):
+    """S2 proto scan, oracle-gated: transcripts are encoded to protobuf
+    wire bytes + base64 (executor-side pandas UDF), then scanned back
+    through ``decode_proto_lines`` — the typed output must equal the
+    direct derivation (the oracle SQL never sees protobuf)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aloha_spark.sources.proto import (
+        TRANSCRIPT_PROTO, decode_proto_lines, encode_message)
+
+    t = transcripts_from_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        (epoch_seconds("ts") * 1000).cast("long").alias("ts_epoch_ms"))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import base64
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lines = []
+            for rec in pdf.to_dict("records"):
+                msg = {k: (None if v is None or v != v else v)
+                       for k, v in rec.items()}
+                lines.append(base64.b64encode(
+                    encode_message(msg, TRANSCRIPT_PROTO)).decode("ascii"))
+            yield pd.DataFrame({"line": lines})
+
+    lines_df = t.mapInPandas(enc, "line string")
+    out = decode_proto_lines(lines_df, "line", TRANSCRIPT_PROTO)
+    return out.select("conv_id", "turn_idx", "role", "text", "tool",
+                      "ts_epoch_ms")
 
 
 def q_tree_risk(spark, sf_dir):
@@ -568,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join": q_broadcast_join,
         "interval_filter": q_interval_filter,
         "linear_score": q_linear_score,
+        "proto_roundtrip": q_proto_roundtrip,
         # model dataflow layer (SURVEY §2.8)
         "tree_risk": q_tree_risk,
         "order_segment": q_order_segment,
@@ -755,6 +801,17 @@ SELECT c_name,
                      ELSE c_mktsegment END, 'NULL') || ',' ||
        CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS csv_line
 FROM customer""",
+        "proto_roundtrip": """
+SELECT conv_id, turn_idx, role, text, tool,
+       CAST(epoch_ms(ts) AS BIGINT) AS ts_epoch_ms
+FROM (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+            AS BIGINT) AS turn_idx,
+       event_type AS role,
+       props AS text,
+       CASE WHEN event_type IN ('click', 'view') THEN event_type END AS tool,
+       ts
+FROM events) t""",
         "tree_risk": """
 SELECT c_custkey,
        CASE WHEN c_acctbal < 0 THEN -1.0

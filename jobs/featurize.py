@@ -43,8 +43,10 @@ def parse_args(argv):
     p.add_argument("--salt-buckets", type=int, default=16)
     p.add_argument("--num-buckets", type=int, default=256)
     p.add_argument("--group-size", type=int, default=32)
-    p.add_argument("--output", choices=["sparse", "vw", "libsvm"],
-                   default="sparse")
+    p.add_argument("--output", choices=["sparse", "vw", "libsvm", "multi"],
+                   default="sparse",
+                   help="'multi' = S14 fan-out: one cached featurized "
+                        "upstream written through all three sinks")
     return p.parse_args(argv)
 
 
@@ -93,6 +95,30 @@ def main(argv=None):
     # featurization is row-local; rebalance away from conv-hash
     # partitioning so skewed conversations don't serialize one task
     x = x.repartition(int(spark.sparkContext.defaultParallelism) * 2)
+    if args.output == "multi":
+        # S14 fan-out (datasetCli.scala:84-124 analog): compute the
+        # windowed+joined upstream ONCE (persist), then run each sink's
+        # featurize+format over it — one pass over the expensive stages,
+        # three output datasets with independent lineage tables
+        x = x.persist()
+        reports = {}
+        for sink_name, fn in (("sparse", pipe.to_sparse_vectors),
+                              ("vw", pipe.to_vw_lines),
+                              ("libsvm", pipe.to_libsvm_lines)):
+            out = fn(x, keep_cols=keep)
+            reports[sink_name] = write_with_lineage(
+                out, f"{args.out}/{sink_name}",
+                f"{args.lineage}/{sink_name}", key=args.by, ts_col=args.on,
+                num_buckets=args.num_buckets, group_size=args.group_size)
+        x.unpersist()
+        print(json.dumps({
+            "sinks": {k: {"written_buckets": len(r.written_buckets),
+                          "skipped_buckets": len(r.skipped_buckets),
+                          "groups": r.groups} for k, r in reports.items()},
+            "wall_sec": round(time.time() - t0, 1),
+        }))
+        spark.stop()
+        return
     if args.output == "sparse":
         out = pipe.to_sparse_vectors(x, keep_cols=keep)
     elif args.output == "vw":

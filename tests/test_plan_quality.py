@@ -95,3 +95,46 @@ def test_column_tier_features_stay_jvm(spark):
     pre = pipe._with_precomputed(df)
     plan = _plan(pre, "simple")
     assert "least" in plan and "greatest" in plan
+
+
+def test_linear_score_is_shuffle_free(spark, sf_dir):
+    """A1 dot product as a map-literal aggregate: one scan, no join, no
+    exchange, no Python."""
+    import __spark_entry__ as em
+    plan = _plan(em.q_linear_score(spark, sf_dir), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_flagship_windows_first_single_window_exchange(spark, tmp_path):
+    """The flagship's four turn windows + the as-of union window must
+    not multiply exchanges: all four turn windows share ONE
+    hashpartitioning(conv_id) exchange, the state branch gets one, and
+    the union window adds at most one more (parquet-backed inputs so
+    the synthetic generator's own windows don't pollute the count)."""
+    from aloha_spark.data.transcripts import make_state, make_transcripts
+    from aloha_spark.plans.flagship import point_in_time_features
+    make_transcripts(spark, n_convs=5, turns_per_conv=5) \
+        .write.parquet(str(tmp_path / "t"))
+    turns = spark.read.parquet(str(tmp_path / "t"))
+    make_state(spark, turns).write.parquet(str(tmp_path / "s"))
+    state = spark.read.parquet(str(tmp_path / "s"))
+    out = point_in_time_features(turns, state, state_cols=["state_score"])
+    plan = _plan(out, "simple")
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "MapInPandas" not in plan  # join + windows are pure Catalyst
+
+
+def test_ivf_candidate_join_is_broadcast(spark):
+    """IVF probe join must broadcast the (tiny) query side."""
+    from aloha_spark.operators.similarity import ivf_topk
+    import numpy as np
+    rng = np.random.default_rng(0)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(100)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_topk(embs.where("vec_id < 4"), embs, k=3,
+                   n_centroids=4, nprobe=2)
+    plan = _plan(out, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
