@@ -14,12 +14,13 @@ Stage order is chosen for shuffle economy at 100 TB scale:
    windows means the join's (conv_id, salt) exchange never has to be
    re-partitioned back to plain conv_id for window work (measured ~2x
    upstream win at 2M rows vs the join-first ordering).
-3. **Round-robin rebalance** before the featurize ``mapInPandas`` —
-   featurization is row-local, so we shed the conv-hash partitioning
-   (and with it the mega-conversation straggler) going into the
-   Python stage.
-4. **Hashed sparse-vector featurization** over Arrow batches (murmur
-   stringHash parity, 18-bit mask).
+3. **Hashed sparse-vector featurization pipelined into the join stage**
+   (no intervening shuffle): salting already splits hot conversations
+   across buckets, so the featurize ``mapInPandas`` inherits a balanced
+   (conv_id, salt) partitioning.  Measured at 2M turns: an explicit
+   round-robin ``repartition`` before the Python stage costs ~2.3x
+   (it re-shuffles every wide text column) — only reach for
+   ``rebalance_to`` when the input is unsalted AND skewed.
 """
 
 from __future__ import annotations
@@ -111,9 +112,8 @@ def flagship_vectors(
         turns, state, state_cols=state_cols, hot_keys=hot_keys,
         salt_buckets=salt_buckets, num_partitions=num_partitions)
     pipe = FeaturePipeline(PipelineSpec.from_json(spec or FLAGSHIP_SPEC))
-    if rebalance_to is None:
-        cpus = int(turns.sparkSession.sparkContext.defaultParallelism)
-        rebalance_to = max(cpus, 8)
-    x = x.repartition(rebalance_to)
+    if rebalance_to:
+        # only for unsalted skewed inputs — see module docstring
+        x = x.repartition(rebalance_to)
     return pipe.to_sparse_vectors(
         x, keep_cols=keep_cols or ["conv_id", "turn_idx", "session_id"])
