@@ -77,3 +77,51 @@ class TestStreamingTurnFeatures:
                                       check_dtype=False)
         # multiple sessions must actually occur (gap rows present)
         assert exp.groupby("conv_id")["session_id"].max().min() >= 1
+
+
+class TestStreamingFeaturize:
+    def test_stream_vectors_match_batch_pipeline(self, spark, tmp_path):
+        """foreachBatch featurization over the stateful stream must give
+        the same hashed vectors as the batch pipeline over the same
+        input (same spec, same kernels)."""
+        from aloha_spark.plans.pipeline import FeaturePipeline
+        from aloha_spark.plans.spec import PipelineSpec
+        from aloha_spark.streaming.featurize import streaming_feature_vectors
+        from aloha_spark.streaming.sessionize import read_transcript_stream
+
+        src = str(tmp_path / "turns_stream2")
+        _write_sliced_turns(spark, src, n_convs=4, turns_per_conv=20,
+                            slices=2)
+        spec = {"features": [
+            {"name": "role", "spec": "ind(${role})"},
+            {"name": "bow", "spec": "bag(${text})"},
+            {"name": "tool", "spec": "ind(${last_tool})"},
+            {"name": "dt", "spec": "clamp(${dt_prev_sec:-0}, 0, 86400)"},
+        ], "namespaces": {}, "numBits": 18}
+
+        collected = []
+        start, _ = streaming_feature_vectors(
+            read_transcript_stream(spark, src, max_files=1), spec,
+            keep_cols=["conv_id", "turn_idx"])
+        q = start(lambda df, bid: collected.append(df.toPandas()))
+        q.awaitTermination()
+        import pandas as pd
+        got = pd.concat(collected).sort_values(["conv_id", "turn_idx"]) \
+            .reset_index(drop=True)
+
+        # batch oracle: same windows + same pipeline
+        from aloha_spark.operators.windows import (
+            with_backfill, with_session_id, with_ts_delta)
+        batch_src = with_session_id(
+            with_backfill(with_ts_delta(spark.read.parquet(src)), ["tool"]),
+            gap_seconds=1800.0)
+        pipe = FeaturePipeline(PipelineSpec.from_json(spec))
+        exp = pipe.to_sparse_vectors(
+            batch_src, keep_cols=["conv_id", "turn_idx"]) \
+            .orderBy("conv_id", "turn_idx").toPandas()
+
+        assert len(got) == len(exp) > 0
+        import numpy as np
+        for i in range(len(got)):
+            assert np.array_equal(got["indices"][i], exp["indices"][i]), i
+            assert np.allclose(got["values"][i], exp["values"][i]), i
