@@ -255,3 +255,79 @@ def pairgrams_flat(cache: TokenCache, col: str, name: str, hash_fn,
                   f"{suffix}",
         hash_fn)
     return table[out_p], counts, rows, isna
+
+
+def _ind_value_str(v) -> str:
+    """Mirror of ind_batch's value rendering."""
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (float, np.floating)) and float(v).is_integer() \
+            and abs(v) < 1e15:
+        return f"{float(v):.1f}"
+    return str(v)
+
+
+def ind_flat(cache: TokenCache, col: str, name: str, hash_fn):
+    """Indicator over the whole batch: factorize raw values, hash only
+    the unique '=value' keys, gather."""
+    s = cache.pdf[col]
+    codes, uniques = pd.factorize(s, use_na_sentinel=True)
+    isna = codes == -1
+    if len(uniques):
+        table = hash_fn([f"{name}={_ind_value_str(u)}" for u in uniques])
+    else:
+        table = np.empty(0, np.int32)
+    sel = ~isna
+    rids = np.nonzero(sel)[0].astype(np.int64)
+    idx = table[codes[sel]] if len(uniques) else np.empty(0, table.dtype)
+    vals = np.ones(len(rids), dtype=np.float64)
+    return idx, vals, rids, isna
+
+
+def sos2_flat(cache: TokenCache, col: str, name: str, hash_fn,
+              vmin: float, vmax: float, delta: float,
+              underflow=None, unknown_key=None):
+    """SOS2 binning over the whole batch: at most 2 entries per row, key
+    table = the (tiny, precomputable) bin-name set hashed once per batch.
+    Missing/NaN rows are reported via isna (the caller adds the UNK
+    entry + missing mark), matching the dict tier exactly."""
+    v = pd.to_numeric(cache.pdf[col], errors="coerce") \
+        .to_numpy(dtype=np.float64)
+    n = len(v)
+    isnan = np.isnan(v)
+    under = (v < vmin) if underflow is not None else np.zeros(n, bool)
+    grid = np.clip(np.where(isnan, vmin, v), vmin, vmax)
+    x = (grid - vmin) / delta
+    b = x.astype(np.int64)
+    frac = x - b
+    n_bins = int((vmax - vmin) / delta) + 2
+    bin_names = [f"{name}={int(vmin + i * delta)}" for i in range(n_bins)]
+    bin_table = hash_fn(bin_names)
+    extra = hash_fn([f"{name}={underflow}"])[0] if underflow is not None \
+        else None
+
+    normal = ~isnan & ~under
+    # lo entry for every normal row
+    rows_lo = np.nonzero(normal)[0]
+    idx_lo = bin_table[b[normal]]
+    vals_lo = np.where(frac[normal] == 0.0, 1.0, 1.0 - frac[normal])
+    # hi entry when interpolating
+    hi_m = normal & (frac > 0.0)
+    rows_hi = np.nonzero(hi_m)[0]
+    idx_hi = bin_table[b[hi_m] + 1]
+    vals_hi = frac[hi_m]
+    chunks_idx = [idx_lo, idx_hi]
+    chunks_val = [vals_lo, vals_hi]
+    chunks_rid = [rows_lo, rows_hi]
+    if underflow is not None and under.any():
+        ur = np.nonzero(under & ~isnan)[0]
+        chunks_idx.append(np.full(len(ur), extra, dtype=bin_table.dtype))
+        chunks_val.append(np.ones(len(ur)))
+        chunks_rid.append(ur)
+    idx = np.concatenate(chunks_idx)
+    vals = np.concatenate(chunks_val).astype(np.float64)
+    rids = np.concatenate(chunks_rid).astype(np.int64)
+    # NaN rows: the dict tier yields the explicit unknown bag for sos2U
+    # and None (-> caller UNK) for sos2 — both hash to name + '=UNK',
+    # and both mark the feature missing; report via isna either way
+    return idx, vals, rids, isnan

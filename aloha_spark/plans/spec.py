@@ -199,7 +199,7 @@ def try_compile_flat(parsed: ParsedSpec):
     or None when the spec doesn't fit (maxElements, n != 2, non-const
     args, non-string default) — those run on the dict tiers instead.
     """
-    from ..functions.batch import bag_flat, pairgrams_flat
+    from ..functions.batch import bag_flat, ind_flat, pairgrams_flat, sos2_flat
 
     try:
         tree = ast.parse(parsed.expr, mode="eval")
@@ -207,7 +207,8 @@ def try_compile_flat(parsed: ParsedSpec):
         return None
     node = tree.body
     if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
-            and node.func.id in ("bag", "nGrams", "skipGrams")):
+            and node.func.id in ("bag", "nGrams", "skipGrams", "ind",
+                                 "sos2", "sos2U")):
         return None
     if not node.args or not isinstance(node.args[0], ast.Name):
         return None
@@ -215,6 +216,37 @@ def try_compile_flat(parsed: ParsedSpec):
     if var not in parsed.variables:
         return None
     default = parsed.defaults.get(var)
+    src_col0 = var.replace("__", ".")
+
+    if node.func.id == "ind":
+        if len(node.args) > 1 or node.keywords or default is not None:
+            return None
+
+        def fn_ind(cache, name, hash_fn, _col=src_col0):
+            return ind_flat(cache, _col, name, hash_fn)
+
+        return fn_ind, src_col0
+
+    if node.func.id in ("sos2", "sos2U"):
+        if node.keywords or default is not None or len(node.args) != 4:
+            return None
+        consts_ = []
+        for a in node.args[1:]:
+            if not isinstance(a, ast.Constant) \
+                    or not isinstance(a.value, (int, float)):
+                return None
+            consts_.append(float(a.value))
+        vmin_, vmax_, delta_ = consts_
+        uf, uk = (("UNDERFLOW", "UNK") if node.func.id == "sos2U"
+                  else (None, None))
+
+        def fn_sos2(cache, name, hash_fn, _col=src_col0, _a=vmin_, _b=vmax_,
+                    _d=delta_, _uf=uf, _uk=uk):
+            return sos2_flat(cache, _col, name, hash_fn, _a, _b, _d,
+                             underflow=_uf, unknown_key=_uk)
+
+        return fn_sos2, src_col0
+
     if default is not None and not isinstance(default, str):
         return None
     consts = []

@@ -94,6 +94,11 @@ class TestFlatKernels:
             "nGrams(${text}, 3)": False,        # n != 2 -> dict tier
             "bag(${text}, '=', '', '\\s+', 5)": False,  # maxElements
             "bag(${v:-0})": False,              # non-string default
+            "ind(${role})": True,
+            "ind(${role:-x})": False,           # default -> generic tier
+            "sos2U(${dt}, 0, 7200, 600)": True,
+            "sos2(${dt}, 0, 10, 1)": True,
+            "sos2(${dt:-0}, 0, 10, 1)": False,  # default -> dict tier
         }
         for spec, expect in compiled.items():
             got = try_compile_flat(parse_feature_spec("f", spec)) is not None
@@ -118,7 +123,7 @@ class TestFlatPipelineParity:
             ], "namespaces": {}, "numBits": 18})
         flat_pipe = FeaturePipeline(spec)
         assert sum(1 for fp in flat_pipe.plan.features
-                   if fp.flat_fn is not None) == 3
+                   if fp.flat_fn is not None) == 4  # bow, bi, sk, role
         dict_pipe = FeaturePipeline(spec)
         for fp in dict_pipe.plan.features:
             fp.flat_fn = None
