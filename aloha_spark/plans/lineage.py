@@ -10,6 +10,12 @@ Buckets are **stable**: ``pmod(xxhash64(key), num_buckets)`` — a pure
 function of the data, independent of cluster size or task scheduling, so
 a job restarted on different parallelism resumes correctly.
 
+Checksum contract: the lineage row is computed in a separate Spark job
+from the data write, so checksum columns must be DETERMINISTIC functions
+of the input (no ``current_timestamp()``/``rand()`` in checksummed
+columns — they re-evaluate per job and every bucket would "mismatch").
+Pass an explicit ``checksum_cols`` excluding any such column.
+
 Granularity: buckets are written in groups (one Spark job per group).
 A crash mid-group leaves orphan files for at most one group; on resume
 those buckets are rewritten via dynamic partition overwrite, so the
@@ -113,6 +119,23 @@ def write_with_lineage(
         written.extend(group)
         groups += 1
     return WriteReport(written, skipped, groups)
+
+
+def repair(spark: SparkSession, lineage_path: str,
+           bad_buckets: Sequence[int]) -> None:
+    """Evict lineage rows for the given buckets so the next
+    ``write_with_lineage`` call rewrites exactly those buckets (dynamic
+    partition overwrite replaces their directories)."""
+    if not bad_buckets:
+        return
+    lin = spark.read.parquet(lineage_path)
+    keep = lin.where(~F.col(BUCKET_COL).isin(list(bad_buckets)))
+    # the lineage table is O(num_buckets x restarts) rows — driver-side
+    # materialization is the simple safe way to overwrite the parquet
+    # path being read (a direct overwrite would truncate its own input)
+    kept = keep.collect()
+    spark.createDataFrame(kept, keep.schema) \
+        .write.mode("overwrite").parquet(lineage_path)
 
 
 def verify_lineage(spark: SparkSession, out_path: str, lineage_path: str,

@@ -43,6 +43,14 @@ def parse_args(argv):
     p.add_argument("--salt-buckets", type=int, default=16)
     p.add_argument("--num-buckets", type=int, default=256)
     p.add_argument("--group-size", type=int, default=32)
+    p.add_argument("--repair", action="store_true",
+                   help="with --verify: evict mismatching buckets from "
+                        "the lineage table and rewrite them, then "
+                        "re-verify")
+    p.add_argument("--verify", action="store_true",
+                   help="after writing, recompute per-bucket stats from "
+                        "the data and diff against the lineage table "
+                        "(verify_lineage); non-zero exit on mismatch")
     p.add_argument("--output", choices=["sparse", "vw", "libsvm", "multi"],
                    default="sparse",
                    help="'multi' = S14 fan-out: one cached featurized "
@@ -129,12 +137,31 @@ def main(argv=None):
     report = write_with_lineage(
         out, args.out, args.lineage, key=args.by, ts_col=args.on,
         num_buckets=args.num_buckets, group_size=args.group_size)
-    print(json.dumps({
+    result = {
         "written_buckets": len(report.written_buckets),
         "skipped_buckets": len(report.skipped_buckets),
         "groups": report.groups,
         "wall_sec": round(time.time() - t0, 1),
-    }))
+    }
+    if args.verify:
+        from aloha_spark.plans.lineage import repair, verify_lineage
+        bad_rows = verify_lineage(spark, args.out, args.lineage,
+                                  ts_col=args.on).collect()
+        result["lineage_mismatches"] = len(bad_rows)
+        if bad_rows and args.repair:
+            bad_ids = [r[0] for r in bad_rows]
+            repair(spark, args.lineage, bad_ids)
+            rep = write_with_lineage(
+                out, args.out, args.lineage, key=args.by, ts_col=args.on,
+                num_buckets=args.num_buckets, group_size=args.group_size)
+            result["repaired_buckets"] = len(rep.written_buckets)
+            bad_rows = verify_lineage(spark, args.out, args.lineage,
+                                      ts_col=args.on).collect()
+            result["lineage_mismatches_after_repair"] = len(bad_rows)
+        print(json.dumps(result))
+        spark.stop()
+        sys.exit(1 if bad_rows else 0)
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -56,3 +56,37 @@ def test_lineage_detects_tamper(spark, tmp_path):
     victim = glob.glob(f"{out}/bucket=*")[0]
     shutil.rmtree(victim)
     assert verify_lineage(spark, out, lin).count() >= 1
+
+
+class TestRepair:
+    def test_verify_detects_and_repair_heals(self, spark, tmp_path):
+        """Delete a bucket directory behind the lineage table's back:
+        verify_lineage must flag exactly it, repair + rewrite must heal,
+        and the healed table must re-verify clean."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from aloha_spark.plans.lineage import (
+            repair, verify_lineage, write_with_lineage)
+
+        df = spark.range(2000).select(
+            F.concat(F.lit("c"), (F.col("id") % 97)).alias("conv_id"),
+            F.col("id").alias("turn_idx"),
+            (F.lit("2025-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=F.col("id"))).alias("ts"))
+        out = str(tmp_path / "out")
+        lin = str(tmp_path / "lin")
+        write_with_lineage(df, out, lin, num_buckets=16, group_size=8)
+        assert verify_lineage(spark, out, lin).count() == 0
+
+        victim = sorted(p.name for p in (tmp_path / "out").iterdir()
+                        if p.name.startswith("bucket="))[3]
+        shutil.rmtree(tmp_path / "out" / victim)
+        bad = verify_lineage(spark, out, lin).collect()
+        assert [r[0] for r in bad] == [int(victim.split("=")[1])]
+
+        repair(spark, lin, [r[0] for r in bad])
+        rep = write_with_lineage(df, out, lin, num_buckets=16, group_size=8)
+        assert rep.written_buckets == [int(victim.split("=")[1])]
+        assert verify_lineage(spark, out, lin).count() == 0
