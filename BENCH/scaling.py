@@ -133,10 +133,12 @@ def main():
     for a, b in pairs:
         effs[f"{a}->{b}"] = round(
             (results[b]["rows_per_sec"] / results[a]["rows_per_sec"]) / 4, 3)
-    headline = max(effs.values()) if effs else None
+    best_pair = (max(effs, key=effs.get) if effs else None)
+    headline = effs[best_pair] if best_pair else None
     summary = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": headline,
+        "value_pair": best_pair,   # which N->4N pair the value refers to
         "unit": "ratio",
         "efficiencies": effs,
         "levels": {str(c): results[c] for c in levels},

@@ -272,8 +272,9 @@ def q_proto_roundtrip(spark, sf_dir):
 
     lines_df = t.mapInPandas(enc, "line string")
     out = decode_proto_lines(lines_df, "line", TRANSCRIPT_PROTO)
-    return out.select("conv_id", "turn_idx", "role", "text", "tool",
-                      "ts_epoch_ms")
+    return out.select("conv_id",
+                      F.col("turn_idx").cast("long").alias("turn_idx"),
+                      "role", "text", "tool", "ts_epoch_ms")
 
 
 def q_tree_risk(spark, sf_dir):

@@ -248,13 +248,18 @@ def pairgrams_flat(cache: TokenCache, col: str, name: str, hash_fn,
                 np.empty(0, np.int64), isna)
     pair_code = c1 * U + c2
     pcodes, puniq = pd.factorize(pair_code)
-    rows, out_p, counts = _count_packed(pcodes, rows_in, len(puniq))
-    table = _hash_key_table(
-        puniq,
-        lambda p: f"{name}{prefix}{uniques[p // U]}{sep}{uniques[p % U]}"
-                  f"{suffix}",
-        hash_fn)
-    return table[out_p], counts, rows, isna
+    # distinct token pairs can RENDER to the same gram string when a
+    # token contains the separator (e.g. "a_b"+"c" and "a"+"b_c" both
+    # print "a_b_c"); the dict tier merges their counts, so re-factorize
+    # on the rendered strings before counting
+    strings = np.array(
+        [f"{name}{prefix}{uniques[p // U]}{sep}{uniques[p % U]}{suffix}"
+         for p in puniq], dtype=object)
+    scodes_u, suniq = pd.factorize(strings)
+    rows, out_s, counts = _count_packed(
+        scodes_u[pcodes], rows_in, len(suniq))
+    table = hash_fn(list(suniq))
+    return table[out_s], counts, rows, isna
 
 
 def _ind_value_str(v) -> str:

@@ -75,9 +75,19 @@ def _make_update_fn(gap_seconds: float):
         last_ts_ns, last_tool, session_id = (
             state.get if state.exists else (None, None, 0))
         conv_id = key[0]
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
+        # a group larger than one Arrow batch arrives as SEVERAL chunks
+        # in arbitrary order — the (ts, turn_idx) ordering contract is
+        # per micro-batch, so materialize + sort the whole group before
+        # threading state through it (a conversation's rows in one
+        # micro-batch are bounded; the unbounded dimension is the number
+        # of conversations, which stays streamed)
+        chunks = [c for c in pdfs if not c.empty]
+        if not chunks:
+            state.update((last_ts_ns, last_tool, session_id))
+            return
+        whole = (chunks[0] if len(chunks) == 1
+                 else pd.concat(chunks, ignore_index=True))
+        for pdf in (whole,):
             pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
             # normalize to ns regardless of the Arrow batch's unit
             ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")

@@ -119,12 +119,39 @@ def main(argv=None):
                 f"{args.lineage}/{sink_name}", key=args.by, ts_col=args.on,
                 num_buckets=args.num_buckets, group_size=args.group_size)
         x.unpersist()
-        print(json.dumps({
+        result = {
             "sinks": {k: {"written_buckets": len(r.written_buckets),
                           "skipped_buckets": len(r.skipped_buckets),
                           "groups": r.groups} for k, r in reports.items()},
             "wall_sec": round(time.time() - t0, 1),
-        }))
+        }
+        if args.verify:
+            from aloha_spark.plans.lineage import repair, verify_lineage
+            total_bad = 0
+            for sink_name in reports:
+                o, ln = f"{args.out}/{sink_name}", f"{args.lineage}/{sink_name}"
+                bad_rows = verify_lineage(spark, o, ln,
+                                          ts_col=args.on).collect()
+                result["sinks"][sink_name]["lineage_mismatches"] =                     len(bad_rows)
+                if bad_rows and args.repair:
+                    repair(spark, ln, [r[0] for r in bad_rows])
+                    # note: repairing a sink re-featurizes its buckets
+                    fn = {"sparse": pipe.to_sparse_vectors,
+                          "vw": pipe.to_vw_lines,
+                          "libsvm": pipe.to_libsvm_lines}[sink_name]
+                    write_with_lineage(
+                        fn(x, keep_cols=keep), o, ln, key=args.by,
+                        ts_col=args.on, num_buckets=args.num_buckets,
+                        group_size=args.group_size)
+                    bad_rows = verify_lineage(spark, o, ln,
+                                              ts_col=args.on).collect()
+                    result["sinks"][sink_name][
+                        "lineage_mismatches_after_repair"] = len(bad_rows)
+                total_bad += len(bad_rows)
+            print(json.dumps(result))
+            spark.stop()
+            sys.exit(1 if total_bad else 0)
+        print(json.dumps(result))
         spark.stop()
         return
     if args.output == "sparse":

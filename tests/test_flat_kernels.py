@@ -78,6 +78,17 @@ class TestFlatKernels:
             assert _entries(idx, vals, rids, i) == _dict_entries(ref, "sk"), \
                 f"k={k} row={i} text={t!r}"
 
+    def test_separator_render_collision_merges_counts(self):
+        """Distinct token pairs that RENDER identically (token contains
+        the separator) must merge counts exactly like the dict tier —
+        entry-for-entry, no same-index duplicates (the sink's last-wins
+        dedupe would otherwise drop a count)."""
+        t = "a_b c a b_c"   # pairs (a_b,c) and (a,b_c) both print =a_b_c
+        cache = TokenCache(pd.DataFrame({"text": [t]}))
+        idx, vals, rids, _ = pairgrams_flat(cache, "text", "f", _hash_fn, (1,))
+        assert len(idx) == len(set(idx.tolist()))  # no dup hashed keys
+        assert sorted(zip(idx.tolist(), vals.tolist())) ==             _dict_entries(n_grams(t, 2), "f")
+
     def test_tokenization_shared_across_features(self):
         cache = TokenCache(pd.DataFrame({"text": TEXTS}))
         bag_flat(cache, "text", "a", _hash_fn)

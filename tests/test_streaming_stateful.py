@@ -125,3 +125,46 @@ class TestStreamingFeaturize:
         for i in range(len(got)):
             assert np.array_equal(got["indices"][i], exp["indices"][i]), i
             assert np.allclose(got["values"][i], exp["values"][i]), i
+
+
+class TestMultiChunkGroup:
+    def test_group_spanning_arrow_batches_stays_ordered(self, spark, tmp_path):
+        """One conversation larger than the Arrow batch size arrives as
+        multiple chunks in the update fn; ordering must survive."""
+        n = 5000
+        rows = [("big", i, "user", f"t{i}",
+                 "search" if i % 50 == 0 else None,
+                 pd.Timestamp("2025-01-01") + pd.Timedelta(
+                     seconds=i * 120 + (i // 1000) * 2400))
+                for i in range(n)]
+        pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                          "text", "tool", "ts"])
+        src = str(tmp_path / "big_stream")
+        os.makedirs(src, exist_ok=True)
+        spark.createDataFrame(pdf).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                             "10000")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+        try:
+            run_turn_features_to_memory(spark, src, gap_seconds=1800.0,
+                                        query_name="tf_big", max_files=16)
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                           old)
+        got = (spark.table("tf_big")
+               .select("turn_idx", "dt_prev_sec", "session_id")
+               .orderBy("turn_idx").toPandas())
+        assert len(got) == n
+        # in-order input: dt never negative, session ids non-decreasing
+        assert (got["dt_prev_sec"].dropna() >= 0).all()
+        assert got["session_id"].is_monotonic_increasing
+        oracle = with_session_id(
+            with_backfill(with_ts_delta(spark.read.parquet(src)), ["tool"]),
+            gap_seconds=1800.0)
+        exp = (oracle.select("turn_idx", "dt_prev_sec",
+                             F.col("session_id").cast("long"))
+               .orderBy("turn_idx").toPandas())
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      exp.reset_index(drop=True),
+                                      check_dtype=False)
