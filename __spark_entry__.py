@@ -277,6 +277,43 @@ def q_proto_roundtrip(spark, sf_dir):
                       "role", "text", "tool", "ts_epoch_ms")
 
 
+def q_avro_roundtrip(spark, sf_dir):
+    """S3 avro scan, oracle-gated: transcripts encoded to Avro binary
+    records (spec wire format, executor-side) and decoded back; the
+    typed output must equal the direct derivation."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aloha_spark.sources.avro import (
+        TRANSCRIPT_AVRO, _Reader, encode_value)
+
+    t = transcripts_from_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        (epoch_seconds("ts") * 1000).cast("long").alias("ts_epoch_ms"))
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f["name"] for f in TRANSCRIPT_AVRO["fields"]]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            decoded = {n: [] for n in names}
+            for rec in pdf.to_dict("records"):
+                rec = {k: (None if v is None or v != v else v)
+                       for k, v in rec.items()}
+                buf = bytearray()
+                encode_value(buf, rec, TRANSCRIPT_AVRO)
+                out = _Reader(bytes(buf)).value(TRANSCRIPT_AVRO)
+                for n in names:
+                    decoded[n].append(out.get(n))
+            yield pd.DataFrame(decoded)
+
+    return t.mapInPandas(
+        roundtrip,
+        "conv_id string, turn_idx long, role string, text string, "
+        "tool string, ts_epoch_ms long")
+
+
 def q_tree_risk(spark, sf_dir):
     """M3 decision tree (BasicDecisionTree) compiled to nested CASE WHEN
     — lazy per-branch evaluation, no UDF."""
@@ -615,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_filter": q_interval_filter,
         "linear_score": q_linear_score,
         "proto_roundtrip": q_proto_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
         # model dataflow layer (SURVEY §2.8)
         "tree_risk": q_tree_risk,
         "order_segment": q_order_segment,
@@ -803,6 +841,17 @@ SELECT c_name,
        CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS csv_line
 FROM customer""",
         "proto_roundtrip": """
+SELECT conv_id, turn_idx, role, text, tool,
+       CAST(epoch_ms(ts) AS BIGINT) AS ts_epoch_ms
+FROM (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+            AS BIGINT) AS turn_idx,
+       event_type AS role,
+       props AS text,
+       CASE WHEN event_type IN ('click', 'view') THEN event_type END AS tool,
+       ts
+FROM events) t""",
+        "avro_roundtrip": """
 SELECT conv_id, turn_idx, role, text, tool,
        CAST(epoch_ms(ts) AS BIGINT) AS ts_epoch_ms
 FROM (SELECT CAST(user_id AS VARCHAR) AS conv_id,
