@@ -88,3 +88,66 @@ def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
 
     cols = ["media_id", "kind", "payload", "width", "height"]
     return df.select(*cols).mapInPandas(run, schema=schema)
+
+
+def resize_image(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize — REAL (pure numpy index mapping), no
+    codec dependency; works on any HxWxC array from the decode stage."""
+    h0, w0 = img.shape[:2]
+    rows = np.minimum((np.arange(height) * h0 // height), h0 - 1)
+    cols = np.minimum((np.arange(width) * w0 // width), w0 - 1)
+    return img[rows][:, cols]
+
+
+def sample_frames(payload: bytes, n_frames: int,
+                  fake: bool = False) -> list[np.ndarray]:
+    """Frame sampling for video payloads.
+
+    STUB decode (no video codec in this container): with ``fake=True``
+    the payload is split into ``n_frames`` byte windows, each decoded by
+    the deterministic fake image decoder — the Spark-side contract
+    (batch shape, per-frame fan-out, deterministic output) is real."""
+    if not fake:
+        raise NotImplementedError(
+            "video codecs unavailable in this environment; pass fake=True "
+            "for the deterministic windowed decoder")
+    b = payload or b""
+    if n_frames <= 0:
+        return []
+    step = max(1, len(b) // n_frames)
+    return [decode_image(b[i * step:(i + 1) * step + 1], fake=True)
+            for i in range(n_frames)]
+
+
+def extract_frame_features(df: DataFrame, n_frames: int = 4,
+                           target: tuple = (2, 2),
+                           fake: bool = True) -> DataFrame:
+    """Video path: sample frames -> resize -> per-frame stats, exploded
+    to one row per (media_id, frame_idx) — the shape a frame-level
+    training pipeline consumes."""
+    schema = ("media_id long, frame_idx int, mean_intensity double, "
+              "resized_h int, resized_w int")
+    th, tw = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, fidx, means, rh, rw = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                frames = sample_frames(
+                    bytes(p) if p is not None else b"", n_frames, fake=fake)
+                for i, fr in enumerate(frames):
+                    small = resize_image(fr, tw, th)
+                    ids.append(mid)
+                    fidx.append(i)
+                    means.append(float(small.mean()))
+                    rh.append(small.shape[0])
+                    rw.append(small.shape[1])
+            yield pd.DataFrame({
+                "media_id": ids, "frame_idx": fidx,
+                "mean_intensity": means, "resized_h": rh, "resized_w": rw})
+
+    return (df.where(F.col("kind") == "video")
+              .select("media_id", "payload")
+              .mapInPandas(run, schema=schema))

@@ -45,3 +45,42 @@ def test_multimodal_stub_and_plumbing(spark, sf_dir):
         decode_image(b"bytes", fake=False)
     # deterministic fake decode
     assert (decode_image(b"abc", fake=True) == decode_image(b"abc", fake=True)).all()
+
+
+class TestMultimodalFrames:
+    def test_resize_is_real_numpy(self):
+        import numpy as np
+
+        from aloha_spark.sources.multimodal import resize_image
+        img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        up = resize_image(img, 8, 8)
+        assert up.shape == (8, 8, 3)
+        assert (up[::2, ::2] == img).all()  # nearest-neighbor grid
+        down = resize_image(img, 2, 2)
+        assert down.shape == (2, 2, 3)
+
+    def test_frame_sampling_deterministic(self):
+        from aloha_spark.sources.multimodal import sample_frames
+        a = sample_frames(b"hello video bytes" * 10, 4, fake=True)
+        b = sample_frames(b"hello video bytes" * 10, 4, fake=True)
+        assert len(a) == 4
+        import numpy as np
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))
+        assert sample_frames(b"x", 0, fake=True) == []
+
+    def test_frame_features_explode(self, spark, sf_dir):
+        from aloha_spark.sources.multimodal import (
+            extract_frame_features, synthesize_media)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+        media = synthesize_media(docs)
+        n_videos = media.where("kind = 'video'").count()
+        out = extract_frame_features(media, n_frames=3).collect()
+        assert len(out) == 3 * n_videos
+        assert {r.frame_idx for r in out} == {0, 1, 2}
+        assert all(r.resized_h == 2 and r.resized_w == 2 for r in out)
+        # deterministic across runs
+        again = extract_frame_features(media, n_frames=3).collect()
+        assert sorted((r.media_id, r.frame_idx, r.mean_intensity)
+                      for r in out) == \
+            sorted((r.media_id, r.frame_idx, r.mean_intensity)
+                   for r in again)
