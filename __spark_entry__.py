@@ -943,9 +943,10 @@ SELECT doc_id,
             ELSE 'de' END AS lang_guess
 FROM scored""",
         "dedup_exact": """
-SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+SELECT md5(COALESCE(text, CHR(0) || 'NULL' || CHR(0))) AS content_hash,
+       MIN(doc_id) AS keep_id,
        COUNT(*) AS dup_count
-FROM documents GROUP BY md5(text)""",
+FROM documents GROUP BY 1""",
         "media_meta": """
 SELECT CAST(doc_id AS BIGINT) AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -29,13 +29,14 @@ def ind_batch(values: pd.Series) -> list:
     """Vectorized indicator. None -> None (caller applies UNK + missing)."""
     out: list = [None] * len(values)
     vals = values.tolist()
+    from .formatting import java_double_to_string
     for i, v in enumerate(vals):
         if _is_missing(v):
             continue
         if isinstance(v, bool):
             v = "true" if v else "false"
-        elif isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
-            v = f"{v:.1f}"
+        elif isinstance(v, (float, np.floating)):
+            v = java_double_to_string(float(v))
         out[i] = {f"={v}": 1.0}
     return out
 
@@ -263,12 +264,12 @@ def pairgrams_flat(cache: TokenCache, col: str, name: str, hash_fn,
 
 
 def _ind_value_str(v) -> str:
-    """Mirror of ind_batch's value rendering."""
+    """Mirror of ind_batch's value rendering (Scala toString parity)."""
+    from .formatting import java_double_to_string
     if isinstance(v, (bool, np.bool_)):
         return "true" if v else "false"
-    if isinstance(v, (float, np.floating)) and float(v).is_integer() \
-            and abs(v) < 1e15:
-        return f"{float(v):.1f}"
+    if isinstance(v, (float, np.floating)):
+        return java_double_to_string(float(v))
     return str(v)
 
 

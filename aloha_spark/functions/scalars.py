@@ -36,8 +36,10 @@ def ind(value) -> dict[str, float]:
         return {f"={v}": 1.0 for v in value if v is not None}
     if isinstance(value, bool):
         value = "true" if value else "false"  # Scala Boolean.toString
-    elif isinstance(value, float) and value.is_integer() and abs(value) < 1e15:
-        value = f"{value:.1f}"  # Scala Double.toString of integral doubles
+    elif isinstance(value, float):
+        # full Scala Double.toString parity (scientific >= 1e7 etc.)
+        from .formatting import java_double_to_string
+        value = java_double_to_string(value)
     return {f"={value}": 1.0}
 
 

@@ -32,8 +32,16 @@ from ..functions.hashing import string_hash_array
 def exact_dedup(df: DataFrame, cols: Sequence[str] = ("text",),
                 id_col: str = "doc_id") -> DataFrame:
     """One row per distinct content: keeps min(id) as the canonical id,
-    counts duplicates.  Pure JVM: md5 over the concatenated columns."""
-    digest = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    counts duplicates.  Pure JVM: md5 over the concatenated columns.
+
+    NULLs are encoded distinctly (concat_ws silently DROPS null columns,
+    which would merge ('x', NULL) with (NULL, 'x') and with ('x','') —
+    distinct contents): every column is coalesced to a sentinel that
+    cannot collide with a real empty string."""
+    digest = F.md5(F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
+          for c in cols]))
     return (df.withColumn("content_hash", digest)
               .groupBy("content_hash")
               .agg(F.min(id_col).alias("keep_id"),

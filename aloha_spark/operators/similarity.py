@@ -64,10 +64,16 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     dense matrix; each corpus Arrow batch contributes its local top-k per
     query; a final per-query window reduces to the global top-k."""
     spark = queries.sparkSession
+    qf_t = queries.schema[q_id].dataType.simpleString()
+    cf_t = corpus.schema[c_id].dataType.simpleString()
     qrows = queries.select(q_id, q_vec).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"query_id {qf_t}, neighbor_id {cf_t}, "
+                f"cosine double, rank int")
     q_ids = [r[0] for r in qrows]
     qm = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
     bc = spark.sparkContext.broadcast((q_ids, qn))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

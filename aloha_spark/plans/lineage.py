@@ -52,12 +52,20 @@ def _lineage_rows(df: DataFrame, ts_col: str,
 
 
 def completed_buckets(spark: SparkSession, lineage_path: str) -> set[int]:
+    """Buckets already recorded.  ONLY a missing lineage path means
+    'fresh run' — any other read failure must propagate, because
+    swallowing it would silently convert a resume into a full rewrite
+    with duplicate lineage rows."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.parquet(lineage_path).select(BUCKET_COL).distinct() \
             .collect()
         return {r[0] for r in rows}
-    except Exception:
-        return set()
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return set()
+        raise
 
 
 @dataclass

@@ -48,6 +48,13 @@ from .spec import (
 _PREFIX = "__als_"
 
 
+def _src(fp: "_FeatPlan", pyname: str) -> str:
+    """Original column path for a spec variable (no lossy '__' decode)."""
+    if fp.sources and pyname in fp.sources:
+        return fp.sources[pyname]
+    return pyname
+
+
 def _lift_to_bag(value, feature_name: str) -> Optional[dict[str, float]]:
     """Scalar -> [("", x)] lifting (RegressionModelValueToTupleConversions
     .scala:40-45); dict/bag passthrough; None -> None (missing)."""
@@ -74,6 +81,7 @@ class _FeatPlan:
     fn: Optional[Callable]       # batch tier only
     variables: list[str]
     defaults: dict
+    sources: dict = None         # pyname -> original column path
     # flat whole-batch kernel for the hashed-vector sink (bag/2-grams):
     # fn(cache, name, hash_fn) -> (idx, vals, row_ids, isna)
     flat_fn: Optional[Callable] = None
@@ -119,7 +127,7 @@ def _batch_eval(plan: _ExecPlan, pdf: pd.DataFrame):
             continue
 
         if fp.kind == "vbatch":
-            src = fp.variables[0].replace("__", ".")
+            src = _src(fp, fp.variables[0])
             series = pdf[src]
             isna = series.isna().to_numpy()
             outs = fp.fn(series)
@@ -134,7 +142,7 @@ def _batch_eval(plan: _ExecPlan, pdf: pd.DataFrame):
 
         var_lists = {}
         for v in fp.variables:
-            src = v.replace("__", ".")
+            src = _src(fp, v)
             if src not in pdf.columns:
                 raise KeyError(f"feature '{name}' needs column '{src}'")
             var_lists[v] = pdf[src].tolist()
@@ -250,7 +258,7 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn):
             continue
 
         if fp.kind == "vbatch":
-            src = fp.variables[0].replace("__", ".")
+            src = _src(fp, fp.variables[0])
             series = pdf[src]
             isna_arr = series.isna().to_numpy()
             outs = fp.fn(series)
@@ -272,7 +280,7 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn):
             continue
 
         # generic tier
-        var_items = [(v, pdf[v.replace("__", ".")].tolist())
+        var_items = [(v, pdf[_src(fp, v)].tolist())
                      for v in fp.variables]
         keys, vals_, rids = [], [], []
         for i in range(n):
@@ -322,12 +330,17 @@ def _eval_dv(plan: _ExecPlan, pdf: pd.DataFrame, dv: str):
     if fp is None:
         return None
     if fp.kind in ("column", "string_column"):
-        return pdf[_PREFIX + "dv_" + dv].tolist()
+        # Arrow->pandas turns SQL NULL into NaN for float columns; the
+        # sinks' None checks must see None so a missing label degrades
+        # to an unlabeled line instead of a '\ufffd' garbage label
+        return [None if v is None or (isinstance(v, float) and v != v)
+                else v
+                for v in pdf[_PREFIX + "dv_" + dv].tolist()]
     out = []
     for i in range(len(pdf)):
         kwargs = {}
         for v in fp.variables:
-            val = pdf[v.replace("__", ".")].iloc[i]
+            val = pdf[_src(fp, v)].iloc[i]
             if val is None or (isinstance(val, float) and val != val):
                 val = fp.defaults.get(v)
             kwargs[v] = val
@@ -351,15 +364,15 @@ class FeaturePipeline:
             if col is not None:
                 self._columns[p.name] = col
                 feats.append(_FeatPlan(p.name, "column", None,
-                                       p.variables, p.defaults))
+                                       p.variables, p.defaults, p.sources))
                 continue
             vb = try_compile_vbatch(p)
             if vb is not None:
                 fn, var = vb
-                fp = _FeatPlan(p.name, "vbatch", fn, [var], {})
+                fp = _FeatPlan(p.name, "vbatch", fn, [var], {}, p.sources)
             else:
                 fp = _FeatPlan(p.name, "batch", compile_batch_fn(p),
-                               p.variables, p.defaults)
+                               p.variables, p.defaults, p.sources)
             flat = try_compile_flat(p)
             if flat is not None:
                 fp.flat_fn = flat[0]
@@ -374,10 +387,10 @@ class FeaturePipeline:
             if col is not None:
                 self._dv_columns[dv_name] = col
                 dv[dv_name] = _FeatPlan(dv_name, "column", None,
-                                        p.variables, p.defaults)
+                                        p.variables, p.defaults, p.sources)
             else:
                 dv[dv_name] = _FeatPlan(dv_name, "batch", compile_batch_fn(p),
-                                        p.variables, p.defaults)
+                                        p.variables, p.defaults, p.sources)
         self.plan = _ExecPlan(
             features=feats, dv=dv,
             default_ns=spec.default_namespace,
@@ -471,11 +484,14 @@ class FeaturePipeline:
                     continue
                 if labeled:
                     lab = labels[i] if labels else None
+                    # an importance SPEC that yields None for a row must
+                    # pass None through (labeled_vw_line then emits the
+                    # unlabeled form); only a missing spec defaults to 1
                     imp = imps[i] if imps is not None else 1.0
                     tag = tags[i] if tags is not None else (
                         decimal_format(lab, 17) if lab is not None else None)
                     lines.append(labeled_vw_line(
-                        row, lab, 1.0 if imp is None else imp, tag,
+                        row, lab, imp, tag,
                         plan.default_ns, plan.namespaces))
                 else:
                     lines.append(unlabeled_vw_line(row, plan.default_ns,
@@ -520,7 +536,7 @@ class FeaturePipeline:
         VwDownsampledMultilabelRowCreator.scala:57-67)."""
         from pyspark import TaskContext
 
-        from ..functions.rand import partition_seed, sample_combination
+        from ..functions.rand import downsample_negatives, partition_seed
         from ..sinks.vw import multilabel_vw_block
 
         keep = keep_cols if keep_cols is not None else []
@@ -544,10 +560,8 @@ class FeaturePipeline:
                     pv = pdf[positive_col].iloc[i]
                     pos = set() if pv is None else {int(x) for x in pv}
                     if downsample_negatives_to is not None:
-                        negs = [x for x in range(n_labels) if x not in pos]
-                        idxs, seed = sample_combination(
-                            len(negs), downsample_negatives_to, seed)
-                        label_ids = sorted(pos | {negs[j] for j in idxs})
+                        label_ids, seed = downsample_negatives(
+                            n_labels, pos, downsample_negatives_to, seed)
                         block = multilabel_vw_block(
                             row, n_labels, pos, plan.default_ns,
                             plan.namespaces)
@@ -594,7 +608,7 @@ class FeaturePipeline:
             if fp.kind in ("column", "string_column"):
                 eval_cols.add(_PREFIX + fp.name)
             else:
-                eval_cols.update(v.replace("__", ".") for v in fp.variables)
+                eval_cols.update(_src(fp, v) for v in fp.variables)
 
         def hash_fn(keys):
             return string_hash_array(keys, seed) & mask

@@ -120,6 +120,10 @@ class ParsedSpec:
     variables: list[str] = field(default_factory=list)
     defaults: dict[str, Any] = field(default_factory=dict)
     namespace: str = ""             # "" = VW default namespace
+    # pyname -> ORIGINAL column path; a blind '__' -> '.' reverse would
+    # corrupt real column names containing double underscores (and the
+    # conventional '${__salt}' partition column)
+    sources: dict[str, str] = field(default_factory=dict)
 
 
 def _coerce_default(s: str) -> Any:
@@ -136,18 +140,22 @@ def parse_feature_spec(name: str, spec: str, namespace: str = "") -> ParsedSpec:
     variables: list[str] = []
     defaults: dict[str, Any] = {}
 
+    sources: dict[str, str] = {}
+
     def sub(m: re.Match) -> str:
         var = m.group(1)
         pyname = var.replace(".", "__")
         if pyname not in variables:
             variables.append(pyname)
+            sources[pyname] = var
         if m.group(3) is not None:
             defaults[pyname] = _coerce_default(m.group(3))
         return pyname
 
     expr = VAR_RE.sub(sub, spec)
     return ParsedSpec(name=name, expr=expr, variables=variables,
-                      defaults=defaults, namespace=namespace)
+                      defaults=defaults, namespace=namespace,
+                      sources=sources)
 
 
 def _validate_ast(tree: ast.AST, variables: list[str]) -> None:
@@ -216,7 +224,7 @@ def try_compile_flat(parsed: ParsedSpec):
     if var not in parsed.variables:
         return None
     default = parsed.defaults.get(var)
-    src_col0 = var.replace("__", ".")
+    src_col0 = parsed.sources.get(var, var)
 
     if node.func.id == "ind":
         if len(node.args) > 1 or node.keywords or default is not None:
@@ -261,7 +269,7 @@ def try_compile_flat(parsed: ParsedSpec):
         kwargs[KWARG_ALIASES.get(kw.arg, kw.arg)] = kw.value.value
     if "max_elements" in kwargs:
         return None
-    src_col = var.replace("__", ".")
+    src_col = parsed.sources.get(var, var)
 
     fname = node.func.id
     if fname == "bag":
@@ -382,7 +390,7 @@ def try_compile_column(parsed: ParsedSpec) -> Optional[Column]:
             raise _Bail()
         if isinstance(node, ast.Name):
             if node.id in parsed.variables:
-                col = F.col(node.id.replace("__", "."))
+                col = F.col(parsed.sources.get(node.id, node.id))
                 if node.id in parsed.defaults:
                     col = F.coalesce(col, F.lit(parsed.defaults[node.id]))
                 return col
@@ -471,7 +479,7 @@ class PipelineSpec:
             if p is None:
                 continue
             for v in p.variables:
-                c = v.replace("__", ".").split(".")[0]
+                c = p.sources.get(v, v).split(".")[0]
                 if c not in cols:
                     cols.append(c)
         return cols

@@ -137,7 +137,15 @@ def normalize_vw_line(line: str) -> str:
         for tok in re.split(r"\s+", m.group(2).strip()):
             wm = _WEIGHTED_RE.match(tok)
             if wm:
-                w = float(wm.group(1))
+                try:
+                    w = float(wm.group(1))
+                except ValueError:
+                    # a feature NAME containing ':' (raw text token) —
+                    # not a weight; count as unweighted instead of
+                    # crashing the whole line (the reference normalizer
+                    # shares this ambiguity; we resolve it robustly)
+                    total += 1.0
+                    continue
                 total += w * w
             elif tok:
                 total += 1.0

@@ -148,12 +148,24 @@ def parse_message(buf: bytes, schema: ProtoSchema) -> dict:
             elif f.type == "bytes":
                 val = chunk.decode("latin-1")
             else:
-                # packed repeated scalars
+                # packed repeated scalars — element encoding depends on
+                # the field's wire class (varint vs fixed32 vs fixed64)
                 vals = []
                 j = 0
-                while j < ln:
-                    raw, j = _read_varint(chunk, j)
-                    vals.append(_decode_varint_value(raw, f))
+                if f.type in ("float", "fixed32"):
+                    fmt = "<f" if f.type == "float" else "<i"
+                    while j + 4 <= ln:
+                        vals.append(struct.unpack_from(fmt, chunk, j)[0])
+                        j += 4
+                elif f.type in ("double", "fixed64"):
+                    fmt = "<d" if f.type == "double" else "<q"
+                    while j + 8 <= ln:
+                        vals.append(struct.unpack_from(fmt, chunk, j)[0])
+                        j += 8
+                else:
+                    while j < ln:
+                        raw, j = _read_varint(chunk, j)
+                        vals.append(_decode_varint_value(raw, f))
                 if f.repeated:
                     out.setdefault(f.name, []).extend(vals)
                     continue
