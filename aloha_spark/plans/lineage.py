@@ -89,9 +89,10 @@ def write_with_lineage(
     """Write ``df`` partitioned by stable bucket with per-bucket lineage;
     resume-safe.  ``fail_after_groups`` injects a crash for testing.
 
-    The input is computed once per group (filter on the bucket column is
-    partition-pruned on re-read; for expensive upstreams persist ``df``
-    before calling).
+    The expensive upstream runs ONCE per group (for the write); lineage
+    rows are then aggregated from the files just written — a partition-
+    pruned re-read of the output, so the checksum records what is
+    actually on disk and the pipeline is never recomputed for metadata.
     """
     spark = df.sparkSession
     if checksum_cols is None:
@@ -114,12 +115,17 @@ def write_with_lineage(
         part = b.where(F.col(BUCKET_COL).isin(group))
         (part.write.mode("overwrite").partitionBy(BUCKET_COL)
              .parquet(out_path))
+        # lineage from the WRITTEN files (partition-pruned read): the
+        # checksum describes bytes on disk, and the upstream pipeline is
+        # not recomputed a second time for metadata
+        written_part = (spark.read.parquet(out_path)
+                        .where(F.col(BUCKET_COL).isin(group)))
         # record EMPTY buckets too (row_count=0, null stats): without
         # this a sparse key range re-processes every empty bucket on
         # every resume
         ids = spark.createDataFrame([(x,) for x in group],
                                     f"{BUCKET_COL} int")
-        lin = (ids.join(_lineage_rows(part, ts_col, checksum_cols),
+        lin = (ids.join(_lineage_rows(written_part, ts_col, checksum_cols),
                         BUCKET_COL, "left")
                .withColumn("row_count", F.coalesce("row_count", F.lit(0)))
                .withColumn("batch_id", F.lit(groups)))
