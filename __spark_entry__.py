@@ -536,7 +536,14 @@ def q_feature_vectors(spark, sf_dir):
         ],
         "namespaces": {}, "numBits": 18})
     pipe = FeaturePipeline(spec)
-    return pipe.to_sparse_vectors(_docs(spark, sf_dir), keep_cols=["doc_id"])
+    out = pipe.to_sparse_vectors(_docs(spark, sf_dir), keep_cols=["doc_id"])
+    # the driver's rows-only canonicalizer sorts the frame — array
+    # columns are unhashable there, so serialize the vector to one
+    # deterministic JSON string per row
+    return out.select(
+        "doc_id",
+        F.to_json(F.struct("indices", "values")).alias("vec_json"),
+        F.array_join("missing_features", ",").alias("missing"))
 
 
 def q_vw_lines(spark, sf_dir):

@@ -26,18 +26,19 @@ def _is_missing(v) -> bool:
 
 
 def ind_batch(values: pd.Series) -> list:
-    """Vectorized indicator. None -> None (caller applies UNK + missing)."""
+    """Vectorized indicator. None -> None (caller applies UNK + missing).
+    Sequence values expand to one indicator per element (Indicator.scala
+    supports iterables; aligned with scalars.ind)."""
     out: list = [None] * len(values)
     vals = values.tolist()
-    from .formatting import java_double_to_string
     for i, v in enumerate(vals):
         if _is_missing(v):
             continue
-        if isinstance(v, bool):
-            v = "true" if v else "false"
-        elif isinstance(v, (float, np.floating)):
-            v = java_double_to_string(float(v))
-        out[i] = {f"={v}": 1.0}
+        if isinstance(v, (list, tuple, np.ndarray)):
+            out[i] = {f"={_ind_value_str(e)}": 1.0
+                      for e in v if not _is_missing(e)}
+        else:
+            out[i] = {f"={_ind_value_str(v)}": 1.0}
     return out
 
 
@@ -275,9 +276,46 @@ def _ind_value_str(v) -> str:
 
 def ind_flat(cache: TokenCache, col: str, name: str, hash_fn):
     """Indicator over the whole batch: factorize raw values, hash only
-    the unique '=value' keys, gather."""
+    the unique '=value' keys, gather.
+
+    Array-typed columns (unhashable lists/ndarrays — pd.factorize raises
+    TypeError on them) take the per-element expansion path instead of
+    crashing the job: one indicator per element, None elements dropped,
+    duplicate elements collapse to one entry (dict-tier set semantics)."""
     s = cache.pdf[col]
-    codes, uniques = pd.factorize(s, use_na_sentinel=True)
+    vals_list = s.tolist()
+    listy = any(isinstance(v, (list, tuple, np.ndarray))
+                for v in vals_list if v is not None)
+    if not listy:
+        try:
+            codes, uniques = pd.factorize(s, use_na_sentinel=True)
+        except TypeError:
+            listy = True
+    if listy:
+        n = len(vals_list)
+        isna = np.zeros(n, dtype=bool)
+        keys: list = []
+        rids: list = []
+        for i, v in enumerate(vals_list):
+            if _is_missing(v):
+                isna[i] = True
+                continue
+            if isinstance(v, (list, tuple, np.ndarray)):
+                seen = set()
+                for e in v:
+                    if _is_missing(e):
+                        continue
+                    k = f"{name}={_ind_value_str(e)}"
+                    if k not in seen:
+                        seen.add(k)
+                        keys.append(k)
+                        rids.append(i)
+            else:
+                keys.append(f"{name}={_ind_value_str(v)}")
+                rids.append(i)
+        idx = hash_fn(keys) if keys else np.empty(0, np.int32)
+        return (idx, np.ones(len(rids), dtype=np.float64),
+                np.asarray(rids, dtype=np.int64), isna)
     isna = codes == -1
     if len(uniques):
         table = hash_fn([f"{name}={_ind_value_str(u)}" for u in uniques])

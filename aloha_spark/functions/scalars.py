@@ -33,14 +33,19 @@ def ind(value) -> dict[str, float]:
     if value is None:
         return dict(UNK_BAG)
     if isinstance(value, (list, tuple, set)):
-        return {f"={v}": 1.0 for v in value if v is not None}
+        return {f"={_render(v)}": 1.0 for v in value if v is not None}
+    return {f"={_render(value)}": 1.0}
+
+
+def _render(value) -> str:
+    """Scala ``toString`` parity for indicator values."""
     if isinstance(value, bool):
-        value = "true" if value else "false"  # Scala Boolean.toString
-    elif isinstance(value, float):
+        return "true" if value else "false"  # Scala Boolean.toString
+    if isinstance(value, float):
         # full Scala Double.toString parity (scientific >= 1e7 etc.)
         from .formatting import java_double_to_string
-        value = java_double_to_string(value)
-    return {f"={value}": 1.0}
+        return java_double_to_string(value)
+    return str(value)
 
 
 def intercept() -> dict[str, float]:

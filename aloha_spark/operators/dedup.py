@@ -244,27 +244,43 @@ def with_simhash(df: DataFrame, text: str = "text",
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        simhash_col: str = "simhash",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket_size: int = 1000) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming using
     4-block banding (Charikar-style): two docs within Hamming 3 of a
-    64-bit hash share at least one identical 16-bit block."""
-    blocks = [
-        F.shiftrightunsigned(F.col(simhash_col), 16 * i)
-         .bitwiseAND(F.lit(0xFFFF)).alias(f"blk{i}")
+    64-bit hash share at least one identical 16-bit block.
+
+    Same group-and-cap shape as ``lsh_candidate_pairs``: ONE shuffle on
+    (band, block), pathological buckets (a very common block value —
+    e.g. many near-zero simhashes) are bounded by ``max_bucket_size``
+    and dropped rather than exploding an O(bucket^2) join key."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col(simhash_col), 16 * i)
+             .bitwiseAND(F.lit(0xFFFF)).alias("blk"))
         for i in range(4)
-    ]
-    docs = df.select(F.col(id_col).alias("id"), F.col(simhash_col), *blocks)
-    pairs = None
-    for i in range(4):
-        l = docs.alias("l")
-        r = docs.alias("r")
-        p = (l.join(r, F.col(f"l.blk{i}") == F.col(f"r.blk{i}"))
-             .where(F.col("l.id") < F.col("r.id"))
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     F.col(f"l.{simhash_col}").alias("sh_a"),
-                     F.col(f"r.{simhash_col}").alias("sh_b")))
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.distinct()
+    ])
+    exploded = (df.select(F.col(id_col).alias("id"),
+                          F.col(simhash_col).alias("sh"),
+                          F.explode(bands).alias("b"))
+                  .select("id", "sh", F.col("b.band").alias("band"),
+                          F.col("b.blk").alias("blk")))
+    buckets = (exploded.groupBy("band", "blk")
+               .agg(F.collect_list(F.struct("id", "sh")).alias("ms"))
+               .where((F.size("ms") > 1)
+                      & (F.size("ms") <= max_bucket_size)))
+    ms = F.array_sort("ms")   # struct sort: by id first -> stable pairs
+    pair_structs = F.filter(
+        F.flatten(F.transform(
+            ms, lambda x: F.transform(
+                ms, lambda y: F.struct(
+                    x["id"].alias("id_a"), y["id"].alias("id_b"),
+                    x["sh"].alias("sh_a"), y["sh"].alias("sh_b"))))),
+        lambda p: p["id_a"] < p["id_b"])
+    pairs = (buckets.select(F.explode(pair_structs).alias("p"))
+             .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
+             .dropDuplicates(["id_a", "id_b"]))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (pairs.withColumn("hamming", hamming)
                  .where(F.col("hamming") <= max_hamming)

@@ -59,13 +59,22 @@ def brute_force_topk_sql(queries: DataFrame, corpus: DataFrame, k: int = 5,
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                      q_id: str = "vec_id", c_id: str = "vec_id",
                      q_vec: str = "embedding", c_vec: str = "embedding",
-                     round_to: Optional[int] = 6) -> DataFrame:
+                     round_to: Optional[int] = 6,
+                     max_queries: int = 100_000) -> DataFrame:
     """Exact top-k, numpy matmul path: queries collected + broadcast as a
     dense matrix; each corpus Arrow batch contributes its local top-k per
     query; a final per-query window reduces to the global top-k."""
     spark = queries.sparkSession
     qf_t = queries.schema[q_id].dataType.simpleString()
     cf_t = corpus.schema[c_id].dataType.simpleString()
+    # contract: queries are the SMALL side (driver-collected + broadcast).
+    # Fail loudly on misuse instead of silently OOMing the driver.
+    n_q = queries.limit(max_queries + 1).count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"brute_force_topk collects the query side on the driver; got "
+            f"> {max_queries} query rows — use lsh_topk/ivf_topk for a "
+            f"large query set (or raise max_queries explicitly)")
     qrows = queries.select(q_id, q_vec).collect()
     if not qrows:
         return spark.createDataFrame(
@@ -203,8 +212,18 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     from pyspark.sql.pandas.functions import pandas_udf
 
     spark = corpus.sparkSession
-    samp = corpus.select(c_vec).limit(train_sample).collect()
-    m = np.asarray([np.asarray(r[0], dtype=np.float64) for r in samp])
+    # deterministic training sample: a bare limit() is whatever
+    # partitions answer first, so recall at nprobe < n_centroids would
+    # vary run-to-run; TakeOrdered on the stable id is a single
+    # O(n log sample) scan, no full sort shuffle
+    samp = (corpus.select(c_id, c_vec).orderBy(c_id)
+            .limit(train_sample).collect())
+    if not samp:
+        return spark.createDataFrame(
+            [], f"query_id {queries.schema[q_id].dataType.simpleString()}, "
+                f"neighbor_id {corpus.schema[c_id].dataType.simpleString()}, "
+                f"cosine double, rank int")
+    m = np.asarray([np.asarray(r[1], dtype=np.float64) for r in samp])
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
     cent = _kmeans_fit(m, n_centroids, seed)
     bc = spark.sparkContext.broadcast(cent)

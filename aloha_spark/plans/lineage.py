@@ -64,6 +64,8 @@ def completed_buckets(spark: SparkSession, lineage_path: str) -> set[int]:
         return {r[0] for r in rows}
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            if _recover_repair(lineage_path):
+                return completed_buckets(spark, lineage_path)
             return set()
         raise
 
@@ -135,21 +137,65 @@ def write_with_lineage(
     return WriteReport(written, skipped, groups)
 
 
+def _repair_tmp(lineage_path: str) -> str:
+    return lineage_path.rstrip("/") + ".repair.tmp"
+
+
 def repair(spark: SparkSession, lineage_path: str,
            bad_buckets: Sequence[int]) -> None:
     """Evict lineage rows for the given buckets so the next
     ``write_with_lineage`` call rewrites exactly those buckets (dynamic
-    partition overwrite replaces their directories)."""
+    partition overwrite replaces their directories).
+
+    Crash-safe: the repaired table is written to a sibling ``.repair.tmp``
+    path first, then swapped in with directory renames.  The only
+    non-atomic window (old removed, tmp not yet renamed) is recovered by
+    ``completed_buckets``, which finishes the swap when it finds the tmp
+    next to a missing lineage path.  (Rename-based swap assumes a
+    rename-capable filesystem — local/HDFS; an object-store deployment
+    would swap via its catalog instead.)"""
     if not bad_buckets:
         return
+    import shutil
+    from urllib.parse import urlparse
+
     lin = spark.read.parquet(lineage_path)
     keep = lin.where(~F.col(BUCKET_COL).isin(list(bad_buckets)))
     # the lineage table is O(num_buckets x restarts) rows — driver-side
-    # materialization is the simple safe way to overwrite the parquet
-    # path being read (a direct overwrite would truncate its own input)
+    # materialization is the simple safe way to rewrite the path being
+    # read (a direct overwrite would truncate its own input)
     kept = keep.collect()
+    tmp = _repair_tmp(lineage_path)
     spark.createDataFrame(kept, keep.schema) \
-        .write.mode("overwrite").parquet(lineage_path)
+        .write.mode("overwrite").parquet(tmp)
+    local = urlparse(lineage_path).scheme in ("", "file")
+    if not local:
+        # no posix rename available: fall back to the direct overwrite
+        # (pre-existing behavior); tmp is left as a manual recovery copy
+        spark.createDataFrame(kept, keep.schema) \
+            .write.mode("overwrite").parquet(lineage_path)
+        return
+    lp = urlparse(lineage_path).path or lineage_path
+    tp = urlparse(tmp).path or tmp
+    shutil.rmtree(lp)
+    import os
+    os.rename(tp, lp)
+
+
+def _recover_repair(lineage_path: str) -> bool:
+    """Finish a repair swap interrupted between rmtree and rename.
+    Returns True when a recovery happened."""
+    import os
+    from urllib.parse import urlparse
+
+    if urlparse(lineage_path).scheme not in ("", "file"):
+        return False
+    lp = urlparse(lineage_path).path or lineage_path
+    tp = urlparse(_repair_tmp(lineage_path)).path or _repair_tmp(lineage_path)
+    if os.path.isdir(tp) and not os.path.exists(lp):
+        os.rename(tp, lp)
+        return True
+    return False
 
 
 def verify_lineage(spark: SparkSession, out_path: str, lineage_path: str,

@@ -112,9 +112,29 @@ class ModelContext:
     features_col: str = "features"          # array<map<string,double>>
     missing_col: str = "missing_features"
     feature_order: Optional[list[str]] = None  # names aligned with the array
+    # When not None, submodel-bearing builders register
+    # (model_id, score_column) here instead of dropping the score column
+    # — apply_model(audit=True) folds them into the audit struct's
+    # ``children`` array (the dataflow rendering of the reference's
+    # nested score-audit tree, tree_auditors.scala:107-196).
+    audit_nodes: Optional[list] = None
 
 
 Builder = Callable[[DataFrame, str, ModelContext], DataFrame]
+
+
+def _model_id(doc: dict) -> str:
+    return str(doc.get("modelId", {}).get("id", doc.get("modelType", "?")))
+
+
+def _finish_sub(df: DataFrame, ctx: ModelContext, sub_doc: dict,
+                sub_col: str) -> DataFrame:
+    """Drop a submodel score column — unless auditing, in which case it
+    is registered and kept for apply_model to fold into ``children``."""
+    if ctx.audit_nodes is not None:
+        ctx.audit_nodes.append((_model_id(sub_doc), sub_col))
+        return df
+    return df.drop(sub_col)
 
 
 def _compile_scalar(spec: str) -> Column:
@@ -154,16 +174,41 @@ def _error(doc) -> Builder:
 
 
 def _error_swallowing(doc) -> Builder:
-    """ErrorSwallowingModel.scala:42 — submodel errors -> null score."""
-    sub = build_model(doc["submodel"])
+    """ErrorSwallowingModel.scala:42 — scoring NEVER propagates an
+    error: any failure yields a null score with the error recorded in
+    ``<out>_errors``.
+
+    Failure surfaces in this dataflow engine and how each is swallowed:
+    * model-compile / plan-build errors (bad submodel doc, spec that
+      references a missing column) — caught here, whole column becomes
+      null + one error message per row;
+    * per-row expression failures — Column-tier arithmetic already
+      yields SQL NULL instead of raising (div-by-zero, log of a
+      negative, bad cast: the ``try_*`` semantics), and the batch tier
+      records per-row exceptions in ``erring_features``; a null score
+      with no explicit submodel error column is annotated as a
+      swallowed scoring error.
+    """
+    sub_doc = doc["submodel"]
 
     def b(df, out, ctx):
-        # Column-tier submodels cannot raise per-row in a recoverable
-        # way; semantic equivalent: try_* arithmetic already yields NULL
-        # on failure. Wrap by building the submodel then coalescing
-        # error columns away.
-        df2 = sub(df, out, ctx)
-        return df2
+        err_col = out + "_errors"
+        try:
+            df2 = build_model(sub_doc)(df, out, ctx)
+            # force plan analysis so unresolved-column errors surface
+            # here (lazily they would escape the swallow at action time)
+            df2.schema
+        except Exception as e:  # noqa: BLE001 — the model's contract
+            msg = f"{type(e).__name__} swallowed: {e}"
+            return (df.withColumn(out, F.lit(None).cast("double"))
+                      .withColumn(err_col, F.array(F.lit(msg))))
+        existing = (F.col(err_col) if err_col in df2.columns
+                    else F.array().cast("array<string>"))
+        swallowed = F.when(
+            F.col(out).isNull() & (F.size(existing) == 0),
+            F.array(F.lit("error swallowed: submodel produced no score"))
+        ).otherwise(existing)
+        return df2.withColumn(err_col, swallowed)
     return b
 
 
@@ -183,13 +228,15 @@ def _double_to_long(doc) -> Builder:
         conv = F.floor(x + F.lit(0.5)) if do_round else x.cast("long")
         clamped = F.greatest(F.lit(lo),
                              F.least(conv.cast("long"), F.lit(hi)))
-        return df2.withColumn(out, clamped).drop(out + "_sub")
+        return _finish_sub(df2.withColumn(out, clamped), ctx,
+                           doc["submodel"], out + "_sub")
     return b
 
 
 def _segmentation(doc) -> Builder:
     """SegmentationModel.scala:38-50: first threshold with score <= t."""
-    sub = build_model(doc["subModel"] if "subModel" in doc else doc["submodel"])
+    sub_doc = doc["subModel"] if "subModel" in doc else doc["submodel"]
+    sub = build_model(sub_doc)
     thresholds = doc["thresholds"]
     labels = doc["labels"]
     if len(thresholds) + 1 != len(labels):
@@ -203,9 +250,10 @@ def _segmentation(doc) -> Builder:
         for t, lab in reversed(list(zip(thresholds, labels[:-1]))):
             col = F.when(F.col(out + "_sub") <= F.lit(t), F.lit(lab)) \
                    .otherwise(col)
-        return df2.withColumn(
-            out, F.when(F.col(out + "_sub").isNotNull(), col)) \
-            .drop(out + "_sub")
+        return _finish_sub(
+            df2.withColumn(
+                out, F.when(F.col(out + "_sub").isNotNull(), col)),
+            ctx, sub_doc, out + "_sub")
     return b
 
 
@@ -256,10 +304,10 @@ def _decision_tree(doc) -> Builder:
         for nid, sub in submodel_leaves.items():
             tmp = f"{out}__leaf{nid}"
             df = sub(df, tmp, ctx)
-            tmp_cols.append(tmp)
+            tmp_cols.append((nid, tmp))
         df = df.withColumn(out, node_expr(root_id, out))
-        for tmp in tmp_cols:
-            df = df.drop(tmp)
+        for nid, tmp in tmp_cols:
+            df = _finish_sub(df, ctx, nodes[nid]["value"], tmp)
         return df
     return b
 
@@ -379,12 +427,17 @@ def _epsilon_greedy(doc) -> Builder:
         explore = u < F.lit(epsilon)
         action = F.when(explore, pick).otherwise(F.col(out + "_policy"))
         label_arr = F.array(*[F.lit(l) for l in labels])
-        prob = (F.when(explore | (pick == F.col(out + "_policy")),
-                       F.lit(epsilon / n)).otherwise(F.lit(0.0))
-                + F.when(~explore, F.lit(1.0 - epsilon)).otherwise(F.lit(0.0)))
-        return (df2.withColumn(out, F.element_at(label_arr, action))
-                   .withColumn(out + "_prob", prob)
-                   .drop(out + "_policy"))
+        # logged propensity of the CHOSEN action under the epsilon-greedy
+        # policy: P(a) = 1-eps+eps/N when a equals the greedy (policy)
+        # action, eps/N otherwise — independent of which way the explore
+        # coin happened to land (exploring can still pick the greedy arm)
+        prob = F.when(action == F.col(out + "_policy"),
+                      F.lit(1.0 - epsilon + epsilon / n)) \
+                .otherwise(F.lit(epsilon / n))
+        return _finish_sub(
+            df2.withColumn(out, F.element_at(label_arr, action))
+               .withColumn(out + "_prob", prob),
+            ctx, doc["defaultPolicy"], out + "_policy")
     return b
 
 
@@ -413,7 +466,8 @@ def _bootstrap(doc) -> Builder:
                      .withColumn(out + "_prob",
                                  votes.cast("double") / F.lit(float(n))))
         for i in range(n):
-            out_df = out_df.drop(f"{out}_p{i}")
+            out_df = _finish_sub(out_df, ctx, doc["policies"][i],
+                                 f"{out}_p{i}")
         return out_df
     return b
 
@@ -449,14 +503,20 @@ def apply_model(df: DataFrame, doc: dict, out: str = "score",
     """Compile + apply a model JSON to a DataFrame.
 
     ``audit=True`` additionally emits ``<out>_audit`` — a struct
-    ``(model_id, value, prob, missing, errors)`` per row, the flat form
-    of the reference's score-audit tree (audit/impl/tree/
-    tree_auditors.scala:107-196); per-stage dataset-level audit lives in
-    the lineage table (plans/lineage.py)."""
+    ``(model_id, value, prob, missing, errors, children)`` per row.
+    ``children`` is an array of ``(model_id, value)`` structs holding
+    every submodel score computed anywhere in the model tree (depth-
+    first registration order) — the dataflow rendering of the
+    reference's nested score-audit tree (audit/impl/tree/
+    tree_auditors.scala:107-196, which audits each submodel with child
+    scores); per-stage dataset-level audit lives in the lineage table
+    (plans/lineage.py)."""
     ctx = ctx or ModelContext()
+    if audit and ctx.audit_nodes is None:
+        ctx.audit_nodes = []
     df2 = build_model(doc)(df, out, ctx)
     if audit:
-        model_id = str(doc.get("modelId", {}).get("id", doc["modelType"]))
+        model_id = _model_id(doc)
         prob = (F.col(out + "_prob")
                 if out + "_prob" in df2.columns else F.lit(None).cast("double"))
         errors = (F.col(out + "_errors")
@@ -465,10 +525,19 @@ def apply_model(df: DataFrame, doc: dict, out: str = "score",
         missing = (F.col(ctx.missing_col)
                    if ctx.missing_col in df2.columns
                    else F.array().cast("array<string>"))
+        children = F.array(*[
+            F.struct(F.lit(mid).alias("model_id"),
+                     F.col(col).cast("string").alias("value"))
+            for mid, col in ctx.audit_nodes
+        ]) if ctx.audit_nodes else \
+            F.array().cast("array<struct<model_id:string,value:string>>")
         df2 = df2.withColumn(out + "_audit", F.struct(
             F.lit(model_id).alias("model_id"),
             F.col(out).cast("string").alias("value"),
             prob.alias("prob"),
             missing.alias("missing"),
-            errors.alias("errors")))
+            errors.alias("errors"),
+            children.alias("children")))
+        for _mid, col in ctx.audit_nodes or ():
+            df2 = df2.drop(col)
     return df2

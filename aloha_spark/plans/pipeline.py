@@ -613,6 +613,8 @@ class FeaturePipeline:
         def hash_fn(keys):
             return string_hash_array(keys, seed) & mask
 
+        thr = plan.num_missing_threshold
+
         def run(batches):
             for rb in batches:
                 n = rb.num_rows
@@ -623,6 +625,19 @@ class FeaturePipeline:
                                 if c in eval_cols])]).to_pandas()
                 idx, vals, row_ids, missing = \
                     _batch_eval_flat(plan, pdf, hash_fn)
+                # numMissingThreshold abort (RegressionFeatures.scala:
+                # 99-110, parity with to_vw_lines): too-missing rows
+                # yield NULL vectors, their entries dropped
+                aborted = None
+                if thr is not None:
+                    ab = np.fromiter((len(m) > thr for m in missing),
+                                     dtype=bool, count=n)
+                    if ab.any():
+                        aborted = ab
+                        keep_e = ~ab[row_ids]
+                        idx = idx[keep_e]
+                        vals = vals[keep_e]
+                        row_ids = row_ids[keep_e]
                 # ONE lexsort over the whole batch replaces n per-row
                 # argsorts: order by (row, hashed index); lexsort is
                 # stable, so equal (row, idx) entries keep insertion
@@ -642,7 +657,15 @@ class FeaturePipeline:
                 counts = np.bincount(k_rid, minlength=n)
                 offsets = np.concatenate(
                     ([0], np.cumsum(counts))).astype(np.int32)
-                off_arr = pa.array(offsets, pa.int32())
+                if aborted is None:
+                    off_arr = pa.array(offsets, pa.int32())
+                else:
+                    # a null offset marks the list element null: aborted
+                    # rows carry no entries, so offsets[i] == offsets[i+1]
+                    off_list = offsets.tolist()
+                    off_arr = pa.array(
+                        [None if i < n and aborted[i] else off_list[i]
+                         for i in range(n + 1)], pa.int32())
                 arrays = [rb.column(rb.schema.names.index(c)) for c in keep]
                 arrays.append(pa.ListArray.from_arrays(
                     off_arr, pa.array(k_idx, pa.int32())))

@@ -111,7 +111,11 @@ def _make_update_fn(gap_seconds: float):
                 "role": pdf["role"],
                 "text": pdf["text"],
                 "tool": pdf["tool"],
-                "ts": pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                # fractional seconds kept (trimmed) so sub-second rows
+                # byte-match the batch recompute; '.' guards the seconds
+                # digits from the zero-strip
+                "ts": (pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+                       .str.rstrip("0").str.rstrip(".")),
                 "dt_prev_sec": out_dt,
                 "last_tool": out_tool,
                 "session_id": out_sid,
