@@ -40,6 +40,9 @@ from ..sinks.vw import labeled_vw_line, unlabeled_vw_line
 from .spec import (
     PipelineSpec,
     compile_batch_fn,
+    extraction_alias,
+    path_needs_extraction as _needs_extract,
+    path_to_column,
     try_compile_column,
     try_compile_flat,
     try_compile_vbatch,
@@ -49,10 +52,17 @@ _PREFIX = "__als_"
 
 
 def _src(fp: "_FeatPlan", pyname: str) -> str:
-    """Original column path for a spec variable (no lossy '__' decode)."""
-    if fp.sources and pyname in fp.sources:
-        return fp.sources[pyname]
-    return pyname
+    """Column the evaluator reads for a spec variable.  Plain top-level
+    columns pass through by their original name (no lossy '__' decode);
+    accessor paths (``a.b``, ``photos[0].height``) resolve to the
+    JVM-precomputed extraction column added by ``_with_precomputed``
+    (SchemaBasedTokenizer.scala:18-68 null-safe deref, done Catalyst-
+    side so Python tiers only ever see flat columns)."""
+    src = fp.sources[pyname] if (fp.sources and pyname in fp.sources) \
+        else pyname
+    if _needs_extract(src):
+        return extraction_alias(pyname)
+    return src
 
 
 def _lift_to_bag(value, feature_name: str) -> Optional[dict[str, float]]:
@@ -412,6 +422,17 @@ class FeaturePipeline:
             else:
                 fp.kind = "column"
                 df = df.withColumn(_PREFIX + fp.name, col.cast("double"))
+        # nested / indexed accessor paths feeding Python tiers extract
+        # JVM-side (null-safe getField/getItem chains) into flat columns
+        for fp in list(self.plan.features) + list(self.plan.dv.values()):
+            if fp.kind in ("column", "string_column"):
+                continue
+            for v in fp.variables:
+                src = fp.sources.get(v, v) if fp.sources else v
+                if _needs_extract(src):
+                    alias = extraction_alias(v)
+                    if alias not in df.columns:
+                        df = df.withColumn(alias, path_to_column(src))
         for dv_name, col in self._dv_columns.items():
             df = df.withColumn(_PREFIX + "dv_" + dv_name, col)
         return df

@@ -45,6 +45,54 @@ from ..functions import textfeatures as _tf
 # reference regex: CompiledSemantics.scala:275
 VAR_RE = re.compile(r"\$\{([^\s\$\{\}:\|]+)(:\-([^\s\$\{\}:\|]+))?\}")
 
+# accessor path grammar ``(field([index])*)(.field([index])*)*`` —
+# CompiledSemanticsProtoPlugin.scala:51-60 / SchemaBasedTokenizer.scala:
+# 18-68: repeated-field indexing with null-safe (optional) dereference
+_PATH_SEG_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)((?:\[\d+\])*)$")
+
+
+def path_to_column(path: str) -> Column:
+    """Compile an accessor path (``photos[0].height``) to a Column
+    chain of ``getField``/``getItem`` — null-safe at every hop (a null
+    struct, a null array, or an out-of-range index each yield NULL,
+    the ``dereferenceAsOptional`` semantics)."""
+    col: Optional[Column] = None
+    for seg in path.split("."):
+        m = _PATH_SEG_RE.match(seg)
+        if m is None:
+            raise ValueError(f"bad accessor path segment '{seg}' in '{path}'")
+        name, idxs = m.group(1), m.group(2)
+        col = F.col(name) if col is None else col.getField(name)
+        for ix in re.findall(r"\[(\d+)\]", idxs):
+            # F.get: 0-based, NULL on out-of-range/null array even under
+            # ANSI mode — the optional-deref the reference guarantees
+            col = F.get(col, int(ix))
+    assert col is not None
+    return col
+
+
+def path_needs_extraction(path: str) -> bool:
+    """True when the source is not a plain top-level column reference
+    (nested field and/or repeated index) — those are precomputed into a
+    JVM-side column before any Python tier sees the batch."""
+    return "[" in path or "." in path
+
+
+def path_root_column(path: str) -> str:
+    return re.split(r"[.\[]", path, maxsplit=1)[0]
+
+
+def extraction_alias(pyname: str) -> str:
+    """Name of the JVM-precomputed flat column for a path variable
+    (added by FeaturePipeline._with_precomputed)."""
+    return "__als_v_" + pyname
+
+
+def runtime_source(parsed: "ParsedSpec", pyname: str) -> str:
+    """Column a Python-tier kernel reads for ``pyname`` at runtime."""
+    src = parsed.sources.get(pyname, pyname)
+    return extraction_alias(pyname) if path_needs_extraction(src) else src
+
 # Scala-spec kwarg names -> python kernel kwarg names
 KWARG_ALIASES = {"maxElements": "max_elements", "splitString": "split"}
 
@@ -144,7 +192,7 @@ def parse_feature_spec(name: str, spec: str, namespace: str = "") -> ParsedSpec:
 
     def sub(m: re.Match) -> str:
         var = m.group(1)
-        pyname = var.replace(".", "__")
+        pyname = re.sub(r"\[(\d+)\]", r"_\1_", var).replace(".", "__")
         if pyname not in variables:
             variables.append(pyname)
             sources[pyname] = var
@@ -224,7 +272,7 @@ def try_compile_flat(parsed: ParsedSpec):
     if var not in parsed.variables:
         return None
     default = parsed.defaults.get(var)
-    src_col0 = parsed.sources.get(var, var)
+    src_col0 = runtime_source(parsed, var)
 
     if node.func.id == "ind":
         if len(node.args) > 1 or node.keywords or default is not None:
@@ -269,7 +317,7 @@ def try_compile_flat(parsed: ParsedSpec):
         kwargs[KWARG_ALIASES.get(kw.arg, kw.arg)] = kw.value.value
     if "max_elements" in kwargs:
         return None
-    src_col = parsed.sources.get(var, var)
+    src_col = src_col0
 
     fname = node.func.id
     if fname == "bag":
@@ -390,7 +438,8 @@ def try_compile_column(parsed: ParsedSpec) -> Optional[Column]:
             raise _Bail()
         if isinstance(node, ast.Name):
             if node.id in parsed.variables:
-                col = F.col(parsed.sources.get(node.id, node.id))
+                src = parsed.sources.get(node.id, node.id)
+                col = path_to_column(src) if "[" in src else F.col(src)
                 if node.id in parsed.defaults:
                     col = F.coalesce(col, F.lit(parsed.defaults[node.id]))
                 return col
@@ -479,7 +528,7 @@ class PipelineSpec:
             if p is None:
                 continue
             for v in p.variables:
-                c = p.sources.get(v, v).split(".")[0]
+                c = path_root_column(p.sources.get(v, v))
                 if c not in cols:
                     cols.append(c)
         return cols
