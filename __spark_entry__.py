@@ -523,6 +523,395 @@ def q_embed_neardup(spark, sf_dir):
         .select("id_a", "id_b", F.round("c", 6).alias("cosine"))
 
 
+# --------------------------------------------------------------------------
+# round-2 coverage: oracle rows for the formerly pytest-only operators
+
+def q_indexed_paths(spark, sf_dir):
+    """P1: indexed/repeated accessor paths ${photos[i].height} with
+    null-safe out-of-range deref + spec default (CompiledSemanticsProto
+    Plugin.scala:51-60); nested struct fields feed ind() too."""
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    nested = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array(
+            F.struct(F.col("n_chars").cast("int").alias("height"),
+                     (F.col("n_chars") * 2).cast("int").alias("width")),
+            F.struct((F.col("n_chars") % 100).cast("int").alias("height"),
+                     F.lit(50).alias("width"))).alias("photos"),
+        F.struct(F.col("lang").alias("name"),
+                 F.col("text").alias("title")).alias("meta"))
+    spec = PipelineSpec.from_json({
+        "features": [
+            {"name": "h0", "spec": "${photos[0].height}"},
+            {"name": "h1", "spec": "${photos[1].height}"},
+            {"name": "h9", "spec": "${photos[9].height:--1}"},
+            {"name": "nm", "spec": "ind(${meta.name})"},
+        ], "namespaces": {}, "numBits": 18})
+    out = FeaturePipeline(spec).featurize(nested, keep_cols=["doc_id"])
+    fmap = lambda i: F.element_at("features", i)  # noqa: E731
+    return out.select(
+        "doc_id",
+        F.element_at(fmap(1), F.lit("h0")).alias("h0d"),
+        F.element_at(fmap(2), F.lit("h1")).alias("h1d"),
+        F.element_at(fmap(3), F.lit("h9")).alias("h9d"),
+        F.element_at(F.map_keys(fmap(4)), 1).alias("nm_key"))
+
+
+def q_vw_labeled(spark, sf_dir):
+    """S6: labeled VW lines (17-digit label, importance-1 elision, tag
+    defaulting to the label)."""
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "lang", "spec": "ind(${lang})"}],
+        "namespaces": {}, "label": "${doc_id} % 5"})
+    return FeaturePipeline(spec).to_vw_lines(
+        _docs(spark, sf_dir), keep_cols=["doc_id"]).select("doc_id", "vw_line")
+
+
+def q_cb_lines(spark, sf_dir):
+    """S7: contextual-bandit lines action:cost:probability
+    (VwContextualBanditRowCreator.scala:29-52)."""
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "lang", "spec": "ind(${lang})"}],
+        "namespaces": {}})
+    return FeaturePipeline(spec).to_cb_lines(
+        _docs(spark, sf_dir), "${doc_id} % 3 + 1", "${doc_id} % 7", "0.25",
+        keep_cols=["doc_id"]).select("doc_id", "cb_line")
+
+
+def _multilabel_df(spark, sf_dir):
+    return _docs(spark, sf_dir).withColumn(
+        "pos", F.array((F.col("doc_id") % 4).cast("int")))
+
+
+def q_multilabel_blocks(spark, sf_dir):
+    """S8: CSOAA-LDF blocks (shared line, dummy classes, per-label cost
+    lines, collision-free Y/y namespaces)."""
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "lang", "spec": "ind(${lang})"}],
+        "namespaces": {}})
+    out = FeaturePipeline(spec).to_multilabel_blocks(
+        _multilabel_df(spark, sf_dir), n_labels=4, positive_col="pos",
+        keep_cols=["doc_id"])
+    return out.select("doc_id",
+                      F.concat_ws("\n", "vw_block").alias("block_txt"))
+
+
+def q_multilabel_downsampled(spark, sf_dir):
+    """S9: downsampled multilabel blocks through the java.util.Random
+    sampler path; keep_negatives >= n_negatives makes the reservoir an
+    identity, so the block is deterministic and SQL-oracle-able (the LCG
+    itself is bit-pinned in tests/test_sinks_extra.py)."""
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "lang", "spec": "ind(${lang})"}],
+        "namespaces": {}})
+    out = FeaturePipeline(spec).to_multilabel_blocks(
+        _multilabel_df(spark, sf_dir), n_labels=4, positive_col="pos",
+        downsample_negatives_to=4, keep_cols=["doc_id"])
+    return out.select("doc_id",
+                      F.concat_ws("\n", "vw_block").alias("block_txt"))
+
+
+def q_sos2_weights(spark, sf_dir):
+    """F7: sos2U binning; binary-exact grid (delta=128) so the
+    interpolation weights match the oracle bit-for-bit."""
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "b", "spec": "sos2U(${n_chars}, 0, 1024, 128)"}],
+        "namespaces": {}, "numBits": 18})
+    out = FeaturePipeline(spec).featurize(
+        _docs(spark, sf_dir), keep_cols=["doc_id"])
+    return out.select(
+        "doc_id", F.explode(F.element_at("features", 1))
+        .alias("bin_key", "wt"))
+
+
+def q_csos2_weights(spark, sf_dir):
+    """F8: custom-knot SOS2 over binary-exact knot spans."""
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "c",
+                      "spec": "csos2(${n_chars}, [0, 128, 384, 896])"}],
+        "namespaces": {}, "numBits": 18})
+    out = FeaturePipeline(spec).featurize(
+        _docs(spark, sf_dir), keep_cols=["doc_id"])
+    return out.select(
+        "doc_id", F.explode(F.element_at("features", 1))
+        .alias("bin_key", "wt"))
+
+
+_MINHASH_TEXTS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "pack my box with five dozen liquor jugs"),
+    (2, "spark query engine feature hash table scan filter join agg"),
+    (3, "a b c d e f g h i j k"),
+]
+
+
+def q_minhash_trunc(spark, sf_dir):
+    """F6: min-hash truncation (smallest (stringHash, key) winners,
+    SkipGrams.scala:113-116) over fixed inputs; oracle pins the winning
+    token sets."""
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    df = spark.createDataFrame(_MINHASH_TEXTS, "id long, text string")
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "t", "spec": "bag(${text}, maxElements=4)"}],
+        "namespaces": {}, "numBits": 18})
+    out = FeaturePipeline(spec).featurize(df, keep_cols=["id"])
+    return out.select(
+        "id", F.explode(F.element_at("features", 1)).alias("token", "cnt"))
+
+
+_NORM_LINES = [
+    (0, "| a b:2 c"),
+    (1, "|t w1:3 w2:4"),
+    (2, "0.5 tag|s x:0.5 y"),
+    (3, "| f1:0.1"),
+]
+
+
+def q_vw_normalize(spark, sf_dir):
+    """F17: VW namespace L2 normalizer (0.00000 HALF_EVEN weights,
+    VwFeatureNormalizer.scala:6-31) over fixed lines."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aloha_spark.sinks.vw import normalize_vw_line
+
+    df = spark.createDataFrame(_NORM_LINES, "id long, line string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "norm_line": [normalize_vw_line(x) for x in pdf["line"]]})
+
+    return df.mapInPandas(run, "id long, norm_line string")
+
+
+_HC_INPUTS = ["alpha", "beta", "gamma", "delta", "u1", "u2", "u3", "zz"]
+
+
+def q_hashed_cat(spark, sf_dir):
+    """F18/M6: hashed categorical distribution (MurmurHash3 orderedHash
+    + alias sampler, HashedCategoricalDistribution.scala:35-45) over
+    fixed inputs; oracle pins the sampled labels."""
+    from aloha_spark.plans.models import apply_model
+    df = spark.createDataFrame(list(enumerate(_HC_INPUTS)),
+                               "id long, u string")
+    m = {"modelType": "CategoricalDistribution", "features": ["u"],
+         "probabilities": [0.25, 0.35, 0.4],
+         "labels": ["red", "green", "blue"]}
+    return apply_model(df, m, "label").select("id", "label")
+
+
+def q_libsvm_labeled(spark, sf_dir):
+    """S10/S11: labeled LibSVM lines (murmur hash, 18-bit mask, sorted,
+    java Double.toString values) over fixed inputs."""
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    df = spark.createDataFrame(
+        [(0, "spark fast query"), (1, "table scan scan filter")],
+        "id long, text string")
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "bow", "spec": "bag(${text})"}],
+        "namespaces": {}, "label": "1"})
+    return FeaturePipeline(spec).to_libsvm_lines(df, keep_cols=["id"]) \
+        .select("id", "libsvm_line")
+
+
+def q_regression_spline(spark, sf_dir):
+    """M2: regression (w.x over prefixed bag keys + intercept) composed
+    with the constant-delta spline; binary-exact weights/knots."""
+    from aloha_spark.plans.models import apply_model
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "lang", "spec": "ind(${lang})"},
+                     {"name": "nch", "spec": "${n_chars} * 0.015625"},
+                     {"name": "b", "spec": "intercept()"}],
+        "namespaces": {}, "numBits": 18})
+    feats = FeaturePipeline(spec).featurize(
+        _docs(spark, sf_dir), keep_cols=["doc_id"])
+    m = {"modelType": "Regression",
+         "weights": {"lang=en": 0.5, "lang=de": -0.25, "lang=es": 0.75,
+                     "nch": 0.5, "b": 1.0},
+         "spline": {"min": 0.0, "max": 32.0,
+                    "knots": [float(2 * i) for i in range(33)]}}
+    return apply_model(feats, m, "score").select("doc_id", "score")
+
+
+def q_csv_columnar(spark, sf_dir):
+    """S13/F19: columnar CSV sink with regular + hotOne encodings."""
+    from aloha_spark.sinks.csv_sink import csv_columns
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    feats = [{"name": "key", "column": "c_custkey", "type": "bigint"},
+             {"name": "name", "column": "c_name"},
+             {"name": "seg", "column": "c_mktsegment", "encoding": "hotOne",
+              "values": ["AUTOMOBILE", "BUILDING"], "type": "int"},
+             {"name": "bal", "column": "c_acctbal",
+              "type": "decimal(12,2)"}]
+    return csv_columns(cust, feats)
+
+
+def q_constant_model(spark, sf_dir):
+    """M1: constant model."""
+    from aloha_spark.plans.models import apply_model
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return apply_model(r, {"modelType": "Constant", "value": 2.5}, "score") \
+        .select("r_regionkey", "score")
+
+
+def q_error_model(spark, sf_dir):
+    """M8: error model — null score + error messages."""
+    from aloha_spark.plans.models import apply_model
+    d = _docs(spark, sf_dir)
+    out = apply_model(d, {"modelType": "Error", "errors": ["boom"]}, "score")
+    return out.select("doc_id", F.col("score").cast("double").alias("score"),
+                      F.array_join("score_errors", ";").alias("errs"))
+
+
+def q_error_swallow(spark, sf_dir):
+    """M9: ErrorSwallowingModel — per-row swallowed submodel failure
+    (log2 of a non-positive) yields null + recorded error."""
+    from aloha_spark.plans.models import apply_model
+    d = _docs(spark, sf_dir)
+    m = {"modelType": "ErrorSwallowingModel",
+         "submodel": {"modelType": "Spec", "spec": "log2(${n_chars} - 200)"}}
+    out = apply_model(d, m, "score")
+    return out.select("doc_id", F.round("score", 6).alias("score"),
+                      F.array_join("score_errors", ";").alias("errs"))
+
+
+def q_model_tree_leaves(spark, sf_dir):
+    """M4: ModelDecisionTree — submodel leaves referenced by the CASE."""
+    from aloha_spark.plans.models import apply_model
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    m = {"modelType": "DecisionTree", "returnBest": True,
+         "nodes": [
+             {"id": 0, "value": 0.0,
+              "selector": {"predicates": ["${c_acctbal} < 0",
+                                          "${c_acctbal} >= 0"]},
+              "children": [1, 2]},
+             {"id": 1, "value": {"modelType": "Constant", "value": -9.0}},
+             {"id": 2, "value": {"modelType": "Spec",
+                                 "spec": "${c_acctbal} * 0.5"}},
+         ]}
+    return apply_model(c, m, "score") \
+        .select("c_custkey", F.round("score", 6).alias("score"))
+
+
+def q_audit_tree(spark, sf_dir):
+    """M14: nested audit — submodel child scores inside the audit
+    struct (tree_auditors.scala:107-196)."""
+    from aloha_spark.plans.models import apply_model
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = {"modelType": "Segmentation", "modelId": {"id": 7, "name": "seg"},
+         "submodel": {"modelType": "Spec", "spec": "${o_orderkey} % 100",
+                      "modelId": {"id": 8, "name": "leaf"}},
+         "thresholds": [30, 60], "labels": ["lo", "mid", "hi"]}
+    out = apply_model(o, m, "segment", audit=True)
+    a = F.col("segment_audit")
+    return out.select(
+        "o_orderkey", "segment",
+        a["model_id"].alias("audit_model_id"),
+        a["value"].alias("audit_value"),
+        F.concat_ws(";", F.transform(
+            a["children"],
+            lambda c: F.concat(c["model_id"], F.lit("="), c["value"])))
+        .alias("child_info"))
+
+
+def q_densify(spark, sf_dir):
+    """F12: densify — sparse mapping over a fixed domain to a dense
+    vector (SparsityTransforms.scala:59-149)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from aloha_spark.functions.scalars import densify_map
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    domain = ["en", "de", "es"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            dense = [densify_map(domain, {lg: 1.0}, 0.0)
+                     for lg in pdf["lang"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "d_en": [v[0] for v in dense],
+                "d_de": [v[1] for v in dense],
+                "d_es": [v[2] for v in dense]})
+
+    return d.mapInPandas(
+        run, "doc_id long, d_en double, d_de double, d_es double")
+
+
+def q_featurize_bookkeeping(spark, sf_dir):
+    """P5/P6/F20: missing_features (null variable) and erring_features
+    (sized() guard violation) bookkeeping
+    (FeatureExtractorFunction.scala:48-66)."""
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    t = transcripts_from_events(spark, sf_dir)
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "tl", "spec": "ind(${tool})"},
+                     {"name": "sz", "spec": "sized(bag(${text}), 2)"}],
+        "namespaces": {}, "numBits": 18})
+    out = FeaturePipeline(spec).featurize(
+        t, keep_cols=["conv_id", "turn_idx"])
+    return out.select(
+        "conv_id", "turn_idx",
+        F.array_join("missing_features", ",").alias("miss"),
+        F.array_join("erring_features", ",").alias("errs"))
+
+
+def q_epsilon_pin(spark, sf_dir):
+    """M10: epsilon-greedy exploration over fixed salts; the oracle pins
+    the chosen actions and their logged propensities (1-eps+eps/N for
+    the greedy arm, eps/N otherwise)."""
+    from aloha_spark.plans.models import apply_model
+    df = spark.createDataFrame([(i,) for i in range(20)], "uid long")
+    m = {"modelType": "EpsilonGreedyExploration",
+         "defaultPolicy": {"modelType": "Constant", "value": 1},
+         "epsilon": 0.25, "salt": "${uid}",
+         "classLabels": ["a", "b", "c", "d"]}
+    return apply_model(df, m, "act").select(
+        "uid", "act", F.round("act_prob", 6).alias("act_prob"))
+
+
+def q_bootstrap_pin(spark, sf_dir):
+    """M11: bootstrap exploration (votes/N propensity) over fixed
+    salts; policies vote [1,2,2,1] so every propensity is 0.5."""
+    from aloha_spark.plans.models import apply_model
+    df = spark.createDataFrame([(i,) for i in range(20)], "uid long")
+    m = {"modelType": "BootstrapExploration",
+         "policies": [{"modelType": "Constant", "value": 1},
+                      {"modelType": "Constant", "value": 2},
+                      {"modelType": "Constant", "value": 2},
+                      {"modelType": "Constant", "value": 1}],
+         "salt": "${uid}", "classLabels": ["a", "b"]}
+    return apply_model(df, m, "act").select(
+        "uid", "act", F.round("act_prob", 6).alias("act_prob"))
+
+
 # ---- rows-only queries (hash parity / line formats / approx algorithms) --
 
 def q_feature_vectors(spark, sf_dir):
@@ -679,6 +1068,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embed_neardup": q_embed_neardup,
+        # round-2 coverage (formerly pytest-only operators)
+        "indexed_paths": q_indexed_paths,
+        "vw_labeled": q_vw_labeled,
+        "cb_lines": q_cb_lines,
+        "multilabel_blocks": q_multilabel_blocks,
+        "multilabel_downsampled": q_multilabel_downsampled,
+        "sos2_weights": q_sos2_weights,
+        "csos2_weights": q_csos2_weights,
+        "minhash_trunc": q_minhash_trunc,
+        "vw_normalize": q_vw_normalize,
+        "hashed_cat": q_hashed_cat,
+        "libsvm_labeled": q_libsvm_labeled,
+        "regression_spline": q_regression_spline,
+        "csv_columnar": q_csv_columnar,
+        "constant_model": q_constant_model,
+        "error_model": q_error_model,
+        "error_swallow": q_error_swallow,
+        "model_tree_leaves": q_model_tree_leaves,
+        "audit_tree": q_audit_tree,
+        "densify": q_densify,
+        "featurize_bookkeeping": q_featurize_bookkeeping,
+        "epsilon_pin": q_epsilon_pin,
+        "bootstrap_pin": q_bootstrap_pin,
         # rows-only (hash parity / formats / approx)
         "feature_vectors": q_feature_vectors,
         "vw_lines": q_vw_lines,
@@ -997,6 +1409,185 @@ FROM (SELECT *, ROW_NUMBER() OVER
         (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
       FROM pairs) r
 WHERE rnk <= 3""",
+        "indexed_paths": """
+SELECT doc_id,
+       CAST(n_chars AS DOUBLE) AS h0d,
+       CAST(n_chars % 100 AS DOUBLE) AS h1d,
+       CAST(-1 AS DOUBLE) AS h9d,
+       'nm=' || lang AS nm_key
+FROM documents""",
+        "vw_labeled": """
+SELECT doc_id,
+       CAST(doc_id % 5 AS VARCHAR) || ' ' || CAST(doc_id % 5 AS VARCHAR)
+       || '| lang=' || COALESCE(lang, 'UNK') AS vw_line
+FROM documents""",
+        "cb_lines": """
+SELECT doc_id,
+       CAST(doc_id % 3 + 1 AS VARCHAR) || ':' || CAST(doc_id % 7 AS VARCHAR)
+       || ':0.25 | lang=' || COALESCE(lang, 'UNK') AS cb_line
+FROM documents""",
+        "multilabel_blocks": """
+SELECT doc_id,
+       'shared | lang=' || COALESCE(lang, 'UNK') || chr(10)
+       || '2147483648:1 |y N' || chr(10)
+       || '2147483649:0 |y P' || chr(10)
+       || '0:' || (CASE WHEN doc_id % 4 = 0 THEN '0' ELSE '1' END)
+       || ' |Y _0' || chr(10)
+       || '1:' || (CASE WHEN doc_id % 4 = 1 THEN '0' ELSE '1' END)
+       || ' |Y _1' || chr(10)
+       || '2:' || (CASE WHEN doc_id % 4 = 2 THEN '0' ELSE '1' END)
+       || ' |Y _2' || chr(10)
+       || '3:' || (CASE WHEN doc_id % 4 = 3 THEN '0' ELSE '1' END)
+       || ' |Y _3' AS block_txt
+FROM documents""",
+        "multilabel_downsampled": """
+SELECT doc_id,
+       'shared | lang=' || COALESCE(lang, 'UNK') || chr(10)
+       || '2147483648:1 |y N' || chr(10)
+       || '2147483649:0 |y P' || chr(10)
+       || '0:' || (CASE WHEN doc_id % 4 = 0 THEN '0' ELSE '1' END)
+       || ' |Y _0' || chr(10)
+       || '1:' || (CASE WHEN doc_id % 4 = 1 THEN '0' ELSE '1' END)
+       || ' |Y _1' || chr(10)
+       || '2:' || (CASE WHEN doc_id % 4 = 2 THEN '0' ELSE '1' END)
+       || ' |Y _2' || chr(10)
+       || '3:' || (CASE WHEN doc_id % 4 = 3 THEN '0' ELSE '1' END)
+       || ' |Y _3' AS block_txt
+FROM documents""",
+        "sos2_weights": """
+WITH d AS (SELECT doc_id, LEAST(GREATEST(n_chars, 0), 1024) AS v
+           FROM documents),
+c AS (SELECT doc_id, CAST(v // 128 AS BIGINT) AS b,
+             CAST(v % 128 AS DOUBLE) / 128 AS frac
+      FROM d)
+SELECT doc_id, bin_key, wt FROM (
+  SELECT doc_id, 'b=' || CAST(b * 128 AS VARCHAR) AS bin_key,
+         CAST(1 AS DOUBLE) - (CASE WHEN frac = 0 THEN 0 ELSE frac END) AS wt
+  FROM c
+  UNION ALL
+  SELECT doc_id, 'b=' || CAST((b + 1) * 128 AS VARCHAR), frac
+  FROM c WHERE frac > 0) t""",
+        "csos2_weights": """
+WITH d AS (SELECT doc_id, n_chars AS v FROM documents)
+SELECT doc_id, bin_key, wt FROM (
+  SELECT doc_id, 'c=0' AS bin_key, CAST(1 AS DOUBLE) AS wt
+  FROM d WHERE v <= 0
+  UNION ALL SELECT doc_id, 'c=896', CAST(1 AS DOUBLE) FROM d WHERE v >= 896
+  UNION ALL SELECT doc_id, 'c=128', CAST(1 AS DOUBLE) FROM d WHERE v = 128
+  UNION ALL SELECT doc_id, 'c=384', CAST(1 AS DOUBLE) FROM d WHERE v = 384
+  UNION ALL SELECT doc_id, 'c=0', CAST(128 - v AS DOUBLE) / 128
+    FROM d WHERE v > 0 AND v < 128
+  UNION ALL SELECT doc_id, 'c=128', CAST(v AS DOUBLE) / 128
+    FROM d WHERE v > 0 AND v < 128
+  UNION ALL SELECT doc_id, 'c=128', CAST(384 - v AS DOUBLE) / 256
+    FROM d WHERE v > 128 AND v < 384
+  UNION ALL SELECT doc_id, 'c=384', CAST(v - 128 AS DOUBLE) / 256
+    FROM d WHERE v > 128 AND v < 384
+  UNION ALL SELECT doc_id, 'c=384', CAST(896 - v AS DOUBLE) / 512
+    FROM d WHERE v > 384 AND v < 896
+  UNION ALL SELECT doc_id, 'c=896', CAST(v - 384 AS DOUBLE) / 512
+    FROM d WHERE v > 384 AND v < 896) t""",
+        "minhash_trunc": """
+SELECT CAST(id AS BIGINT) AS id, token, CAST(cnt AS DOUBLE) AS cnt
+FROM (VALUES
+  (0,'t=brown',1.0),(0,'t=jumps',1.0),(0,'t=over',1.0),(0,'t=quick',1.0),
+  (1,'t=box',1.0),(1,'t=jugs',1.0),(1,'t=liquor',1.0),(1,'t=with',1.0),
+  (2,'t=agg',1.0),(2,'t=engine',1.0),(2,'t=feature',1.0),(2,'t=scan',1.0),
+  (3,'t=d',1.0),(3,'t=e',1.0),(3,'t=g',1.0),(3,'t=h',1.0)
+) v(id, token, cnt)""",
+        "vw_normalize": """
+SELECT CAST(id AS BIGINT) AS id, norm_line FROM (VALUES
+  (0, '| a b:2 c'),
+  (1, '|t:0.20000 w1:3 w2:4'),
+  (2, '0.5 tag|s:0.89443 x:0.5 y'),
+  (3, '| f1:0.1')
+) v(id, norm_line)""",
+        "hashed_cat": """
+SELECT CAST(id AS BIGINT) AS id, label FROM (VALUES
+  (0, 'blue'), (1, 'green'), (2, 'green'), (3, 'blue'),
+  (4, 'blue'), (5, 'green'), (6, 'blue'), (7, 'green')
+) v(id, label)""",
+        "libsvm_labeled": """
+SELECT CAST(id AS BIGINT) AS id, libsvm_line FROM (VALUES
+  (0, '1 119344:1.0 183038:1.0 189968:1.0'),
+  (1, '1 36606:1.0 50011:2.0 93231:1.0')
+) v(id, libsvm_line)""",
+        "regression_spline": """
+SELECT doc_id,
+       2.0 * LEAST(GREATEST(
+         CAST(CASE WHEN lang = 'en' THEN 0.5
+                   WHEN lang = 'de' THEN -0.25
+                   WHEN lang = 'es' THEN 0.75
+                   ELSE 0.0 END AS DOUBLE)
+         + 0.5 * (CAST(n_chars AS DOUBLE) * 0.015625)
+         + CAST(1.0 AS DOUBLE), CAST(0 AS DOUBLE)), CAST(32 AS DOUBLE))
+       AS score
+FROM documents""",
+        "csv_columnar": """
+SELECT c_custkey AS key, c_name AS name,
+       CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+            AS INTEGER) AS seg_AUTOMOBILE,
+       CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+            AS INTEGER) AS seg_BUILDING,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS bal
+FROM customer""",
+        "constant_model": """
+SELECT r_regionkey, CAST(2.5 AS DOUBLE) AS score FROM region""",
+        "error_model": """
+SELECT doc_id, CAST(NULL AS DOUBLE) AS score, 'boom' AS errs
+FROM documents""",
+        "error_swallow": """
+SELECT doc_id,
+       CASE WHEN n_chars - 200 > 0
+            THEN ROUND(LOG2(CAST(n_chars - 200 AS DOUBLE)), 6) END AS score,
+       CASE WHEN n_chars - 200 > 0 THEN ''
+            ELSE 'error swallowed: submodel produced no score' END AS errs
+FROM documents""",
+        "model_tree_leaves": """
+SELECT c_custkey,
+       ROUND(CAST(CASE WHEN c_acctbal < 0 THEN -9.0
+                       ELSE c_acctbal * 0.5 END AS DOUBLE), 6) AS score
+FROM customer""",
+        "audit_tree": """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 100 <= 30 THEN 'lo'
+            WHEN o_orderkey % 100 <= 60 THEN 'mid'
+            ELSE 'hi' END AS segment,
+       '7' AS audit_model_id,
+       CASE WHEN o_orderkey % 100 <= 30 THEN 'lo'
+            WHEN o_orderkey % 100 <= 60 THEN 'mid'
+            ELSE 'hi' END AS audit_value,
+       '8=' || CAST(o_orderkey % 100 AS VARCHAR) AS child_info
+FROM orders""",
+        "densify": """
+SELECT doc_id,
+       CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS d_en,
+       CAST(CASE WHEN lang = 'de' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS d_de,
+       CAST(CASE WHEN lang = 'es' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS d_es
+FROM documents""",
+        "featurize_bookkeeping": f"""{T}
+SELECT conv_id, turn_idx,
+       CASE WHEN tool IS NULL THEN 'tl' ELSE '' END AS miss,
+       CASE WHEN len(list_distinct(string_split_regex(TRIM(text), '\\s+'))) = 2
+            THEN '' ELSE 'sz' END AS errs
+FROM transcripts""",
+        "epsilon_pin": """
+SELECT CAST(uid AS BIGINT) AS uid, act, CAST(act_prob AS DOUBLE) AS act_prob
+FROM (VALUES
+  (0,'a',0.8125),(1,'a',0.8125),(2,'a',0.8125),(3,'a',0.8125),
+  (4,'a',0.8125),(5,'a',0.8125),(6,'b',0.0625),(7,'a',0.8125),
+  (8,'d',0.0625),(9,'a',0.8125),(10,'a',0.8125),(11,'a',0.8125),
+  (12,'c',0.0625),(13,'b',0.0625),(14,'a',0.8125),(15,'a',0.8125),
+  (16,'c',0.0625),(17,'a',0.8125),(18,'a',0.8125),(19,'a',0.8125)
+) v(uid, act, act_prob)""",
+        "bootstrap_pin": """
+SELECT CAST(uid AS BIGINT) AS uid, act, CAST(act_prob AS DOUBLE) AS act_prob
+FROM (VALUES
+  (0,'a',0.5),(1,'b',0.5),(2,'b',0.5),(3,'a',0.5),(4,'b',0.5),
+  (5,'b',0.5),(6,'b',0.5),(7,'a',0.5),(8,'a',0.5),(9,'b',0.5),
+  (10,'b',0.5),(11,'a',0.5),(12,'b',0.5),(13,'a',0.5),(14,'a',0.5),
+  (15,'b',0.5),(16,'a',0.5),(17,'b',0.5),(18,'a',0.5),(19,'a',0.5)
+) v(uid, act, act_prob)""",
         "embed_neardup": """
 WITH pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,

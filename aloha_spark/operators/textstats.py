@@ -90,10 +90,16 @@ def with_lang_id(df: DataFrame, text: str = "text") -> DataFrame:
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")))
 
 
+_FP_BASE = np.uint64(1099511628211)   # FNV-1a prime; odd => full period
+
+
 def _fingerprint_kernel(texts: pd.Series) -> pd.Series:
-    """Document fingerprint: 64-bit combination of the two smallest
-    MurmurHash3 token hashes (order-insensitive, content-sensitive).
-    Arrow-batched; hashes all tokens of the batch in one vector op."""
+    """Document fingerprint: 64-bit polynomial rolling hash over the
+    MurmurHash3 token-hash sequence, ``sum(h_j * B^(len-1-j)) mod 2^64``
+    — order- and content-sensitive (a reordering or a single-token edit
+    changes the fingerprint).  Fully vectorized: one murmur pass over the
+    batch's tokens, a power table gather, one segmented reduce; uint64
+    arithmetic wraps mod 2^64 by construction."""
     from aloha_spark.functions.hashing import string_hash_array
 
     out = np.zeros(len(texts), dtype=np.int64)
@@ -102,17 +108,23 @@ def _fingerprint_kernel(texts: pd.Series) -> pd.Series:
                        count=len(toks_per_doc))
     flat = [tok for toks in toks_per_doc for tok in toks]
     if flat:
-        hashes = string_hash_array(flat).astype(np.int64)
+        hashes = string_hash_array(flat).astype(np.int64).view(np.uint64)
         offs = np.concatenate(([0], np.cumsum(lens)))
-        for i in range(len(texts)):
-            h = hashes[offs[i]:offs[i + 1]]
-            if len(h) == 0:
-                out[i] = 0
-            else:
-                two = np.sort(h)[:2]
-                lo = two[0]
-                hi = two[1] if len(two) > 1 else two[0]
-                out[i] = (lo << 32) ^ (hi & 0xFFFFFFFF)
+        with np.errstate(over="ignore"):
+            pow_table = np.empty(int(lens.max()), dtype=np.uint64)
+            pow_table[0] = 1
+            np.multiply.accumulate(
+                np.full(len(pow_table), _FP_BASE, dtype=np.uint64)[:-1],
+                out=pow_table[1:])
+            # exponent of each token = (tokens after it in its doc)
+            exps = np.repeat(offs[1:], lens) - 1 \
+                - np.arange(len(hashes), dtype=np.int64)
+            contrib = hashes * pow_table[exps]
+            nonempty = lens > 0
+            starts = offs[:-1][nonempty]
+            sums = np.add.reduceat(contrib, starts)
+        vals = sums.view(np.int64)
+        out[np.nonzero(nonempty)[0]] = vals
     return pd.Series(out)
 
 

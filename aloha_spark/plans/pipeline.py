@@ -521,6 +521,51 @@ class FeaturePipeline:
 
         return self._lines_transform(df, keep, mk, out_col)
 
+    def to_cb_lines(self, df: DataFrame, action_spec: str, cost_spec: str,
+                    prob_spec: str, keep_cols: Optional[list] = None,
+                    out_col: str = "cb_line") -> DataFrame:
+        """Contextual-bandit lines (VwContextualBanditRowCreator.scala:
+        29-52): ``action:cost:probability`` head from the three spec
+        expressions; action filtered to > 0, probability to [0, 1]; any
+        missing/invalid value degrades to the unlabeled line."""
+        from .spec import parse_feature_spec, try_compile_column
+        from ..sinks.vw import cb_vw_line
+
+        keep = keep_cols if keep_cols is not None else []
+        cb_cols = {}
+        for nm, sp in (("action", action_spec), ("cost", cost_spec),
+                       ("probability", prob_spec)):
+            col = try_compile_column(parse_feature_spec(nm, sp))
+            if col is None:
+                raise ValueError(f"cb {nm} spec must be Column-expressible")
+            cb_cols[nm] = col
+
+        def mk(plan: _ExecPlan, pdf: pd.DataFrame) -> list:
+            order, bags, missing, erring = _batch_eval(plan, pdf)
+
+            def _clean(col):
+                vals = pdf[_PREFIX + "cb_" + col].tolist()
+                return [None if v is None
+                        or (isinstance(v, float) and v != v) else v
+                        for v in vals]
+
+            acts = _clean("action")
+            costs = _clean("cost")
+            probs = _clean("probability")
+            lines = []
+            for i in range(len(pdf)):
+                row = [bags[fi][i] for fi in range(len(order))]
+                a = acts[i]
+                lines.append(cb_vw_line(
+                    row, int(a) if a is not None else None, costs[i],
+                    probs[i], plan.default_ns, plan.namespaces))
+            return lines
+
+        pre = df
+        for nm, col in cb_cols.items():
+            pre = pre.withColumn(_PREFIX + "cb_" + nm, col)
+        return self._lines_transform(pre, keep, mk, out_col)
+
     def to_libsvm_lines(self, df: DataFrame, keep_cols: Optional[list] = None,
                         out_col: str = "libsvm_line",
                         seed: int = STRING_SEED) -> DataFrame:
@@ -558,8 +603,12 @@ class FeaturePipeline:
         from pyspark import TaskContext
 
         from ..functions.rand import downsample_negatives, partition_seed
-        from ..sinks.vw import multilabel_vw_block
+        from ..sinks.vw import determine_label_namespaces, multilabel_vw_block
 
+        # collision-free label/dummy namespace chars derived from the
+        # namespaces actually used (VwMultilabelRowCreator.scala:94-205)
+        class_ns, dummy_ns = determine_label_namespaces(
+            {name for name, _ in self.plan.namespaces})
         keep = keep_cols if keep_cols is not None else []
         pre = self._with_precomputed(df)
         plan = self.plan
@@ -585,14 +634,14 @@ class FeaturePipeline:
                             n_labels, pos, downsample_negatives_to, seed)
                         block = multilabel_vw_block(
                             row, n_labels, pos, plan.default_ns,
-                            plan.namespaces)
+                            plan.namespaces, class_ns, dummy_ns)
                         # keep shared + dummies + selected label lines
                         head, labels_lines = block[:3], block[3:]
                         block = head + [labels_lines[j] for j in label_ids]
                     else:
                         block = multilabel_vw_block(
                             row, n_labels, pos, plan.default_ns,
-                            plan.namespaces)
+                            plan.namespaces, class_ns, dummy_ns)
                     blocks.append(block)
                 out = {c: pdf[c] for c in keep}
                 out[out_col] = blocks

@@ -108,6 +108,31 @@ def cb_vw_line(bags: Bags, action: Optional[int], cost: Optional[float],
     return head + (" |" if not iv else f" {iv}")
 
 
+_PREFERRED_LABEL_NS = [("Y", "y"), ("Z", "z"), ("Λ", "λ")]
+
+
+def determine_label_namespaces(used_namespaces: set[str]) -> tuple[str, str]:
+    """Collision-free (class, dummy) label namespace chars
+    (VwMultilabelRowCreator.scala:94-205): VW keys namespaces on their
+    FIRST character, so the label namespaces must not share a first
+    char with any user namespace.  Preference order (Y,y), (Z,z),
+    (Λ,λ); otherwise the first two valid letter characters (by code
+    point) not already used."""
+    used = {s[0] for s in used_namespaces if s}
+    for actual, dummy in _PREFERRED_LABEL_NS:
+        if actual not in used and dummy not in used:
+            return actual, dummy
+    found: list[str] = []
+    for cp in range(0x10000):            # Java Char range
+        c = chr(cp)
+        if c in used or not c.isalpha() or c.isspace():
+            continue
+        found.append(c)
+        if len(found) == 2:
+            return found[0], found[1]
+    raise ValueError("could not determine collision-free label namespaces")
+
+
 def multilabel_vw_block(bags: Bags, n_labels: int, positive_indices: set[int],
                         default_ns: Optional[Sequence[int]] = None,
                         namespaces: Optional[Sequence[tuple[str, Sequence[int]]]] = None,

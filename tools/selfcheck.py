@@ -44,6 +44,89 @@ def value_hash(pdf: pd.DataFrame) -> str:
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
+def property_gates(spark, sf_dir) -> dict:
+    """Hard gates for the approx family whose outputs are not
+    SQL-expressible: every rows-only query gets either an exact-subset
+    + recall bound against its exact counterpart, or a determinism /
+    content-sensitivity property.  A failed gate counts as a problem."""
+    import itertools
+
+    gates = {}
+
+    def record(name, ok, detail):
+        gates["gate_" + name] = {
+            "status": "MATCH" if ok else "GATE_FAIL", "detail": detail}
+        print(f"[{'GATE ok' if ok else 'GATE FAIL'}] {name}: {detail}")
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    # --- minhash LSH pairs: subset of exact-Jaccard pairs + recall ---
+    import __spark_entry__ as em
+    mh = em.queries()["dedup_minhash"](spark, sf_dir).toPandas()
+
+    def shingles(t, n=3):
+        toks = t.split() if isinstance(t, str) else []
+        if len(toks) < n:
+            return frozenset([" ".join(toks)]) if toks else frozenset()
+        return frozenset(" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1))
+
+    sh = {r.doc_id: shingles(r.text) for r in docs.itertuples()}
+    exact = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        u = len(sh[a] | sh[b])
+        if u and len(sh[a] & sh[b]) / u >= 0.35:
+            exact.add((a, b))
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+           for r in mh.itertuples()}
+    subset_ok = got <= exact
+    recall = len(got & exact) / len(exact) if exact else 1.0
+    record("dedup_minhash", subset_ok and recall >= 0.7,
+           f"subset={subset_ok} recall={recall:.3f} "
+           f"(exact={len(exact)}, got={len(got)})")
+
+    # --- embedding LSH pairs: subset of the exact oracle + recall ---
+    lsh = em.queries()["embed_neardup_lsh"](spark, sf_dir).toPandas()
+    ex = em.queries()["embed_neardup"](spark, sf_dir).toPandas()
+    exact_e = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+               for r in ex.itertuples()}
+    got_e = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+             for r in lsh.itertuples()}
+    subset_ok = got_e <= exact_e
+    recall = len(got_e & exact_e) / len(exact_e) if exact_e else 1.0
+    record("embed_neardup_lsh", subset_ok and recall >= 0.1,
+           f"subset={subset_ok} recall={recall:.3f} "
+           f"(exact={len(exact_e)}, got={len(got_e)})")
+
+    # --- simhash: deterministic + equal texts => equal hashes ---
+    s1 = em.queries()["simhash"](spark, sf_dir).toPandas() \
+        .set_index("doc_id")["simhash"]
+    s2 = em.queries()["simhash"](spark, sf_dir).toPandas() \
+        .set_index("doc_id")["simhash"]
+    det = s1.sort_index().equals(s2.sort_index())
+    by_text = docs.set_index("doc_id")["text"]
+    groups = by_text.groupby(by_text).groups
+    eq_ok = all(s1[list(ids)].nunique() == 1
+                for t, ids in groups.items() if len(ids) > 1)
+    record("simhash", det and eq_ok, f"deterministic={det} "
+           f"equal_text_equal_hash={eq_ok}")
+
+    # --- fingerprint: deterministic + content-sensitive ---
+    f1 = em.queries()["doc_fingerprint"](spark, sf_dir).toPandas() \
+        .set_index("doc_id")["fingerprint"]
+    f2 = em.queries()["doc_fingerprint"](spark, sf_dir).toPandas() \
+        .set_index("doc_id")["fingerprint"]
+    det = f1.sort_index().equals(f2.sort_index())
+    eq_ok = all(f1[list(ids)].nunique() == 1
+                for t, ids in groups.items() if len(ids) > 1)
+    distinct_frac = f1.nunique() / max(1, by_text.nunique())
+    record("doc_fingerprint", det and eq_ok and distinct_frac > 0.5,
+           f"deterministic={det} equal_text_equal_fp={eq_ok} "
+           f"distinct_frac={distinct_frac:.3f}")
+
+    return gates
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -108,6 +191,9 @@ def main():
             o_sorted = odf[cols].sort_values(cols).reset_index(drop=True)
             print("  spark head:\n", s_sorted.head(3).to_string())
             print("  oracle head:\n", o_sorted.head(3).to_string())
+
+    if not only:
+        results.update(property_gates(spark, sf_dir))
 
     n_match = sum(1 for r in results.values() if r["status"] == "MATCH")
     n_bad = sum(1 for r in results.values()
