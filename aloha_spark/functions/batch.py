@@ -189,9 +189,16 @@ class TokenCache:
 
 def _count_packed(codes: np.ndarray, row_ids: np.ndarray, n_codes: int):
     """Count (row, code) pairs: one np.unique over packed int64 keys.
-    Returns (rows, codes, counts)."""
+    Returns (rows, codes, counts) ordered by FIRST OCCURRENCE in the
+    row-major entry stream — i.e. per row, insertion order.  The hashed
+    sinks re-sort anyway, but the VW line sink needs within-row
+    insertion order to byte-match the dict tier (Counter order)."""
     packed = row_ids * np.int64(n_codes) + codes
-    uniq, counts = np.unique(packed, return_counts=True)
+    uniq, first_idx, counts = np.unique(
+        packed, return_index=True, return_counts=True)
+    order = np.argsort(first_idx, kind="stable")
+    uniq = uniq[order]
+    counts = counts[order]
     return uniq // n_codes, uniq % n_codes, counts.astype(np.float64)
 
 

@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.formatting import decimal_format
+from ..functions.formatting import decimal_format, java_double_to_string
 from ..functions.hashing import STRING_SEED, string_hash_array
 from ..functions.scalars import UNK_BAG
 from ..sinks.libsvm import labeled_libsvm_line
@@ -198,12 +198,14 @@ def _batch_eval(plan: _ExecPlan, pdf: pd.DataFrame):
 
 
 def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn):
-    """Dict-free evaluator for the hashed-vector sink: returns
-    (hashed_idx, vals, row_ids, missing) with feature-name prefixing
-    applied during flattening and ``hash_fn`` (murmur stringHash +
-    numBits mask) applied per feature chunk.  Entries are feature-major;
-    the assembly lexsort re-groups by row while its stability preserves
-    feature-declaration order for last-wins dedupe.
+    """Dict-free evaluator for the flat sinks: returns
+    (hashed_idx, vals, row_ids, feat_ids, missing) with feature-name
+    prefixing applied during flattening and ``hash_fn`` applied per
+    feature chunk — murmur stringHash + numBits mask for the hashed
+    sinks, or an identity that returns the key strings themselves for
+    the VW line sink.  Entries are feature-major; downstream lexsorts
+    re-group by row while their stability preserves emission (=
+    insertion) order.
 
     Features with a flat kernel (bag / 2-grams) never materialize
     per-row dicts and hash only their per-batch unique-key table; the
@@ -214,16 +216,21 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn):
     idx_chunks: list[np.ndarray] = []
     val_chunks: list[np.ndarray] = []
     row_id_chunks: list[np.ndarray] = []
+    fid_chunks: list[np.ndarray] = []
     missing = [[] for _ in range(n)]
     arange = np.arange(n, dtype=np.int64)
     cache = TokenCache(pdf)
 
+    fi = 0
+
     def emit(keys: list, vals_: list, rids) -> None:
         idx_chunks.append(hash_fn(keys))
         val_chunks.append(np.asarray(vals_, dtype=np.float64))
-        row_id_chunks.append(np.asarray(rids, dtype=np.int64))
+        rid_arr = np.asarray(rids, dtype=np.int64)
+        row_id_chunks.append(rid_arr)
+        fid_chunks.append(np.full(len(rid_arr), fi, dtype=np.int64))
 
-    for fp in plan.features:
+    for fi, fp in enumerate(plan.features):
         name = fp.name
         unk = name + "=UNK"
 
@@ -232,6 +239,7 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn):
             idx_chunks.append(idx)
             val_chunks.append(vals_)
             row_id_chunks.append(rids)
+            fid_chunks.append(np.full(len(rids), fi, dtype=np.int64))
             if isna.any():
                 miss_rows = np.nonzero(isna)[0]
                 unk_idx = hash_fn([unk])
@@ -239,6 +247,7 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn):
                                           dtype=unk_idx.dtype))
                 val_chunks.append(np.ones(len(miss_rows), dtype=np.float64))
                 row_id_chunks.append(miss_rows.astype(np.int64))
+                fid_chunks.append(np.full(len(miss_rows), fi, dtype=np.int64))
                 for i in miss_rows:
                     missing[i].append(name)
             continue
@@ -328,11 +337,151 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn):
         idx = np.concatenate(idx_chunks)
         vals = np.concatenate(val_chunks)
         row_ids = np.concatenate(row_id_chunks)
+        feat_ids = np.concatenate(fid_chunks)
     else:
         idx = np.empty(0, dtype=np.int32)
         vals = np.empty(0, dtype=np.float64)
         row_ids = np.empty(0, dtype=np.int64)
-    return idx, vals, row_ids, missing
+        feat_ids = np.empty(0, dtype=np.int64)
+    return idx, vals, row_ids, feat_ids, missing
+
+
+_IDENTITY_KEYS = lambda keys: np.asarray(keys, dtype=object)  # noqa: E731
+
+
+def _fmt_values(vals: np.ndarray, fmt_fn, int_suffix: str = "",
+                int_max: float = 1e15) -> np.ndarray:
+    """Vectorized value formatting: integral doubles below ``int_max``
+    print via the int fast path (str(int(v)) + suffix — equal to
+    DecimalFormat / Double.toString for those magnitudes), the rest
+    through ``fmt_fn``.  Negative zero is excluded from the fast path
+    (Double.toString(-0.0) == \"-0.0\")."""
+    out = np.empty(len(vals), dtype=object)
+    ints = (vals == np.floor(vals)) & (np.abs(vals) < int_max) \
+        & ~(np.signbit(vals) & (vals == 0.0))
+    iv = vals[ints].astype(np.int64)
+    out[ints] = [str(x) + int_suffix for x in iv.tolist()]
+    rest = ~ints
+    if rest.any():
+        # values repeat heavily (bin fractions, common counts): format
+        # each distinct double once, gather
+        uq, inv = np.unique(vals[rest], return_inverse=True)
+        fmt_uq = np.array([fmt_fn(v) for v in uq.tolist()], dtype=object)
+        out[rest] = fmt_uq[inv]
+    return out
+
+
+_ROW_SENTINEL = "\x00\x1e\x00"
+
+
+def _join_rows(tokens: np.ndarray, rows: np.ndarray, n: int) -> list:
+    """Per-row ``' '.join`` without a pandas groupby: ONE global C-level
+    join with a sentinel token at row boundaries, then one split.
+    ``rows`` must be non-decreasing and aligned with ``tokens``."""
+    out = [""] * n
+    if len(tokens) == 0:
+        return out
+    chg = np.nonzero(rows[1:] != rows[:-1])[0] + 1
+    pieces = np.insert(tokens, chg, _ROW_SENTINEL)
+    bodies = " ".join(pieces.tolist()).split(f" {_ROW_SENTINEL} ")
+    present = rows[np.concatenate(([0], chg))]
+    for r, b in zip(present.tolist(), bodies):
+        out[r] = b
+    return out
+
+
+def _ns_layout(plan: _ExecPlan):
+    """Per-feature (namespace id, position inside namespace) arrays plus
+    the namespace header strings, mirroring _append_namespace's
+    iteration order (default namespace first, then declared order)."""
+    n_feats = len(plan.features)
+    ns_of = np.zeros(n_feats, dtype=np.int64)
+    pos_of = np.zeros(n_feats, dtype=np.int64)
+    headers = ["|"]
+    for pos, f in enumerate(plan.default_ns):
+        pos_of[f] = pos
+    for k, (name, idxs) in enumerate(plan.namespaces, start=1):
+        headers.append("|" + name)
+        for pos, f in enumerate(idxs):
+            ns_of[f] = k
+            pos_of[f] = pos
+    return ns_of, pos_of, np.asarray(headers, dtype=object)
+
+
+def _assemble_vw_bodies(plan: _ExecPlan, pdf: pd.DataFrame):
+    """Flat VW line assembly: feature evaluation, epsilon filtering,
+    value formatting, and namespace grouping all run over whole-batch
+    numpy arrays; the only per-row work is the final string join.
+    Returns (body_strings list aligned with rows, missing)."""
+    n = len(pdf)
+    keys, vals, rows, fids, missing = \
+        _batch_eval_flat(plan, pdf, _IDENTITY_KEYS)
+    if len(rows) == 0:
+        return [""] * n, missing
+    # epsilon rules (VwRowCreator.scala:75-83): ~1 -> bare key, ~0 ->
+    # dropped, otherwise key:DecimalFormat("0.######")
+    near_one = np.abs(vals - 1.0) < 5e-7
+    keep = near_one | (np.abs(vals) >= 5e-7)
+    keys, vals, rows, fids = keys[keep], vals[keep], rows[keep], fids[keep]
+    near_one = near_one[keep]
+    tokens = keys.copy()
+    w = np.nonzero(~near_one)[0]
+    if len(w):
+        fmts = _fmt_values(vals[w], decimal_format)
+        tokens[w] = pd.Series(keys[w]) \
+            .str.cat(pd.Series(fmts), sep=":").to_numpy(dtype=object)
+    ns_of, pos_of, headers = _ns_layout(plan)
+    ens = ns_of[fids]
+    order = np.lexsort((pos_of[fids], ens, rows))
+    srow = rows[order]
+    sns = ens[order]
+    stok = tokens[order]
+    m = len(srow)
+    new_grp = np.ones(m, dtype=bool)
+    if m > 1:
+        new_grp[1:] = (srow[1:] != srow[:-1]) | (sns[1:] != sns[:-1])
+    inter = np.empty(2 * m, dtype=object)
+    inter[0::2] = headers[sns]
+    inter[1::2] = stok
+    irow = np.repeat(srow, 2)
+    mask = np.ones(2 * m, dtype=bool)
+    mask[0::2] = new_grp
+    return _join_rows(inter[mask], irow[mask], n), missing
+
+
+def _fmt17(v) -> str:
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return decimal_format(v, 17)
+
+
+def _assemble_libsvm_lines(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn):
+    """Flat LibSVM assembly: hash/mask (vectorized), per-batch lexsort +
+    last-wins dedupe (one pass), java Double.toString rendering with an
+    integer fast path; per-row work is the final join only."""
+    n = len(pdf)
+    idx, vals, rows, _fids, missing = _batch_eval_flat(plan, pdf, hash_fn)
+    lines = [""] * n
+    if len(rows):
+        order = np.lexsort((idx, rows))
+        s_rid = rows[order]
+        s_idx = idx[order]
+        s_val = vals[order]
+        keep = np.ones(len(s_idx), dtype=bool)
+        if len(s_idx) > 1:
+            keep[:-1] = (s_idx[1:] != s_idx[:-1]) | (s_rid[1:] != s_rid[:-1])
+        k_rid = s_rid[keep]
+        k_idx = s_idx[keep]
+        k_val = s_val[keep]
+        # Double.toString goes scientific at 1e7 — int fast path below it
+        fmts = _fmt_values(k_val, java_double_to_string, int_suffix=".0",
+                           int_max=1e7)
+        toks = (pd.Series(k_idx.astype(str), dtype=object)
+                .str.cat(pd.Series(fmts), sep=":").to_numpy(dtype=object))
+        lines = _join_rows(toks, k_rid, n)
+    return lines, missing
 
 
 def _eval_dv(plan: _ExecPlan, pdf: pd.DataFrame, dv: str):
@@ -486,12 +635,45 @@ class FeaturePipeline:
 
     def to_vw_lines(self, df: DataFrame, keep_cols: Optional[list] = None,
                     labeled: Optional[bool] = None,
-                    out_col: str = "vw_line") -> DataFrame:
+                    out_col: str = "vw_line",
+                    impl: str = "flat") -> DataFrame:
+        """VW training lines.  ``impl='flat'`` (default) assembles lines
+        from the dict-free flat arrays — vectorized epsilon filtering,
+        value formatting, and namespace grouping; ``impl='dict'`` keeps
+        the per-row kernel path as the semantics oracle (A/B-gated in
+        tests/test_flat_lines.py)."""
         if labeled is None:
             labeled = self.spec.label is not None
         keep = keep_cols if keep_cols is not None else []
 
-        def mk(plan: _ExecPlan, pdf: pd.DataFrame) -> list:
+        def mk_flat(plan: _ExecPlan, pdf: pd.DataFrame) -> list:
+            bodies, missing = _assemble_vw_bodies(plan, pdf)
+            thr = plan.num_missing_threshold
+            labels = _eval_dv(plan, pdf, "label") if labeled else None
+            imps = _eval_dv(plan, pdf, "importance") if labeled else None
+            tags = _eval_dv(plan, pdf, "tag") if labeled else None
+            lines: list = []
+            for i, iv in enumerate(bodies):
+                if thr is not None and len(missing[i]) > thr:
+                    lines.append(None)  # abort row (RegressionFeatures:99-110)
+                    continue
+                if not labeled:
+                    lines.append(iv)
+                    continue
+                lab = labels[i] if labels else None
+                imp = imps[i] if imps is not None else 1.0
+                if lab is None or imp is None:
+                    lines.append(iv)
+                    continue
+                tag = tags[i] if tags is not None else _fmt17(lab)
+                t = ("" if tag is None else str(tag)).strip()
+                head = _fmt17(lab) + " "
+                if imp != 1:
+                    head += _fmt17(imp) + " "
+                lines.append(head + t + (iv if iv else "|"))
+            return lines
+
+        def mk_dict(plan: _ExecPlan, pdf: pd.DataFrame) -> list:
             order, bags, missing, erring = _batch_eval(plan, pdf)
             labels = _eval_dv(plan, pdf, "label") if labeled else None
             imps = _eval_dv(plan, pdf, "importance") if labeled else None
@@ -519,7 +701,8 @@ class FeaturePipeline:
                                                    plan.namespaces))
             return lines
 
-        return self._lines_transform(df, keep, mk, out_col)
+        return self._lines_transform(
+            df, keep, mk_flat if impl == "flat" else mk_dict, out_col)
 
     def to_cb_lines(self, df: DataFrame, action_spec: str, cost_spec: str,
                     prob_spec: str, keep_cols: Optional[list] = None,
@@ -568,23 +751,43 @@ class FeaturePipeline:
 
     def to_libsvm_lines(self, df: DataFrame, keep_cols: Optional[list] = None,
                         out_col: str = "libsvm_line",
-                        seed: int = STRING_SEED) -> DataFrame:
+                        seed: int = STRING_SEED,
+                        impl: str = "flat") -> DataFrame:
         keep = keep_cols if keep_cols is not None else []
         labeled = self.spec.label is not None
+        num_bits = self.spec.num_bits
+        mask = np.int32((1 << num_bits) - 1)
 
-        def mk(plan: _ExecPlan, pdf: pd.DataFrame) -> list:
-            order, bags, missing, erring = _batch_eval(plan, pdf)
+        def hash_fn(keys):
+            return string_hash_array(keys, seed) & mask
+
+        def _label_strs(plan, pdf):
             labels = _eval_dv(plan, pdf, "label") if labeled else None
+            if labels is None:
+                return None
+            return [None if v is None else decimal_format(float(v), 17)
+                    for v in labels]
+
+        def mk_flat(plan: _ExecPlan, pdf: pd.DataFrame) -> list:
+            bodies, _missing = _assemble_libsvm_lines(plan, pdf, hash_fn)
+            labs = _label_strs(plan, pdf)
+            if labs is None:
+                return bodies
+            return [b if l is None else (f"{l} {b}" if b else l)
+                    for l, b in zip(labs, bodies)]
+
+        def mk_dict(plan: _ExecPlan, pdf: pd.DataFrame) -> list:
+            order, bags, missing, erring = _batch_eval(plan, pdf)
+            labs = _label_strs(plan, pdf)
             lines = []
             for i in range(len(pdf)):
                 row = [bags[fi][i] for fi in range(len(order))]
-                lab = None
-                if labels is not None and labels[i] is not None:
-                    lab = decimal_format(float(labels[i]), 17)
+                lab = labs[i] if labs is not None else None
                 lines.append(labeled_libsvm_line(row, lab, plan.num_bits, seed))
             return lines
 
-        return self._lines_transform(df, keep, mk, out_col)
+        return self._lines_transform(
+            df, keep, mk_flat if impl == "flat" else mk_dict, out_col)
 
     def to_multilabel_blocks(self, df: DataFrame, n_labels: int,
                              positive_col: str,
@@ -693,7 +896,7 @@ class FeaturePipeline:
                 pdf = pa.Table.from_batches(
                     [rb.select([c for c in rb.schema.names
                                 if c in eval_cols])]).to_pandas()
-                idx, vals, row_ids, missing = \
+                idx, vals, row_ids, _fids, missing = \
                     _batch_eval_flat(plan, pdf, hash_fn)
                 # numMissingThreshold abort (RegressionFeatures.scala:
                 # 99-110, parity with to_vw_lines): too-missing rows
