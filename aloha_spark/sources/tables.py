@@ -13,9 +13,10 @@ vector separator ``ifs`` (default ","), empty-string-is-missing
 
 from __future__ import annotations
 
-from typing import Optional
+from dataclasses import dataclass
+from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -61,28 +62,86 @@ def parse_csv_type(code: str):
     return _BASE_TYPES[c], optional, vector
 
 
+@dataclass
+class AlohaEnum:
+    """Declared-value enum for 'e'-typed CSV columns (reference
+    plugin/csv/enum.scala:19-60: constants carry a (name, number) pair;
+    ordinal = declaration position; unknown constant -> the
+    IllegalArgumentException message ``No enum const class <cls>.<v>``).
+
+    Decodes to ``struct<name string, ordinal int, number int>`` so spec
+    accessors reach the parts as ``${gender.number}`` /
+    ``${gender.name}`` through the engine's path grammar."""
+    class_name: str
+    constants: Sequence[tuple[str, int]]
+
+    def __post_init__(self):
+        nums = [n for _, n in self.constants]
+        if len(set(nums)) != len(nums):
+            raise ValueError(
+                "no enum constants should have the same associated number")
+
+    def decode(self, raw: Column, strict: bool = False) -> Column:
+        mapping = F.create_map(*[
+            x for ordinal, (name, number) in enumerate(self.constants)
+            for x in (F.lit(name),
+                      F.struct(F.lit(name).alias("name"),
+                               F.lit(ordinal).alias("ordinal"),
+                               F.lit(number).alias("number")))])
+        # try_element_at: NULL on unknown constant even under ANSI mode
+        decoded = F.try_element_at(mapping, raw)
+        if strict:
+            stype = "struct<name:string,ordinal:int,number:int>"
+            err = F.raise_error(F.concat(
+                F.lit(f"No enum const class {self.class_name}."), raw))
+            decoded = F.when(raw.isNull(), F.lit(None).cast(stype)) \
+                .otherwise(F.coalesce(decoded, err.cast(stype)))
+        return decoded
+
+
 def read_aloha_csv(spark: SparkSession, path: str,
                    column_types: dict[str, str],
                    fs: str = "\t", ifs: str = ",",
-                   missing: str = "") -> DataFrame:
+                   missing: str = "",
+                   enums: Optional[dict[str, AlohaEnum]] = None,
+                   strict_enums: bool = False) -> DataFrame:
     """Read a delimited file with an Aloha column-types mapping.
 
     All fields land as strings first (lazy parse analog of
     CsvLineImpl), then cast; vector fields split on ``ifs``; the
-    missing-marker becomes NULL (EmptyStringIsMissing default)."""
+    missing-marker becomes NULL (EmptyStringIsMissing default).
+
+    ``enums`` maps 'e'-typed column names to their declared
+    :class:`AlohaEnum`; those columns decode to
+    ``struct<name, ordinal, number>`` (vectors: array of that struct).
+    An undeclared constant decodes to NULL, or raises with the
+    reference's IllegalArgumentException message when
+    ``strict_enums=True``.  An 'e' column with no declared enum keeps
+    the raw string (legacy behavior)."""
     names = list(column_types.keys())
     raw = spark.read.csv(path, sep=fs, header=False, inferSchema=False)
     for i, name in enumerate(names):
         raw = raw.withColumnRenamed(f"_c{i}", name)
     out = raw
+    enums = enums or {}
     for name, code in column_types.items():
         t, optional, vector = parse_csv_type(code)
+        base = code.lstrip("vo")
+        enum = enums.get(name) if base == "e" else None
         col = F.col(name)
         col = F.when(col == missing, None).otherwise(col)
         if vector:
-            col = F.when(col.isNull(), None).otherwise(
-                F.transform(F.split(col, F.lit(ifs).cast("string")),
-                            lambda x: x.cast(t)))
+            items = F.split(col, F.lit(ifs).cast("string"))
+            if enum is not None:
+                cast = F.transform(
+                    items, lambda x: enum.decode(
+                        F.when(x == missing, None).otherwise(x),
+                        strict_enums))
+            else:
+                cast = F.transform(items, lambda x: x.cast(t))
+            col = F.when(col.isNull(), None).otherwise(cast)
+        elif enum is not None:
+            col = enum.decode(col, strict_enums)
         else:
             col = col.cast(t)
         out = out.withColumn(name, col)

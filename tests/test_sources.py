@@ -84,3 +84,57 @@ class TestMultimodalFrames:
                       for r in out) == \
             sorted((r.media_id, r.frame_idx, r.mean_intensity)
                    for r in again)
+
+
+def test_csv_declared_enum(spark, tmp_path):
+    from aloha_spark.sources.tables import AlohaEnum
+
+    p = tmp_path / "g.csv"
+    p.write_text("u1\tMALE\tMALE,FEMALE\nu2\tFEMALE\t\nu3\tOTHER\tMALE\n")
+    gender = AlohaEnum("com.example.GenderProto",
+                       [("MALE", 1), ("FEMALE", 2)])
+    df = read_aloha_csv(
+        spark, str(p), {"uid": "s", "g": "e", "gv": "voe"},
+        enums={"g": gender, "gv": gender})
+    rows = {r.uid: r for r in df.collect()}
+    assert rows["u1"].g.name == "MALE"
+    assert rows["u1"].g.ordinal == 0 and rows["u1"].g.number == 1
+    assert rows["u2"].g.number == 2
+    assert rows["u3"].g is None          # undeclared constant -> NULL
+    assert [x.name for x in rows["u1"].gv] == ["MALE", "FEMALE"]
+    assert rows["u2"].gv is None
+
+    # strict mode raises with the reference's message
+    import pytest as _pytest
+    strict = read_aloha_csv(
+        spark, str(p), {"uid": "s", "g": "e", "gv": "voe"},
+        enums={"g": gender}, strict_enums=True)
+    with _pytest.raises(Exception, match="No enum const class "
+                        "com.example.GenderProto.OTHER"):
+        strict.collect()
+
+    # duplicate numbers rejected (enum.scala:22-24)
+    with _pytest.raises(ValueError, match="same associated number"):
+        AlohaEnum("x.Y", [("A", 1), ("B", 1)])
+
+
+def test_csv_enum_feeds_spec_accessors(spark, tmp_path):
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    from aloha_spark.sources.tables import AlohaEnum
+
+    p = tmp_path / "g2.csv"
+    p.write_text("u1\tMALE\nu2\tFEMALE\nu3\t\n")
+    gender = AlohaEnum("x.G", [("MALE", 1), ("FEMALE", 2)])
+    df = read_aloha_csv(spark, str(p), {"uid": "s", "g": "e"},
+                        enums={"g": gender})
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "gn", "spec": "ind(${g.name})"},
+                     {"name": "gnum", "spec": "${g.number}"}],
+        "namespaces": {}})
+    out = {r.uid: r for r in FeaturePipeline(spec)
+           .featurize(df, keep_cols=["uid"]).collect()}
+    assert out["u1"].features[0] == {"gn=MALE": 1.0}
+    assert out["u2"].features[1] == {"gnum": 2.0}
+    assert out["u3"].features[0] == {"gn=UNK": 1.0}
+    assert sorted(out["u3"].missing_features) == ["gn", "gnum"]
