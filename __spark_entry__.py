@@ -883,6 +883,20 @@ def q_featurize_bookkeeping(spark, sf_dir):
         F.array_join("erring_features", ",").alias("errs"))
 
 
+def q_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard verification kernel (the exact-verify stage of
+    minhash_dedup_pairs) over a fixed candidate pair set — JVM array
+    ops, DuckDB list-ops oracle."""
+    from aloha_spark.operators.dedup import exact_jaccard
+    d = _docs(spark, sf_dir).where("doc_id < 30")
+    pairs = (d.select(F.col("doc_id").alias("id_a"))
+             .crossJoin(d.select(F.col("doc_id").alias("id_b")))
+             .where("id_a < id_b"))
+    out = exact_jaccard(_docs(spark, sf_dir), pairs)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_epsilon_pin(spark, sf_dir):
     """M10: epsilon-greedy exploration over fixed salts; the oracle pins
     the chosen actions and their logged propensities (1-eps+eps/N for
@@ -1089,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_tree": q_audit_tree,
         "densify": q_densify,
         "featurize_bookkeeping": q_featurize_bookkeeping,
+        "jaccard_pairs": q_jaccard_pairs,
         "epsilon_pin": q_epsilon_pin,
         "bootstrap_pin": q_bootstrap_pin,
         # rows-only (hash parity / formats / approx)
@@ -1571,6 +1586,19 @@ SELECT conv_id, turn_idx,
        CASE WHEN len(list_distinct(string_split_regex(TRIM(text), '\\s+'))) = 2
             THEN '' ELSE 'sz' END AS errs
 FROM transcripts""",
+        "jaccard_pairs": """
+WITH ids AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(len(ts) - 3, 0) + 2),
+           i -> array_to_string(ts[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id,
+               string_split_regex(TRIM(text), '\\s+') AS ts FROM ids) t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id""",
         "epsilon_pin": """
 SELECT CAST(uid AS BIGINT) AS uid, act, CAST(act_prob AS DOUBLE) AS act_prob
 FROM (VALUES

@@ -330,8 +330,49 @@ def _regression(doc) -> Builder:
               if spline_doc else None)
     threshold = doc.get("numMissingThreshold")
 
+    def _spline_col(score: Column) -> Column:
+        """Constant-delta spline as Catalyst arithmetic (same math as
+        constant_delta_spline)."""
+        vmin, vmax = float(spline_doc["min"]), float(spline_doc["max"])
+        knots = [float(k) for k in spline_doc["knots"]]
+        if len(knots) == 1:
+            return F.when(score.isNotNull(), F.lit(knots[0]))
+        bin_ = (vmax - vmin) / (len(knots) - 1)
+        karr = F.array(*[F.lit(k) for k in knots])
+        xp = F.least(F.greatest(score, F.lit(vmin)), F.lit(vmax))
+        k = (xp - F.lit(vmin)) / F.lit(bin_)
+        i = F.floor(k).cast("int")
+        frac = k - i
+        lo = F.get(karr, i)
+        hi = F.coalesce(F.get(karr, i + 1), lo)   # k == i at the top knot
+        return F.when(frac == 0, lo) \
+                .otherwise((F.lit(1.0) - frac) * lo + frac * hi)
+
+    def _first_order_column(ctx) -> Column:
+        """Pure w.x over the prefixed bag keys as a JVM `aggregate` —
+        no Python in the scoring hot path (the common case: no
+        higher-order terms).  One pass over the bags array, weight
+        lookup from a map literal, whole-stage-codegen'd."""
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv])
+        score = F.aggregate(
+            F.col(ctx.features_col), F.lit(0.0),
+            lambda acc, bag: acc + F.aggregate(
+                F.map_entries(bag), F.lit(0.0),
+                lambda a, e: a + F.coalesce(wmap[e["key"]], F.lit(0.0))
+                * e["value"]))
+        if spline_doc:
+            score = _spline_col(score)
+        if threshold is not None:
+            score = F.when(
+                F.size(F.col(ctx.missing_col)) <= threshold, score)
+        return score
+
     def b(df, out, ctx):
         from pyspark.sql.pandas.functions import pandas_udf
+
+        if not hof_docs:
+            return df.withColumn(out, _first_order_column(ctx))
 
         hof_terms: list[tuple[list[tuple[int, str]], float]] = []
         if hof_docs:

@@ -138,3 +138,14 @@ def test_ivf_candidate_join_is_broadcast(spark):
     plan = _plan(out, "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_first_order_regression_is_jvm_only(spark, sf_dir):
+    """Pure w.x regression (no higher-order terms) must score inside
+    Catalyst (aggregate over the bags array) — no Python stage."""
+    import __spark_entry__ as em
+    plan = _plan(em.q_regression_spline(spark, sf_dir), "simple")
+    n_python = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    # exactly one Python stage: the featurize mapInPandas; scoring adds none
+    assert plan.count("MapInPandas") == 1
+    assert n_python == 0
