@@ -883,6 +883,17 @@ def q_featurize_bookkeeping(spark, sf_dir):
         F.array_join("erring_features", ",").alias("errs"))
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """LLM token budgeting: whitespace token count next to the BPE-ish
+    pre-tokenizer segment count, both pure-JVM expressions."""
+    from aloha_spark.operators.textstats import (
+        with_bpe_token_count, with_token_stats)
+    d = with_bpe_token_count(with_token_stats(_docs(spark, sf_dir)))
+    return d.select("doc_id",
+                    F.col("token_count").cast("long").alias("ws_tokens"),
+                    F.col("bpe_token_count").alias("bpe_tokens"))
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard verification kernel (the exact-verify stage of
     minhash_dedup_pairs) over a fixed candidate pair set — JVM array
@@ -1103,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_tree": q_audit_tree,
         "densify": q_densify,
         "featurize_bookkeeping": q_featurize_bookkeeping,
+        "bpe_tokens": q_bpe_tokens,
         "jaccard_pairs": q_jaccard_pairs,
         "epsilon_pin": q_epsilon_pin,
         "bootstrap_pin": q_bootstrap_pin,
@@ -1586,6 +1598,15 @@ SELECT conv_id, turn_idx,
        CASE WHEN len(list_distinct(string_split_regex(TRIM(text), '\\s+'))) = 2
             THEN '' ELSE 'sz' END AS errs
 FROM transcripts""",
+        "bpe_tokens": """
+SELECT doc_id,
+       CAST(CASE WHEN TRIM(text) = '' THEN 0
+                 ELSE len(string_split_regex(TRIM(text), '\\s+')) END
+            AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+',
+            0)) AS BIGINT) AS bpe_tokens
+FROM documents""",
         "jaccard_pairs": """
 WITH ids AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
 sh AS (

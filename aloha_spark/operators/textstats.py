@@ -29,6 +29,25 @@ def tokens_col(text: str = "text") -> Column:
             .otherwise(F.split(t, r"\s+"))
 
 
+# GPT-2-style pre-tokenizer approximation, restricted to syntax shared
+# by Java regex (Spark) and RE2 (DuckDB oracle): no lookarounds, no
+# unicode category classes.  Contractions, space-prefixed word/number/
+# punctuation runs — the standard BPE pre-split shape.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def with_bpe_token_count(df: DataFrame, text: str = "text",
+                         out_col: str = "bpe_token_count") -> DataFrame:
+    """BPE-ish token count (pre-tokenizer segments, the standard proxy
+    for LLM token budgeting) — pure JVM ``regexp_extract_all``, no
+    Python.  NULL text -> NULL count."""
+    cnt = F.size(F.regexp_extract_all(F.col(text),
+                                      F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    return df.withColumn(
+        out_col,
+        F.when(F.col(text).isNotNull(), cnt.cast("long")))
+
+
 def with_token_stats(df: DataFrame, text: str = "text") -> DataFrame:
     """token_count, char_count, avg_token_len, distinct_ratio."""
     toks = tokens_col(text)

@@ -192,3 +192,25 @@ def test_brute_force_query_guard(spark):
         "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="query side"):
         brute_force_topk(emb, emb, k=1, max_queries=5)
+
+
+def test_bpe_token_count(spark):
+    import re
+
+    from aloha_spark.operators.textstats import (
+        BPE_ISH_PATTERN, with_bpe_token_count)
+
+    texts = ["I can't believe it's 100% done!",
+             "hello   world", "", None, "a.b,c;d", "it'll re've x's"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {r.id: r.bpe_token_count
+           for r in with_bpe_token_count(df).collect()}
+    pat = re.compile(BPE_ISH_PATTERN)
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] is None
+        else:
+            assert got[i] == len(pat.findall(t)), (t, got[i])
+    # contraction split: "can't" -> " can" + "'t"
+    assert got[0] > len(texts[0].split())
