@@ -111,6 +111,56 @@ def property_gates(spark, sf_dir) -> dict:
     record("simhash", det and eq_ok, f"deterministic={det} "
            f"equal_text_equal_hash={eq_ok}")
 
+    # --- vw_lines: flat assembly byte-identical to the dict tier ---
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    vw_spec = {
+        "features": [
+            {"name": "bow", "spec": "bag(${text})"},
+            {"name": "lang", "spec": "ind(${lang})"},
+        ],
+        "namespaces": {"t": ["bow"], "m": ["lang"]},
+        "label": "${n_chars} / 1000.0"}
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flat = FeaturePipeline(PipelineSpec.from_json(vw_spec)) \
+        .to_vw_lines(docs_df, keep_cols=["doc_id"], impl="flat") \
+        .toPandas().set_index("doc_id")["vw_line"].sort_index()
+    dic = FeaturePipeline(PipelineSpec.from_json(vw_spec)) \
+        .to_vw_lines(docs_df, keep_cols=["doc_id"], impl="dict") \
+        .toPandas().set_index("doc_id")["vw_line"].sort_index()
+    n_diff = int((flat != dic).sum())
+    record("vw_lines", n_diff == 0,
+           f"flat==dict on {len(flat)} lines (diff={n_diff})")
+
+    # --- libsvm_lines: parse back == to_sparse_vectors on same spec ---
+    sv_spec = {"features": [{"name": "bow", "spec": "bag(${text})"}],
+               "namespaces": {}}
+    ls = FeaturePipeline(PipelineSpec.from_json(sv_spec)) \
+        .to_libsvm_lines(docs_df, keep_cols=["doc_id"]) \
+        .toPandas().set_index("doc_id")["libsvm_line"]
+    vecs = FeaturePipeline(PipelineSpec.from_json(sv_spec)) \
+        .to_sparse_vectors(docs_df, keep_cols=["doc_id"]) \
+        .toPandas().set_index("doc_id")
+    bad = 0
+    for did, line in ls.items():
+        entries = [e.split(":") for e in line.split()] if line else []
+        got_iv = [(int(i), float(v)) for i, v in entries]
+        want_iv = list(zip([int(x) for x in vecs.loc[did, "indices"]],
+                           [float(x) for x in vecs.loc[did, "values"]]))
+        if got_iv != want_iv:
+            bad += 1
+    record("libsvm_lines", bad == 0,
+           f"parse(lines)==sparse_vectors on {len(ls)} rows (diff={bad})")
+
+    # --- feature_vectors / media_features: determinism ---
+    for qname in ("feature_vectors", "media_features"):
+        a = em.queries()[qname](spark, sf_dir).toPandas()
+        bdf = em.queries()[qname](spark, sf_dir).toPandas()
+        key = a.columns[0]
+        same = a.sort_values(key).reset_index(drop=True) \
+            .equals(bdf.sort_values(key).reset_index(drop=True))
+        record(qname, bool(same), f"two runs identical ({len(a)} rows)")
+
     # --- fingerprint: deterministic + content-sensitive ---
     f1 = em.queries()["doc_fingerprint"](spark, sf_dir).toPandas() \
         .set_index("doc_id")["fingerprint"]
