@@ -61,14 +61,16 @@ def _shingles(text: str, n: int) -> list[str]:
 def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, seed: int = 1):
     """Returns a pandas UDF text -> array<long> of MinHash values.
 
-    Universal-hash permutations of one murmur base hash:
-    ``h_i(x) = (a_i * murmur(x) + b_i) mod p`` with p = 2^61 - 1 (a
-    Mersenne prime), a_i/b_i drawn from a seeded generator — fully
-    deterministic across runs and executors."""
+    Multiply-shift permutations of one murmur base hash:
+    ``h_i(x) = (a_i * murmur(x) + b_i) mod 2^64`` with odd ``a_i``
+    (a bijection on Z_2^64, the standard multiply-shift family) drawn
+    from a seeded generator — fully deterministic across runs and
+    executors, and ~2x cheaper than a Mersenne-prime modulus on the
+    (num_hashes x shingles) permutation matrix."""
     rng = np.random.default_rng(seed)
-    p = np.uint64((1 << 61) - 1)
-    a = rng.integers(1, int(p), size=num_hashes, dtype=np.uint64)
-    b = rng.integers(0, int(p), size=num_hashes, dtype=np.uint64)
+    a = rng.integers(1, 2 ** 63, size=num_hashes, dtype=np.uint64) \
+        | np.uint64(1)
+    b = rng.integers(0, 2 ** 63, size=num_hashes, dtype=np.uint64)
 
     @pandas_udf("array<long>")
     def minhash(texts: pd.Series) -> pd.Series:
@@ -83,14 +85,16 @@ def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, seed: int = 1):
         with np.errstate(over="ignore"):
             # (num_hashes, total_shingles) permutations for the WHOLE
             # batch at once, then segment-min per doc via reduceat
-            perm = (a[:, None] * base[None, :] + b[:, None]) % p
+            perm = a[:, None] * base[None, :] + b[:, None]
         offs = np.concatenate(([0], np.cumsum(lens)))
         nonempty = lens > 0
         # reduceat over non-empty docs only: their starts are strictly
         # increasing and each segment ends exactly at the next one
         starts_ne = offs[:-1][nonempty]
         mins_ne = np.minimum.reduceat(perm, starts_ne, axis=1)
-        sigs_ne = mins_ne.T.astype(np.int64)
+        # bit-reinterpret (not value-cast): uint64 mins above 2^63 must
+        # map deterministically into the long-typed signature column
+        sigs_ne = np.ascontiguousarray(mins_ne.T).view(np.int64)
         out: list = [[0] * num_hashes] * n_docs
         for j, i in enumerate(np.nonzero(nonempty)[0]):
             out[i] = sigs_ne[j].tolist()
@@ -99,11 +103,23 @@ def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3, seed: int = 1):
     return minhash
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the heavy signature UDF gets cluster-wide parallelism: a
+    small file count (one parquet file -> one partition locally) would
+    otherwise serialize the whole kernel on one task.  At real scale the
+    input already has >= defaultParallelism partitions and this is a
+    no-op (no shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_minhash(df: DataFrame, text: str = "text", num_hashes: int = 64,
                  shingle_n: int = 3, seed: int = 1,
                  out_col: str = "minhash") -> DataFrame:
-    return df.withColumn(out_col,
-                         make_minhash_udf(num_hashes, shingle_n, seed)(F.col(text)))
+    return _spread(df).withColumn(
+        out_col, make_minhash_udf(num_hashes, shingle_n, seed)(F.col(text)))
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -239,7 +255,7 @@ def make_simhash_udf(bits: int = 64):
 
 def with_simhash(df: DataFrame, text: str = "text",
                  out_col: str = "simhash") -> DataFrame:
-    return df.withColumn(out_col, make_simhash_udf()(F.col(text)))
+    return _spread(df).withColumn(out_col, make_simhash_udf()(F.col(text)))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",

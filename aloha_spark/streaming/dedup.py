@@ -1,0 +1,60 @@
+"""Streaming deduplication (engine-side extension of the batch dedup
+family in operators/dedup.py).
+
+Two bounded-state shapes, both pure Structured Streaming — no custom
+state handler:
+
+* ``streaming_exact_dedup`` — drop re-deliveries of the same content
+  forever-within-the-watermark: a 16-byte md5 content digest +
+  ``dropDuplicatesWithinWatermark``.  State is bounded by the watermark
+  horizon (a row's digest is evicted once the watermark passes its
+  event time), which is the only state contract that survives an
+  unbounded stream at 100 TB/day — exact-forever dedup belongs in the
+  batch layer over bounded partitions (operators/dedup.py::exact_dedup).
+* ``streaming_event_dedup`` — idempotent re-ingestion by (id, ts)
+  within the watermark; the standard at-least-once -> effectively-once
+  bridge in front of any downstream sink.
+
+Digest parity: the NULL-sentinel encoding matches
+``operators/dedup.py::exact_dedup`` (concat_ws silently drops NULL
+columns, which would conflate distinct contents), so a streaming tail
+and a batch backfill agree on what counts as a duplicate.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def content_digest(cols: Sequence[str]) -> "F.Column":
+    """16-byte md5 over the NULL-sentinel-encoded content columns —
+    identical construction to the batch exact_dedup digest."""
+    return F.md5(F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
+          for c in cols]))
+
+
+def streaming_exact_dedup(stream: DataFrame,
+                          cols: Sequence[str] = ("text",),
+                          ts_col: str = "ts",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Keep the first delivery of each distinct content within the
+    watermark horizon; duplicates arriving later than the watermark are
+    the batch layer's job."""
+    return (stream
+            .withColumn("content_hash", content_digest(cols))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"]))
+
+
+def streaming_event_dedup(stream: DataFrame,
+                          id_cols: Sequence[str] = ("conv_id", "turn_idx"),
+                          ts_col: str = "ts",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Idempotent re-delivery filter keyed on the event identity."""
+    return (stream
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(id_cols)))
