@@ -1003,7 +1003,7 @@ def q_doc_fingerprint(spark, sf_dir):
 def q_embed_neardup_lsh(spark, sf_dir):
     from aloha_spark.operators.dedup import embedding_neardup_pairs
     return embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.35,
-                                   planes=8, probe_hamming=1)
+                                   planes=8, probe_hamming=1, n_tables=8)
 
 
 def q_doc_quality(spark, sf_dir):

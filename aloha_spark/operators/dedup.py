@@ -310,40 +310,53 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.95,
                             planes: int = 12, seed: int = 5,
-                            probe_hamming: int = 1) -> DataFrame:
+                            probe_hamming: int = 1,
+                            n_tables: int = 1) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold.
 
-    Scale path: random-hyperplane LSH code per vector (numpy matmul in a
-    pandas UDF), candidates = pairs sharing a code within Hamming <=
-    probe_hamming (via code-block join on masked codes), verified with
-    exact cosine (JVM ``aggregate``/``zip_with`` arithmetic)."""
+    Scale path: random-hyperplane LSH code per vector (numpy matmul in
+    a pandas UDF), candidates = pairs sharing a code within Hamming <=
+    probe_hamming in ANY of ``n_tables`` independent tables (the
+    standard recall amplification: miss probability decays as
+    ``(1-p^planes)^n_tables``), verified with exact cosine (JVM
+    ``aggregate``/``zip_with`` arithmetic).  Candidate volume grows
+    linearly in n_tables; the equi-join key (table, code) keeps every
+    table's buckets disjoint in one shuffle."""
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
     rng = np.random.default_rng(seed)
-    planes_mat = rng.standard_normal((dim, planes)).astype(np.float64)
+    mats = rng.standard_normal((n_tables, dim, planes)).astype(np.float64)
 
-    @pandas_udf("int")
-    def code_udf(vecs: pd.Series) -> pd.Series:
+    @pandas_udf("array<int>")
+    def codes_udf(vecs: pd.Series) -> pd.Series:
         m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         if m.size == 0:
-            return pd.Series(np.zeros(0, dtype=np.int32))
-        bits = (m @ planes_mat) > 0
-        codes = np.zeros(len(m), dtype=np.int64)
-        for b in range(planes):
-            codes |= bits[:, b].astype(np.int64) << b
-        return pd.Series(codes.astype(np.int32))
+            return pd.Series([])
+        weights = (np.int64(1) << np.arange(planes, dtype=np.int64))
+        out = np.empty((len(m), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            bits = (m @ mats[t]) > 0
+            out[:, t] = bits.astype(np.int64) @ weights
+        return pd.Series(out.astype(np.int32).tolist())
 
     coded = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                      code_udf(F.col(vec_col)).alias("code"))
-    # multi-probe: join on code with one bit masked out (covers Hamming<=1)
+                      codes_udf(F.col(vec_col)).alias("codes"))
+    # one row per (vector, table): the join key is (table, code)
+    tbl = (coded.select(
+        "id", "v",
+        F.posexplode("codes").alias("tbl", "code")))
+    # multi-probe: also join on the code with one bit flipped
     probes = [F.col("code")]
     if probe_hamming >= 1:
-        probes += [F.col("code").bitwiseXOR(F.lit(1 << b)) for b in range(planes)]
-    exploded = coded.select(
-        "id", "v", F.explode(F.array(*[p.alias("p") for p in probes])).alias("probe"))
-    l = coded.alias("l")
+        probes += [F.col("code").bitwiseXOR(F.lit(1 << b))
+                   for b in range(planes)]
+    exploded = tbl.select(
+        "id", "v", "tbl",
+        F.explode(F.array(*[p.alias("p") for p in probes])).alias("probe"))
+    l = tbl.alias("l")
     r = exploded.alias("r")
-    cands = (l.join(r, F.col("l.code") == F.col("r.probe"))
+    cands = (l.join(r, (F.col("l.tbl") == F.col("r.tbl"))
+                    & (F.col("l.code") == F.col("r.probe")))
              .where(F.col("l.id") < F.col("r.id"))
              .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                      F.col("l.v").alias("va"), F.col("r.v").alias("vb"))

@@ -207,3 +207,32 @@ class TestIvfTopk:
         # well-separated clusters: probing the single nearest cell must
         # recover nearly all true neighbors
         assert recall >= 0.9, recall
+
+
+class TestMultiTableLsh:
+    def test_recall_grows_with_tables_and_stays_subset(self, spark, embs):
+        from aloha_spark.operators.dedup import embedding_neardup_pairs
+        from aloha_spark.operators.similarity import brute_force_topk_sql
+
+        e = embs
+        # exact pair set at the threshold (small corpus: cross join ok)
+        a, b = e.alias("a"), e.alias("b")
+        from pyspark.sql import functions as F
+        from aloha_spark.operators.similarity import _cosine_expr
+        exact = {(r.id_a, r.id_b) for r in
+                 (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+                  .select(F.col("a.vec_id").alias("id_a"),
+                          F.col("b.vec_id").alias("id_b"),
+                          _cosine_expr("a.embedding", "b.embedding")
+                          .alias("c"))
+                  .where("c >= 0.35")).collect()}
+        assert exact, "fixture must contain near pairs at the threshold"
+        rec = {}
+        for nt in (1, 6):
+            got = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(
+                e, threshold=0.35, planes=8, probe_hamming=1,
+                n_tables=nt).collect()}
+            assert got <= exact
+            rec[nt] = len(got & exact) / max(1, len(exact))
+        assert rec[6] >= rec[1]
+        assert rec[6] >= 0.4

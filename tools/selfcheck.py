@@ -94,7 +94,7 @@ def property_gates(spark, sf_dir) -> dict:
              for r in lsh.itertuples()}
     subset_ok = got_e <= exact_e
     recall = len(got_e & exact_e) / len(exact_e) if exact_e else 1.0
-    record("embed_neardup_lsh", subset_ok and recall >= 0.1,
+    record("embed_neardup_lsh", subset_ok and recall >= 0.5,
            f"subset={subset_ok} recall={recall:.3f} "
            f"(exact={len(exact_e)}, got={len(got_e)})")
 
