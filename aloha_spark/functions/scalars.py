@@ -28,23 +28,29 @@ UNK_BAG: dict[str, float] = {"=UNK": 1.0}  # DefaultForMissingDataInReg
 
 
 def ind(value) -> dict[str, float]:
-    """Indicator: ``[("=" + str(value), 1.0)]``; None -> =UNK; iterables
-    produce one indicator per element (None elements dropped)."""
+    """Indicator: ``[("=" + str(value), 1.0)]``; None -> =UNK; sequences
+    (list/tuple/set/ndarray — the Arrow tiers hand ndarrays to the
+    generic kernel) produce one indicator per element, with None/NaN
+    elements dropped — identical semantics to ind_batch/ind_flat."""
+    import numpy as np
     if value is None:
         return dict(UNK_BAG)
-    if isinstance(value, (list, tuple, set)):
-        return {f"={_render(v)}": 1.0 for v in value if v is not None}
+    if isinstance(value, (list, tuple, set, np.ndarray)):
+        return {f"={_render(v)}": 1.0 for v in value
+                if not (v is None or (isinstance(v, (float, np.floating))
+                                      and v != v))}
     return {f"={_render(value)}": 1.0}
 
 
 def _render(value) -> str:
     """Scala ``toString`` parity for indicator values."""
-    if isinstance(value, bool):
+    import numpy as np
+    if isinstance(value, (bool, np.bool_)):
         return "true" if value else "false"  # Scala Boolean.toString
-    if isinstance(value, float):
+    if isinstance(value, (float, np.floating)):
         # full Scala Double.toString parity (scientific >= 1e7 etc.)
         from .formatting import java_double_to_string
-        return java_double_to_string(value)
+        return java_double_to_string(float(value))
     return str(value)
 
 

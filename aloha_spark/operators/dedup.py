@@ -29,20 +29,25 @@ from ..functions.hashing import string_hash_array
 # ---------------------------------------------------------------------------
 # exact dedup
 
-def exact_dedup(df: DataFrame, cols: Sequence[str] = ("text",),
-                id_col: str = "doc_id") -> DataFrame:
-    """One row per distinct content: keeps min(id) as the canonical id,
-    counts duplicates.  Pure JVM: md5 over the concatenated columns.
-
-    NULLs are encoded distinctly (concat_ws silently DROPS null columns,
-    which would merge ('x', NULL) with (NULL, 'x') and with ('x','') —
-    distinct contents): every column is coalesced to a sentinel that
-    cannot collide with a real empty string."""
-    digest = F.md5(F.concat_ws(
+def content_digest(cols: Sequence[str]) -> "F.Column":
+    """16-byte md5 content digest, NULL-sentinel encoded.  NULLs encode
+    distinctly (concat_ws silently DROPS null columns, which would merge
+    ('x', NULL) with (NULL, 'x') and with ('x','') — distinct contents):
+    every column is coalesced to a sentinel that cannot collide with a
+    real empty string.  Shared by batch exact_dedup and the streaming
+    dedup tail — their agreement on what counts as a duplicate is a
+    correctness contract."""
+    return F.md5(F.concat_ws(
         "\x1f",
         *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
           for c in cols]))
-    return (df.withColumn("content_hash", digest)
+
+
+def exact_dedup(df: DataFrame, cols: Sequence[str] = ("text",),
+                id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content: keeps min(id) as the canonical id,
+    counts duplicates.  Pure JVM: one shuffle on the 16-byte digest."""
+    return (df.withColumn("content_hash", content_digest(cols))
               .groupBy("content_hash")
               .agg(F.min(id_col).alias("keep_id"),
                    F.count("*").alias("dup_count")))
@@ -266,10 +271,14 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     4-block banding (Charikar-style): two docs within Hamming 3 of a
     64-bit hash share at least one identical 16-bit block.
 
-    Same group-and-cap shape as ``lsh_candidate_pairs``: ONE shuffle on
-    (band, block), pathological buckets (a very common block value —
-    e.g. many near-zero simhashes) are bounded by ``max_bucket_size``
-    and dropped rather than exploding an O(bucket^2) join key."""
+    Skew contract: bucket sizes are counted FIRST (so no task ever
+    collects a pathological bucket into one array).  Buckets up to
+    ``max_bucket_size`` expand all O(n^2) in-bucket pairs; oversized
+    buckets (a degenerate common block — e.g. many near-empty docs
+    hashing to 0) degrade to STAR pairing against the min-id anchor —
+    O(n) pairs that keep duplicate-cluster connectivity (an exact
+    duplicate still pairs with its anchor at Hamming 0) instead of
+    silently dropping the bucket."""
     bands = F.array(*[
         F.struct(
             F.lit(i).alias("band"),
@@ -282,10 +291,12 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                           F.explode(bands).alias("b"))
                   .select("id", "sh", F.col("b.band").alias("band"),
                           F.col("b.blk").alias("blk")))
-    buckets = (exploded.groupBy("band", "blk")
-               .agg(F.collect_list(F.struct("id", "sh")).alias("ms"))
-               .where((F.size("ms") > 1)
-                      & (F.size("ms") <= max_bucket_size)))
+    sizes = exploded.groupBy("band", "blk").agg(F.count("*").alias("n"))
+    ex2 = exploded.join(sizes, ["band", "blk"])
+
+    small = ex2.where((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
+    buckets = (small.groupBy("band", "blk")
+               .agg(F.collect_list(F.struct("id", "sh")).alias("ms")))
     ms = F.array_sort("ms")   # struct sort: by id first -> stable pairs
     pair_structs = F.filter(
         F.flatten(F.transform(
@@ -294,9 +305,21 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                     x["id"].alias("id_a"), y["id"].alias("id_b"),
                     x["sh"].alias("sh_a"), y["sh"].alias("sh_b"))))),
         lambda p: p["id_a"] < p["id_b"])
-    pairs = (buckets.select(F.explode(pair_structs).alias("p"))
-             .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
-             .dropDuplicates(["id_a", "id_b"]))
+    pairs_small = (buckets.select(F.explode(pair_structs).alias("p"))
+                   .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b"))
+
+    big = ex2.where(F.col("n") > max_bucket_size)
+    anchors = big.groupBy("band", "blk").agg(
+        F.min_by(F.struct("id", "sh"), "id").alias("a"))
+    pairs_big = (big.join(anchors, ["band", "blk"])
+                 .where(F.col("id") != F.col("a.id"))
+                 .select(F.col("a.id").alias("id_a"),
+                         F.col("id").alias("id_b"),
+                         F.col("a.sh").alias("sh_a"),
+                         F.col("sh").alias("sh_b")))
+
+    pairs = pairs_small.unionByName(pairs_big) \
+        .dropDuplicates(["id_a", "id_b"])
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (pairs.withColumn("hamming", hamming)
                  .where(F.col("hamming") <= max_hamming)

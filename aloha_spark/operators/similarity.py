@@ -68,14 +68,14 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     qf_t = queries.schema[q_id].dataType.simpleString()
     cf_t = corpus.schema[c_id].dataType.simpleString()
     # contract: queries are the SMALL side (driver-collected + broadcast).
-    # Fail loudly on misuse instead of silently OOMing the driver.
-    n_q = queries.limit(max_queries + 1).count()
-    if n_q > max_queries:
+    # Fail loudly on misuse instead of silently OOMing the driver; the
+    # limit bounds what one job can pull even when the check trips.
+    qrows = queries.select(q_id, q_vec).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
         raise ValueError(
             f"brute_force_topk collects the query side on the driver; got "
             f"> {max_queries} query rows — use lsh_topk/ivf_topk for a "
             f"large query set (or raise max_queries explicitly)")
-    qrows = queries.select(q_id, q_vec).collect()
     if not qrows:
         return spark.createDataFrame(
             [], f"query_id {qf_t}, neighbor_id {cf_t}, "
@@ -212,11 +212,15 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     from pyspark.sql.pandas.functions import pandas_udf
 
     spark = corpus.sparkSession
-    # deterministic training sample: a bare limit() is whatever
-    # partitions answer first, so recall at nprobe < n_centroids would
-    # vary run-to-run; TakeOrdered on the stable id is a single
-    # O(n log sample) scan, no full sort shuffle
-    samp = (corpus.select(c_id, c_vec).orderBy(c_id)
+    # deterministic AND unbiased training sample: a bare limit() is
+    # whatever partitions answer first (run-to-run nondeterminism), and
+    # ordering by the raw id would bias training toward the oldest
+    # vectors when ids correlate with ingestion time/content drift.
+    # TakeOrdered on a hash of the id is a single O(n log sample) scan
+    # (no full sort shuffle) that samples uniformly and reproducibly.
+    samp = (corpus.select(c_id, c_vec)
+            .orderBy(F.xxhash64(F.col(c_id).cast("string"), F.lit(seed)),
+                     F.col(c_id))
             .limit(train_sample).collect())
     if not samp:
         return spark.createDataFrame(

@@ -58,14 +58,15 @@ def completed_buckets(spark: SparkSession, lineage_path: str) -> set[int]:
     with duplicate lineage rows."""
     from pyspark.errors import AnalysisException
 
+    # finish any marker-committed repair swap before reading (covers
+    # every crash window of repair(), including lineage-still-present)
+    _recover_repair(lineage_path)
     try:
         rows = spark.read.parquet(lineage_path).select(BUCKET_COL).distinct() \
             .collect()
         return {r[0] for r in rows}
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            if _recover_repair(lineage_path):
-                return completed_buckets(spark, lineage_path)
             return set()
         raise
 
@@ -141,23 +142,36 @@ def _repair_tmp(lineage_path: str) -> str:
     return lineage_path.rstrip("/") + ".repair.tmp"
 
 
+def _repair_marker(lineage_path: str) -> str:
+    return lineage_path.rstrip("/") + ".repair.commit"
+
+
+def _local_path(p: str) -> Optional[str]:
+    from urllib.parse import urlparse
+    if urlparse(p).scheme not in ("", "file"):
+        return None
+    return urlparse(p).path or p
+
+
 def repair(spark: SparkSession, lineage_path: str,
            bad_buckets: Sequence[int]) -> None:
     """Evict lineage rows for the given buckets so the next
     ``write_with_lineage`` call rewrites exactly those buckets (dynamic
     partition overwrite replaces their directories).
 
-    Crash-safe: the repaired table is written to a sibling ``.repair.tmp``
-    path first, then swapped in with directory renames.  The only
-    non-atomic window (old removed, tmp not yet renamed) is recovered by
-    ``completed_buckets``, which finishes the swap when it finds the tmp
-    next to a missing lineage path.  (Rename-based swap assumes a
-    rename-capable filesystem — local/HDFS; an object-store deployment
-    would swap via its catalog instead.)"""
+    Crash-safe commit protocol: (1) write the repaired table to a
+    sibling ``.repair.tmp``, (2) create a ``.repair.commit`` marker —
+    the point of no return, (3) remove the old table, (4) rename tmp
+    into place, (5) remove the marker.  ``completed_buckets`` finishes
+    an interrupted swap ONLY when the marker exists, so a stale tmp
+    from a crash before the marker (or from an aborted run) can never
+    resurrect an old table over a deliberately deleted one.
+    (Rename-based swap assumes a rename-capable filesystem —
+    local/HDFS; an object-store deployment would swap via its catalog.)"""
     if not bad_buckets:
         return
+    import os
     import shutil
-    from urllib.parse import urlparse
 
     lin = spark.read.parquet(lineage_path)
     keep = lin.where(~F.col(BUCKET_COL).isin(list(bad_buckets)))
@@ -168,34 +182,44 @@ def repair(spark: SparkSession, lineage_path: str,
     tmp = _repair_tmp(lineage_path)
     spark.createDataFrame(kept, keep.schema) \
         .write.mode("overwrite").parquet(tmp)
-    local = urlparse(lineage_path).scheme in ("", "file")
-    if not local:
+    lp = _local_path(lineage_path)
+    if lp is None:
         # no posix rename available: fall back to the direct overwrite
         # (pre-existing behavior); tmp is left as a manual recovery copy
         spark.createDataFrame(kept, keep.schema) \
             .write.mode("overwrite").parquet(lineage_path)
         return
-    lp = urlparse(lineage_path).path or lineage_path
-    tp = urlparse(tmp).path or tmp
+    tp = _local_path(tmp)
+    marker = _local_path(_repair_marker(lineage_path))
+    with open(marker, "w") as f:
+        f.write(tp)
     shutil.rmtree(lp)
-    import os
     os.rename(tp, lp)
+    os.remove(marker)
 
 
 def _recover_repair(lineage_path: str) -> bool:
-    """Finish a repair swap interrupted between rmtree and rename.
-    Returns True when a recovery happened."""
+    """Finish a repair swap interrupted after its commit marker was
+    written.  Without the marker nothing is touched (a stale tmp is
+    inert).  Returns True when a recovery ran."""
     import os
-    from urllib.parse import urlparse
+    import shutil
 
-    if urlparse(lineage_path).scheme not in ("", "file"):
+    lp = _local_path(lineage_path)
+    if lp is None:
         return False
-    lp = urlparse(lineage_path).path or lineage_path
-    tp = urlparse(_repair_tmp(lineage_path)).path or _repair_tmp(lineage_path)
-    if os.path.isdir(tp) and not os.path.exists(lp):
+    tp = _local_path(_repair_tmp(lineage_path))
+    marker = _local_path(_repair_marker(lineage_path))
+    if not os.path.exists(marker):
+        return False
+    if os.path.isdir(tp):
+        if os.path.exists(lp):
+            shutil.rmtree(lp)       # crash was between marker and rmtree
         os.rename(tp, lp)
-        return True
-    return False
+    # marker without tmp: crash between rename and marker removal —
+    # the swap already completed
+    os.remove(marker)
+    return True
 
 
 def verify_lineage(spark: SparkSession, out_path: str, lineage_path: str,

@@ -193,12 +193,19 @@ def _error_swallowing(doc) -> Builder:
 
     def b(df, out, ctx):
         err_col = out + "_errors"
+        n_audit = len(ctx.audit_nodes) if ctx.audit_nodes is not None else 0
         try:
             df2 = build_model(sub_doc)(df, out, ctx)
             # force plan analysis so unresolved-column errors surface
             # here (lazily they would escape the swallow at action time)
             df2.schema
         except Exception as e:  # noqa: BLE001 — the model's contract
+            # roll back audit registrations from the failed subtree:
+            # their columns never materialized, and a dangling
+            # reference would crash apply_model(audit=True) — an error
+            # escaping the swallow
+            if ctx.audit_nodes is not None:
+                del ctx.audit_nodes[n_audit:]
             msg = f"{type(e).__name__} swallowed: {e}"
             return (df.withColumn(out, F.lit(None).cast("double"))
                       .withColumn(err_col, F.array(F.lit(msg))))
@@ -553,7 +560,9 @@ def apply_model(df: DataFrame, doc: dict, out: str = "score",
     scores); per-stage dataset-level audit lives in the lineage table
     (plans/lineage.py)."""
     ctx = ctx or ModelContext()
-    if audit and ctx.audit_nodes is None:
+    if audit:
+        # fresh registration list per apply: a reused ctx must not leak
+        # another model's (already-dropped) score columns into children
         ctx.audit_nodes = []
     df2 = build_model(doc)(df, out, ctx)
     if audit:
@@ -566,11 +575,14 @@ def apply_model(df: DataFrame, doc: dict, out: str = "score",
         missing = (F.col(ctx.missing_col)
                    if ctx.missing_col in df2.columns
                    else F.array().cast("array<string>"))
+        present = set(df2.columns)
+        nodes = [(mid, col) for mid, col in (ctx.audit_nodes or [])
+                 if col in present]
         children = F.array(*[
             F.struct(F.lit(mid).alias("model_id"),
                      F.col(col).cast("string").alias("value"))
-            for mid, col in ctx.audit_nodes
-        ]) if ctx.audit_nodes else \
+            for mid, col in nodes
+        ]) if nodes else \
             F.array().cast("array<struct<model_id:string,value:string>>")
         df2 = df2.withColumn(out + "_audit", F.struct(
             F.lit(model_id).alias("model_id"),
@@ -579,6 +591,6 @@ def apply_model(df: DataFrame, doc: dict, out: str = "score",
             missing.alias("missing"),
             errors.alias("errors"),
             children.alias("children")))
-        for _mid, col in ctx.audit_nodes or ():
+        for _mid, col in nodes:
             df2 = df2.drop(col)
     return df2

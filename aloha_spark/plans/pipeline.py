@@ -391,21 +391,29 @@ def _join_rows(tokens: np.ndarray, rows: np.ndarray, n: int) -> list:
 
 
 def _ns_layout(plan: _ExecPlan):
-    """Per-feature (namespace id, position inside namespace) arrays plus
-    the namespace header strings, mirroring _append_namespace's
-    iteration order (default namespace first, then declared order)."""
+    """Per-feature namespace MEMBERSHIPS (a feature may be listed in
+    several namespaces — the dict tier emits it once per namespace),
+    flattened as (memb_ns, memb_pos) with per-feature offsets, plus the
+    header strings.  Iteration order mirrors _append_namespace: default
+    namespace first, then declared order."""
     n_feats = len(plan.features)
-    ns_of = np.zeros(n_feats, dtype=np.int64)
-    pos_of = np.zeros(n_feats, dtype=np.int64)
+    members: list[list] = [[] for _ in range(n_feats)]
     headers = ["|"]
     for pos, f in enumerate(plan.default_ns):
-        pos_of[f] = pos
+        members[f].append((0, pos))
     for k, (name, idxs) in enumerate(plan.namespaces, start=1):
         headers.append("|" + name)
         for pos, f in enumerate(idxs):
-            ns_of[f] = k
-            pos_of[f] = pos
-    return ns_of, pos_of, np.asarray(headers, dtype=object)
+            members[f].append((k, pos))
+    counts = np.fromiter((len(m) for m in members), dtype=np.int64,
+                         count=n_feats)
+    off = np.concatenate(([0], np.cumsum(counts)))
+    flat = [x for m in members for x in m]
+    memb_ns = np.fromiter((a for a, _ in flat), dtype=np.int64,
+                          count=len(flat))
+    memb_pos = np.fromiter((p for _, p in flat), dtype=np.int64,
+                           count=len(flat))
+    return memb_ns, memb_pos, off, counts, np.asarray(headers, dtype=object)
 
 
 def _assemble_vw_bodies(plan: _ExecPlan, pdf: pd.DataFrame):
@@ -430,9 +438,24 @@ def _assemble_vw_bodies(plan: _ExecPlan, pdf: pd.DataFrame):
         fmts = _fmt_values(vals[w], decimal_format)
         tokens[w] = pd.Series(keys[w]) \
             .str.cat(pd.Series(fmts), sep=":").to_numpy(dtype=object)
-    ns_of, pos_of, headers = _ns_layout(plan)
-    ens = ns_of[fids]
-    order = np.lexsort((pos_of[fids], ens, rows))
+    memb_ns, memb_pos, moff, mcounts, headers = _ns_layout(plan)
+    ecounts = mcounts[fids]
+    if (ecounts != 1).any():
+        # a feature in k namespaces emits each entry k times (dict-tier
+        # parity); expand via segmented arange over memberships
+        rep = np.repeat(np.arange(len(fids), dtype=np.int64), ecounts)
+        seg = np.arange(len(rep), dtype=np.int64) \
+            - np.repeat(np.cumsum(ecounts) - ecounts, ecounts)
+        m_idx = np.repeat(moff[fids], ecounts) + seg
+        tokens = tokens[rep]
+        rows = rows[rep]
+        ens = memb_ns[m_idx]
+        epos = memb_pos[m_idx]
+    else:
+        slot = moff[fids]
+        ens = memb_ns[slot]
+        epos = memb_pos[slot]
+    order = np.lexsort((epos, ens, rows))
     srow = rows[order]
     sns = ens[order]
     stok = tokens[order]

@@ -25,16 +25,11 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
-
-def content_digest(cols: Sequence[str]) -> "F.Column":
-    """16-byte md5 over the NULL-sentinel-encoded content columns —
-    identical construction to the batch exact_dedup digest."""
-    return F.md5(F.concat_ws(
-        "\x1f",
-        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
-          for c in cols]))
+# the ONE digest definition, shared with batch exact_dedup — parity by
+# construction, not by parallel implementation
+from ..operators.dedup import content_digest
 
 
 def streaming_exact_dedup(stream: DataFrame,

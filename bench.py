@@ -117,6 +117,10 @@ BENCH_QUERIES = [
     "pricing_summary", "broadcast_join", "linear_score",
     "doc_tokens", "doc_stats", "dedup_exact", "dedup_minhash",
     "simhash", "ann_topk", "feature_vectors", "vw_lines",
+    # round 2: flat libsvm assembly, JVM regression scoring, multi-table
+    # LSH, BPE-ish token counting, multilabel blocks
+    "libsvm_lines", "regression_spline", "embed_neardup_lsh",
+    "bpe_tokens", "multilabel_blocks",
 ]
 
 

@@ -91,3 +91,20 @@ def test_vw_flat_default_namespace_only(spark):
     assert flat[0].startswith("| ")
     # bag counts render as weights: 'the' x3 in row 0
     assert "bow=the:3" in flat[0]
+
+
+def test_vw_flat_feature_in_multiple_namespaces(spark):
+    # a feature listed in several namespaces is emitted once per
+    # namespace (dict-tier semantics); the flat tier must match
+    doc = {"features": [{"name": "x", "spec": "ind(${lang})"},
+                        {"name": "y", "spec": "bag(${text})"}],
+           "namespaces": {"a": ["x", "y"], "b": ["x"]}}
+    df = _df(spark)
+    flat = _collect(FeaturePipeline(PipelineSpec.from_json(doc))
+                    .to_vw_lines(df, keep_cols=["id"], impl="flat"),
+                    "vw_line")
+    dic = _collect(FeaturePipeline(PipelineSpec.from_json(doc))
+                   .to_vw_lines(df, keep_cols=["id"], impl="dict"),
+                   "vw_line")
+    assert flat == dic
+    assert flat[0].count("x=en") == 2    # once in |a, once in |b

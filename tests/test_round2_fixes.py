@@ -56,13 +56,16 @@ def test_error_swallowing_per_row_null(spark):
 def test_simhash_pairs_bucket_cap(spark):
     from aloha_spark.operators.dedup import simhash_near_pairs, with_simhash
 
-    # 300 identical docs: one degenerate bucket per block; capped run
-    # must drop them (bounded work), not expand ~45k pairs per block
+    # 300 identical docs: one degenerate bucket per block; the capped
+    # run degrades to star pairing (anchor = min id) — bounded O(n)
+    # work, and the exact duplicates stay connected at hamming 0
     df = spark.createDataFrame([(i, "same text for every row")
                                 for i in range(300)], "doc_id long, text string")
     sh = with_simhash(df)
-    capped = simhash_near_pairs(sh, max_bucket_size=50)
-    assert capped.count() == 0
+    star = simhash_near_pairs(sh, max_bucket_size=50).toPandas()
+    assert len(star) == 299                   # one pair per non-anchor
+    assert (star["id_a"] == 0).all()          # anchored at min id
+    assert (star["hamming"] == 0).all()
     # normal (distinct) data: cap high enough -> same result as before
     df2 = spark.createDataFrame(
         [(i, f"doc number {i} about topic {i % 7} details {i // 9}")
@@ -161,10 +164,22 @@ def test_lineage_repair_crash_recovery(spark, tmp_path):
     assert completed_buckets(spark, lin) == set(range(8))
     repair(spark, lin, [3])
     assert completed_buckets(spark, lin) == set(range(8)) - {3}
-    # simulate a crash in the swap window: lineage dir gone, tmp present
+    # simulate a crash after the commit marker, before the swap: the
+    # repaired tmp + marker exist, old table gone
     os.rename(lin, lin + ".repair.tmp")
+    with open(lin + ".repair.commit", "w") as f:
+        f.write(lin + ".repair.tmp")
     assert completed_buckets(spark, lin) == set(range(8)) - {3}
-    assert os.path.isdir(lin) and not os.path.exists(lin + ".repair.tmp")
+    assert os.path.isdir(lin)
+    assert not os.path.exists(lin + ".repair.tmp")
+    assert not os.path.exists(lin + ".repair.commit")
+    # a stale tmp WITHOUT the marker is inert: it must never resurrect
+    # an old table over a deliberately deleted one
+    import shutil
+    shutil.copytree(lin, lin + ".repair.tmp")
+    shutil.rmtree(lin)
+    assert completed_buckets(spark, lin) == set()
+    assert os.path.isdir(lin + ".repair.tmp")   # untouched
 
 
 def test_ivf_deterministic_and_empty(spark):
@@ -214,3 +229,34 @@ def test_bpe_token_count(spark):
             assert got[i] == len(pat.findall(t)), (t, got[i])
     # contraction split: "can't" -> " can" + "'t"
     assert got[0] > len(texts[0].split())
+
+
+def test_audit_rollback_on_swallowed_failure(spark):
+    # a swallowed submodel failure must not leave dangling audit
+    # registrations (review finding: children referenced dropped cols)
+    df = spark.createDataFrame([(1.0,)], "x double")
+    m = {"modelType": "ErrorSwallowingModel",
+         "submodel": {
+             "modelType": "BootstrapExploration", "salt": "${x}",
+             "policies": [
+                 {"modelType": "DoubleToLong",
+                  "submodel": {"modelType": "Constant", "value": 1.2},
+                  "round": True},
+                 {"modelType": "Spec", "spec": "${missing_col}"},
+             ],
+             "classLabels": ["a", "b"]}}
+    row = apply_model(df, m, "score", audit=True).collect()[0]
+    assert row.score is None
+    assert "swallowed" in row.score_errors[0]
+    assert list(row.score_audit.children) == []
+    # a reused ctx across audited applies must not leak either
+    from aloha_spark.plans.models import ModelContext
+    ctx = ModelContext()
+    d1 = apply_model(df, {"modelType": "DoubleToLong", "round": True,
+                          "submodel": {"modelType": "Constant", "value": 2.0}},
+                     "s1", ctx=ctx, audit=True)
+    d2 = apply_model(d1, {"modelType": "Constant", "value": 5.0},
+                     "s2", ctx=ctx, audit=True)
+    r = d2.collect()[0]
+    assert list(r.s2_audit.children) == []          # fresh per apply
+    assert [c.model_id for c in r.s1_audit.children] == ["Constant"]
