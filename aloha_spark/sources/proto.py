@@ -324,15 +324,19 @@ TRANSCRIPT_PROTO = ProtoSchema([
     Field(6, "ts_epoch_ms", "int64"),
 ])
 
-#: reference UserProto shape (docs/src/main/tut/docs/dataset.md): name,
-#: gender enum, bmi, repeated photos(id, height, aspect_ratio)
+#: reference UserProto, field-number-exact
+#: (aloha-io-proto/src/test/proto/User.proto:11-23): id, name, gender
+#: enum, bmi float, repeated photos(id, height int32, aspect_ratio
+#: double) — so the reference's own protoc-encoded fixture lines
+#: (aloha-core/src/test/resources/fizz_buzzs.proto) decode directly
 USER_PROTO = ProtoSchema([
-    Field(1, "name", "string"),
-    Field(2, "gender", "enum", enum_names={1: "MALE", 2: "FEMALE"}),
-    Field(3, "bmi", "float"),
-    Field(4, "photos", "message", repeated=True, message=ProtoSchema([
+    Field(1, "user_id", "int64"),
+    Field(2, "name", "string"),
+    Field(3, "gender", "enum", enum_names={1: "MALE", 2: "FEMALE"}),
+    Field(4, "bmi", "float"),
+    Field(5, "photos", "message", repeated=True, message=ProtoSchema([
         Field(1, "id", "int64"),
         Field(2, "height", "int32"),
-        Field(3, "aspect_ratio", "float"),
+        Field(3, "aspect_ratio", "double"),
     ])),
 ])

@@ -137,3 +137,56 @@ class TestSparkProtoScan:
             ], "namespaces": {}, "numBits": 18}))
         out = pipe.to_vw_lines(typed).collect()
         assert out[0].vw_line == "| name=Alan gender=MALE bmi:23 num_photos:2"
+
+
+class TestReferenceWireFixtures:
+    """The reference's own protoc-generated base64 lines
+    (aloha-core/src/test/resources/fizz_buzzs.proto, the getting_started
+    docs walkthrough input) decoded by OUR wire-format implementation —
+    byte-level interop with real protobuf output."""
+
+    FIXTURES = [
+        "CAESBEFsYW4YASUAALhBKg0IARABGQAAAAAAAPA/Kg0IAhACGQAAAAAAAABA",
+        "CAISBEthdGUYAioNCAMQAxkAAAAAAAAIQA==",
+    ]
+
+    def test_decode_reference_lines(self):
+        alan = parse_message(base64.b64decode(self.FIXTURES[0]), USER_PROTO)
+        kate = parse_message(base64.b64decode(self.FIXTURES[1]), USER_PROTO)
+        assert alan["user_id"] == 1 and alan["name"] == "Alan"
+        assert alan["gender"] == "MALE" and alan["bmi"] == 23.0
+        assert [(p["id"], p["height"], p["aspect_ratio"])
+                for p in alan["photos"]] == [(1, 1, 1.0), (2, 2, 2.0)]
+        assert kate["user_id"] == 2 and kate["name"] == "Kate"
+        assert kate["gender"] == "FEMALE" and "bmi" not in kate
+        assert [(p["id"], p["height"], p["aspect_ratio"])
+                for p in kate["photos"]] == [(3, 3, 3.0)]
+
+    def test_indexed_paths_over_reference_scan(self, spark):
+        """${photos[0].height}-style accessors over the actual proto
+        scan (the day-one repeated-field use case)."""
+        from aloha_spark.plans.pipeline import FeaturePipeline
+        from aloha_spark.plans.spec import PipelineSpec
+
+        df = spark.createDataFrame([(ln,) for ln in self.FIXTURES],
+                                   "line string")
+        typed = decode_proto_lines(df, "line", USER_PROTO)
+        pipe = FeaturePipeline(PipelineSpec.from_json({
+            "features": [
+                {"name": "name", "spec": "ind(${name})"},
+                {"name": "gender", "spec": "ind(${gender})"},
+                {"name": "bmi", "spec": "${bmi}"},
+                {"name": "h0", "spec": "${photos[0].height}"},
+                {"name": "h1", "spec": "${photos[1].height:--1}"},
+                {"name": "ar0", "spec": "${photos[0].aspect_ratio}"},
+            ], "namespaces": {}, "numBits": 18}))
+        out = {r.name: r for r in pipe.featurize(
+            typed, keep_cols=["name"]).collect()}
+        assert out["Alan"].features[3] == {"h0": 1.0}
+        assert out["Alan"].features[4] == {"h1": 2.0}
+        assert out["Kate"].features[3] == {"h0": 3.0}
+        assert out["Kate"].features[4] == {"h1": -1.0}   # default fills
+        assert out["Kate"].features[5] == {"ar0": 3.0}
+        # bmi missing for Kate -> UNK + missing_features
+        assert out["Kate"].features[2] == {"bmi=UNK": 1.0}
+        assert "bmi" in out["Kate"].missing_features
