@@ -121,6 +121,7 @@ REGISTRY: dict[str, Callable] = {
     "max": max,
     "round": round,
     "len": len,
+    "sum": sum,
     "math": math,
     "sized": lambda x, n: _sized(x, n),
     "gtLt": _sc.gt_lt,

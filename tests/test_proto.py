@@ -190,3 +190,38 @@ class TestReferenceWireFixtures:
         # bmi missing for Kate -> UNK + missing_features
         assert out["Kate"].features[2] == {"bmi=UNK": 1.0}
         assert "bmi" in out["Kate"].missing_features
+
+    def test_docs_walkthrough_vw_golden_end_to_end(self, spark):
+        """The full getting_started walkthrough: the reference's wire
+        fixtures through proto scan -> featurize -> labeled VW lines,
+        byte-equal to the published dataset
+        (docs/src/main/tut/docs/getting_started.md:113-114).  The avg
+        uses Scala integer division ( hs.flatten.sum / hs.size ), hence
+        the // in the spec."""
+        from aloha_spark.plans.pipeline import FeaturePipeline
+        from aloha_spark.plans.spec import PipelineSpec
+
+        df = spark.createDataFrame([(ln,) for ln in self.FIXTURES],
+                                   "line string")
+        typed = decode_proto_lines(df, "line", USER_PROTO)
+        pipe = FeaturePipeline(PipelineSpec.from_json({
+            "features": [
+                {"name": "name", "spec": "ind(${name})"},
+                {"name": "gender", "spec": "ind(${gender})"},
+                {"name": "bmi", "spec": "${bmi}"},
+                {"name": "num_photos", "spec": "len(${photos})"},
+                {"name": "avg_photo_height",
+                 "spec": "sum(${photos.height}) "
+                         "// max(len(${photos.height}), 1)"},
+            ],
+            "namespaces": {"photos": ["num_photos", "avg_photo_height"]},
+            "label": "1"}))
+        lines = [r.vw_line for r in
+                 pipe.to_vw_lines(typed, keep_cols=["user_id"])
+                 .orderBy("user_id").collect()]
+        assert lines == [
+            "1 1| name=Alan gender=MALE bmi:23 "
+            "|photos num_photos:2 avg_photo_height",
+            "1 1| name=Kate gender=FEMALE bmi=UNK "
+            "|photos num_photos avg_photo_height:3",
+        ]
