@@ -187,6 +187,36 @@ class TokenCache:
         return out
 
 
+def factorize_strings(arr):
+    """NUL-safe string factorization.
+
+    ``pd.factorize`` routes object-dtype strings through a C-string
+    hash table that treats an embedded ``\\x00`` as a terminator, so
+    ``'a'`` and ``'a\\x00'`` (and ``''`` vs ``'\\x00'``) collapse to one
+    code — silently merging distinct tokens.  Detect NUL bytes with a
+    vectorized scan (cheap; works on mixed content via the .str
+    accessor's NaN for non-strings) and fall back to comparison-based
+    ``np.unique`` — slower but NUL-correct — only when present.
+    Callers must not rely on unique ORDER (np.unique sorts; factorize
+    is first-occurrence)."""
+    if len(arr):
+        cont = pd.Series(arr).str.contains("\x00", regex=False)
+        has_nul = bool((cont == True).any())  # noqa: E712 — NaN-safe
+        if has_nul:
+            vals = np.asarray(arr, dtype=object)
+            miss = np.fromiter(
+                (v is None or (isinstance(v, float) and v != v)
+                 for v in vals), dtype=bool, count=len(vals))
+            codes = np.full(len(vals), -1, dtype=np.int64)
+            if (~miss).any():
+                uniq, inv = np.unique(vals[~miss], return_inverse=True)
+                codes[~miss] = inv
+            else:
+                uniq = np.empty(0, dtype=object)
+            return codes, uniq
+    return pd.factorize(arr)
+
+
 def _count_packed(codes: np.ndarray, row_ids: np.ndarray, n_codes: int):
     """Count (row, code) pairs: one np.unique over packed int64 keys.
     Returns (rows, codes, counts) ordered by FIRST OCCURRENCE in the
@@ -215,7 +245,7 @@ def bag_flat(cache: TokenCache, col: str, name: str, hash_fn,
     if len(tokens) == 0:
         return (np.empty(0, np.int32), np.empty(0, np.float64),
                 np.empty(0, np.int64), isna)
-    codes, uniques = pd.factorize(tokens)
+    codes, uniques = factorize_strings(tokens)
     rows, out_codes, counts = _count_packed(codes, row_ids, len(uniques))
     table = _hash_key_table(
         uniques, lambda t: f"{name}{prefix}{t}{suffix}", hash_fn)
@@ -241,7 +271,7 @@ def pairgrams_flat(cache: TokenCache, col: str, name: str, hash_fn,
     if len(tokens) == 0:
         return (np.empty(0, np.int32), np.empty(0, np.float64),
                 np.empty(0, np.int64), isna)
-    codes, uniques = pd.factorize(tokens)
+    codes, uniques = factorize_strings(tokens)
     U = np.int64(len(uniques))
     c1s, c2s, rs = [], [], []
     for d in distances:
@@ -264,7 +294,7 @@ def pairgrams_flat(cache: TokenCache, col: str, name: str, hash_fn,
     strings = np.array(
         [f"{name}{prefix}{uniques[p // U]}{sep}{uniques[p % U]}{suffix}"
          for p in puniq], dtype=object)
-    scodes_u, suniq = pd.factorize(strings)
+    scodes_u, suniq = factorize_strings(strings)
     rows, out_s, counts = _count_packed(
         scodes_u[pcodes], rows_in, len(suniq))
     table = hash_fn(list(suniq))
@@ -295,7 +325,7 @@ def ind_flat(cache: TokenCache, col: str, name: str, hash_fn):
                 for v in vals_list if v is not None)
     if not listy:
         try:
-            codes, uniques = pd.factorize(s, use_na_sentinel=True)
+            codes, uniques = factorize_strings(s)
         except TypeError:
             listy = True
     if listy:

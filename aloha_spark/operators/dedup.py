@@ -232,7 +232,8 @@ def make_simhash_udf(bits: int = 64):
         # hash + bit-expand only the UNIQUE tokens (vocab-sized), then
         # gather per occurrence; unpackbits replaces the 64-wide shift
         # matrix (measured ~15x on the kernel)
-        codes, uniq = pd.factorize(np.array(flat, dtype=object))
+        from ..functions.batch import factorize_strings
+        codes, uniq = factorize_strings(np.array(flat, dtype=object))
         uniq_list = list(uniq)
         lo = string_hash_array(uniq_list).astype(np.int64) & 0xFFFFFFFF
         hi = string_hash_array([t + "\x01" for t in uniq_list]) \

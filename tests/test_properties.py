@@ -178,3 +178,90 @@ class TestAsofProperty:
             .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
         assert got["sv"].fillna(-999).tolist() == \
             exp["sv"].fillna(-999).tolist()
+
+
+class TestFlatLineParityFuzz:
+    """Hypothesis fuzz: the flat VW/LibSVM line assemblers must equal the
+    per-row dict tier byte-for-byte on arbitrary token content (incl.
+    separators, ':' '|' tokens), near-epsilon weights, NULLs, and
+    multi-namespace membership — evaluated directly on pandas frames
+    (no Spark session), so hundreds of examples run in seconds."""
+
+    @staticmethod
+    def _plan(doc):
+        from aloha_spark.plans.pipeline import FeaturePipeline
+        from aloha_spark.plans.spec import PipelineSpec
+        return FeaturePipeline(PipelineSpec.from_json(doc)).plan
+
+    _token = st.text(
+        alphabet=st.sampled_from("ab:|_=\x00é 5."), min_size=1, max_size=6)
+    _text = st.lists(_token, min_size=0, max_size=8).map(" ".join)
+    _weight = st.one_of(
+        st.floats(min_value=-3, max_value=3, allow_nan=False),
+        st.sampled_from([0.0, 1.0, 1.0 + 4e-7, -4e-7, 2.0, -0.0,
+                         0.9999996, 12345678.5]))
+
+    @given(st.lists(
+        st.tuples(st.one_of(st.none(), _text),
+                  st.one_of(st.none(), _weight),
+                  st.one_of(st.none(), st.sampled_from(["en", "de", ""]))),
+        min_size=1, max_size=12))
+    @settings(max_examples=120, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_vw_flat_equals_dict(self, rows):
+        from aloha_spark.plans.pipeline import (
+            _assemble_vw_bodies, _batch_eval, unlabeled_vw_line)
+
+        doc = {"features": [
+                   {"name": "bow", "spec": "bag(${text})"},
+                   {"name": "w", "spec": "clamp(${w}, -100, 100)"},
+                   {"name": "lang", "spec": "ind(${lang})"},
+               ],
+               # 'w' in two namespaces, bow in default
+               "namespaces": {"m": ["lang", "w"], "z": ["w"]}}
+        plan = self._plan(doc)
+        # emulate _with_precomputed: Column-tier features read __als_ cols
+        pdf = pd.DataFrame({
+            "text": [r[0] for r in rows],
+            "w": [r[1] for r in rows],
+            "lang": [r[2] if r[2] != "" else None for r in rows]})
+        for fp in plan.features:
+            if fp.name == "w":
+                fp.kind = "column"
+                pdf["__als_w"] = pd.array(
+                    [None if v is None else float(min(max(v, -100), 100))
+                     for v in pdf["w"]], dtype="Float64")
+            if fp.name == "lang":
+                fp.kind = "string_column"
+                pdf["__als_lang"] = pdf["lang"]
+        flat, _ = _assemble_vw_bodies(plan, pdf)
+        order, bags, missing, erring = _batch_eval(plan, pdf)
+        dic = [unlabeled_vw_line([bags[fi][i] for fi in range(len(order))],
+                                 plan.default_ns, plan.namespaces)
+               for i in range(len(pdf))]
+        assert flat == dic
+
+    @given(st.lists(st.one_of(st.none(), _text), min_size=1, max_size=10))
+    @settings(max_examples=80, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_libsvm_flat_equals_dict(self, texts):
+        from aloha_spark.plans.pipeline import (
+            _assemble_libsvm_lines, _batch_eval)
+        from aloha_spark.sinks.libsvm import labeled_libsvm_line
+
+        doc = {"features": [{"name": "bow", "spec": "bag(${text})"},
+                            {"name": "g2", "spec": "nGrams(${text:-''}, 2)"}],
+               "namespaces": {}}
+        plan = self._plan(doc)
+        pdf = pd.DataFrame({"text": texts})
+        mask = np.int32((1 << 18) - 1)
+
+        def hash_fn(keys):
+            return string_hash_array(keys) & mask
+
+        flat, _ = _assemble_libsvm_lines(plan, pdf, hash_fn)
+        order, bags, missing, erring = _batch_eval(plan, pdf)
+        dic = [labeled_libsvm_line([bags[fi][i] for fi in range(len(order))],
+                                   None, 18)
+               for i in range(len(pdf))]
+        assert flat == dic
