@@ -170,6 +170,17 @@ def q_asof_strict(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "state_score")
 
 
+def q_asof_merge(spark, sf_dir):
+    """As-of join, merge mode (mapInPandas streaming two-pointer with
+    O(1) state carry) — same DuckDB ASOF oracle as the window mode."""
+    from aloha_spark.operators.asof import asof_join
+    t = transcripts_from_events(spark, sf_dir)
+    s = state_from_events(spark, sf_dir)
+    out = asof_join(t, s, on="ts", by="conv_id", state_cols=["state_score"],
+                    mode="merge")
+    return out.select("conv_id", "turn_idx", "state_score")
+
+
 def q_pit_pipeline(spark, sf_dir):
     """Flagship: as-of join + lag + backfill + sessionization combined."""
     from aloha_spark.plans.flagship import point_in_time_features
@@ -1066,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_state": q_asof_state,
         "asof_salted": q_asof_salted,
         "asof_strict": q_asof_strict,
+        "asof_merge": q_asof_merge,
         "pit_pipeline": q_pit_pipeline,
         # relational / aggregation
         "pricing_summary": q_pricing_summary,
@@ -1195,6 +1207,10 @@ FROM transcripts t ASOF LEFT JOIN state s
 SELECT t.conv_id, t.turn_idx, s.state_score
 FROM transcripts t ASOF LEFT JOIN state s
   ON t.conv_id = s.conv_id AND t.ts > s.ts""",
+        "asof_merge": f"""{T}
+SELECT t.conv_id, t.turn_idx, s.state_score
+FROM transcripts t ASOF LEFT JOIN state s
+  ON t.conv_id = s.conv_id AND t.ts >= s.ts""",
         "pit_pipeline": f"""{T},
 joined AS (
   SELECT t.conv_id, t.turn_idx, t.text, t.tool, t.ts, s.state_score
