@@ -200,8 +200,13 @@ def factorize_strings(arr):
     Callers must not rely on unique ORDER (np.unique sorts; factorize
     is first-occurrence)."""
     if len(arr):
-        cont = pd.Series(arr).str.contains("\x00", regex=False)
-        has_nul = bool((cont == True).any())  # noqa: E712 — NaN-safe
+        try:
+            cont = pd.Series(arr).str.contains("\x00", regex=False)
+            has_nul = bool((cont == True).any())  # noqa: E712 — NaN-safe
+        except AttributeError:
+            # numeric/bool content: the .str accessor refuses, and a
+            # NUL collapse is impossible — use the fast path
+            has_nul = False
         if has_nul:
             vals = np.asarray(arr, dtype=object)
             miss = np.fromiter(
