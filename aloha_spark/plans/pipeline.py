@@ -735,7 +735,6 @@ class FeaturePipeline:
         expressions; action filtered to > 0, probability to [0, 1]; any
         missing/invalid value degrades to the unlabeled line."""
         from .spec import parse_feature_spec, try_compile_column
-        from ..sinks.vw import cb_vw_line
 
         keep = keep_cols if keep_cols is not None else []
         cb_cols = {}
@@ -747,7 +746,7 @@ class FeaturePipeline:
             cb_cols[nm] = col
 
         def mk(plan: _ExecPlan, pdf: pd.DataFrame) -> list:
-            order, bags, missing, erring = _batch_eval(plan, pdf)
+            bodies, _missing = _assemble_vw_bodies(plan, pdf)
 
             def _clean(col):
                 vals = pdf[_PREFIX + "cb_" + col].tolist()
@@ -759,12 +758,15 @@ class FeaturePipeline:
             costs = _clean("cost")
             probs = _clean("probability")
             lines = []
-            for i in range(len(pdf)):
-                row = [bags[fi][i] for fi in range(len(order))]
-                a = acts[i]
-                lines.append(cb_vw_line(
-                    row, int(a) if a is not None else None, costs[i],
-                    probs[i], plan.default_ns, plan.namespaces))
+            for i, iv in enumerate(bodies):
+                a, c, p = acts[i], costs[i], probs[i]
+                if a is None or int(a) <= 0 or c is None or p is None \
+                        or not (0 <= p <= 1):
+                    lines.append(iv)
+                    continue
+                head = f"{int(a)}:{decimal_format(c, 17)}" \
+                       f":{decimal_format(p, 17)}"
+                lines.append(head + (" |" if not iv else f" {iv}"))
             return lines
 
         pre = df
@@ -829,12 +831,27 @@ class FeaturePipeline:
         from pyspark import TaskContext
 
         from ..functions.rand import downsample_negatives, partition_seed
-        from ..sinks.vw import determine_label_namespaces, multilabel_vw_block
+        from ..sinks.vw import (
+            NEG_DUMMY_CLASS_ID,
+            NEGATIVE_COST,
+            POS_DUMMY_CLASS_ID,
+            POSITIVE_COST,
+            SHARED,
+            determine_label_namespaces,
+        )
 
         # collision-free label/dummy namespace chars derived from the
         # namespaces actually used (VwMultilabelRowCreator.scala:94-205)
         class_ns, dummy_ns = determine_label_namespaces(
             {name for name, _ in self.plan.namespaces})
+        # everything but the shared features is row-constant: precompute
+        # the dummy lines and both cost variants of every label line
+        neg_dummy = f"{NEG_DUMMY_CLASS_ID}:{NEGATIVE_COST} |{dummy_ns} N"
+        pos_dummy = f"{POS_DUMMY_CLASS_ID}:{POSITIVE_COST} |{dummy_ns} P"
+        pos_lines = [f"{i}:{POSITIVE_COST} |{class_ns} _{i}"
+                     for i in range(n_labels)]
+        neg_lines = [f"{i}:{NEGATIVE_COST} |{class_ns} _{i}"
+                     for i in range(n_labels)]
         keep = keep_cols if keep_cols is not None else []
         pre = self._with_precomputed(df)
         plan = self.plan
@@ -849,26 +866,23 @@ class FeaturePipeline:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                order, bags, missing, erring = _batch_eval(plan, pdf)
+                # shared features assemble on the flat tier; the rest of
+                # each block is selected from the precomputed lines
+                bodies, _missing = _assemble_vw_bodies(plan, pdf)
+                positives = pdf[positive_col].tolist()
                 blocks = []
-                for i in range(len(pdf)):
-                    row = [bags[fi][i] for fi in range(len(order))]
-                    pv = pdf[positive_col].iloc[i]
+                for i, iv in enumerate(bodies):
+                    pv = positives[i]
                     pos = set() if pv is None else {int(x) for x in pv}
+                    head = [SHARED + iv, neg_dummy, pos_dummy]
                     if downsample_negatives_to is not None:
                         label_ids, seed = downsample_negatives(
                             n_labels, pos, downsample_negatives_to, seed)
-                        block = multilabel_vw_block(
-                            row, n_labels, pos, plan.default_ns,
-                            plan.namespaces, class_ns, dummy_ns)
-                        # keep shared + dummies + selected label lines
-                        head, labels_lines = block[:3], block[3:]
-                        block = head + [labels_lines[j] for j in label_ids]
                     else:
-                        block = multilabel_vw_block(
-                            row, n_labels, pos, plan.default_ns,
-                            plan.namespaces, class_ns, dummy_ns)
-                    blocks.append(block)
+                        label_ids = range(n_labels)
+                    blocks.append(head + [
+                        pos_lines[j] if j in pos else neg_lines[j]
+                        for j in label_ids])
                 out = {c: pdf[c] for c in keep}
                 out[out_col] = blocks
                 yield pd.DataFrame(out)
