@@ -46,6 +46,17 @@ def _tokenize(s: str, split: str) -> list[str]:
     # java.util.regex Pattern.split: keeps a leading empty token when the
     # string starts with a separator match, strips ALL trailing empty
     # tokens, and returns [""] for empty input (no match).
+    #
+    # Fast path for the default pattern: str.split() (C whitespace scan,
+    # ~4x re.split) matches Java \s+ semantics exactly when the string
+    # is ASCII (Java \s is ASCII-only; python str.split also breaks on
+    # unicode spaces) and has no leading separator (str.split drops the
+    # leading empty token Java keeps).  Everything else takes the regex.
+    if split == r"\s+" and s.isascii():
+        if not s:
+            return [""]
+        if not s[0].isspace():
+            return s.split()
     toks = _splitter(split).split(s)
     if len(toks) > 1:
         while toks and toks[-1] == "":
