@@ -370,6 +370,40 @@ def ind_flat(cache: TokenCache, col: str, name: str, hash_fn):
     return idx, vals, rids, isna
 
 
+def csos2_flat(cache: TokenCache, col: str, name: str, hash_fn,
+               knots: tuple):
+    """Custom-knot SOS2 over the whole batch (CustomSos2.scala:36-55
+    semantics, identical arithmetic to scalars.csos2): clamp to
+    [knots[0], knots[-1]], exact knot -> weight 1, otherwise interpolate
+    between the two neighbors with (hi-v)/span and (v-lo)/span.  Key
+    table = the knot-name set hashed once per batch; at most two
+    entries per row, lo before hi (dict insertion order)."""
+    v = pd.to_numeric(cache.pdf[col], errors="coerce") \
+        .to_numpy(dtype=np.float64)
+    n = len(v)
+    isnan = np.isnan(v)
+    k = np.asarray(knots, dtype=np.float64)
+    table = hash_fn([f"{name}={kk}" for kk in knots])
+    vc = np.clip(np.where(isnan, k[0], v), k[0], k[-1])
+    # right-neighbor index: k[i-1] < vc <= k[i]; vc == k[j] -> i = j
+    i = np.searchsorted(k, vc, side="left")
+    exact = k[np.minimum(i, len(k) - 1)] == vc
+    single = exact & ~isnan
+    interp = ~exact & ~isnan
+    rows_s = np.nonzero(single)[0]
+    idx_s = table[i[single]]
+    rows_i = np.nonzero(interp)[0]
+    lo = i[interp] - 1
+    hi = i[interp]
+    span = k[hi] - k[lo]
+    w_lo = (k[hi] - vc[interp]) / span
+    w_hi = (vc[interp] - k[lo]) / span
+    idx = np.concatenate([idx_s, table[lo], table[hi]])
+    vals = np.concatenate([np.ones(len(rows_s)), w_lo, w_hi])
+    rids = np.concatenate([rows_s, rows_i, rows_i]).astype(np.int64)
+    return idx, vals, rids, isnan
+
+
 def sos2_flat(cache: TokenCache, col: str, name: str, hash_fn,
               vmin: float, vmax: float, delta: float,
               underflow=None, unknown_key=None):

@@ -256,7 +256,8 @@ def try_compile_flat(parsed: ParsedSpec):
     or None when the spec doesn't fit (maxElements, n != 2, non-const
     args, non-string default) — those run on the dict tiers instead.
     """
-    from ..functions.batch import bag_flat, ind_flat, pairgrams_flat, sos2_flat
+    from ..functions.batch import (
+        bag_flat, csos2_flat, ind_flat, pairgrams_flat, sos2_flat)
 
     try:
         tree = ast.parse(parsed.expr, mode="eval")
@@ -265,7 +266,7 @@ def try_compile_flat(parsed: ParsedSpec):
     node = tree.body
     if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
             and node.func.id in ("bag", "nGrams", "skipGrams", "ind",
-                                 "sos2", "sos2U")):
+                                 "sos2", "sos2U", "csos2")):
         return None
     if not node.args or not isinstance(node.args[0], ast.Name):
         return None
@@ -283,6 +284,24 @@ def try_compile_flat(parsed: ParsedSpec):
             return ind_flat(cache, _col, name, hash_fn)
 
         return fn_ind, src_col0
+
+    if node.func.id == "csos2":
+        if node.keywords or default is not None or len(node.args) != 2 \
+                or not isinstance(node.args[1], ast.List):
+            return None
+        knots = []
+        for el in node.args[1].elts:
+            if not isinstance(el, ast.Constant) \
+                    or not isinstance(el.value, (int, float)):
+                return None
+            knots.append(el.value)
+        if len(knots) < 2 or sorted(knots) != knots:
+            return None     # dict tier handles degenerate knot lists
+
+        def fn_csos2(cache, name, hash_fn, _col=src_col0, _k=tuple(knots)):
+            return csos2_flat(cache, _col, name, hash_fn, _k)
+
+        return fn_csos2, src_col0
 
     if node.func.id in ("sos2", "sos2U"):
         if node.keywords or default is not None or len(node.args) != 4:

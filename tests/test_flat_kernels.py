@@ -147,3 +147,48 @@ class TestFlatPipelineParity:
             assert np.allclose(a["values"][i], b["values"][i]), i
             assert list(a["missing_features"][i]) == \
                 list(b["missing_features"][i]), i
+
+
+class TestCsos2Flat:
+    def test_csos2_flat_matches_dict_tier(self, spark):
+        from aloha_spark.plans.pipeline import FeaturePipeline
+        from aloha_spark.plans.spec import PipelineSpec
+
+        rows = [(i, v) for i, v in enumerate(
+            [0.0, -5.0, 64.0, 128.0, 129.5, 200.0, 383.0, 384.0, 500.0,
+             895.9, 896.0, 5000.0, None, float("nan")])]
+        df = spark.createDataFrame(rows, "id long, x double")
+        doc = {"features": [{"name": "c",
+                             "spec": "csos2(${x}, [0, 128, 384, 896])"}],
+               "namespaces": {}, "numBits": 18}
+        pipe_flat = FeaturePipeline(PipelineSpec.from_json(doc))
+        assert pipe_flat.plan.features[0].flat_fn is not None
+        pipe_dict = FeaturePipeline(PipelineSpec.from_json(doc))
+        for fp in pipe_dict.plan.features:
+            fp.flat_fn = None
+        a = pipe_flat.to_sparse_vectors(df, keep_cols=["id"]) \
+            .orderBy("id").collect()
+        b = pipe_dict.to_sparse_vectors(df, keep_cols=["id"]) \
+            .orderBy("id").collect()
+        for ra, rb in zip(a, b):
+            assert list(ra.indices) == list(rb.indices), ra.id
+            assert list(ra.values) == list(rb.values), ra.id
+            assert list(ra.missing_features) == list(rb.missing_features)
+
+    def test_csos2_flat_vw_lines_match(self, spark):
+        from aloha_spark.plans.pipeline import FeaturePipeline
+        from aloha_spark.plans.spec import PipelineSpec
+
+        df = spark.createDataFrame(
+            [(i, float(i * 37 % 950) - 10) for i in range(60)],
+            "id long, x double")
+        doc = {"features": [{"name": "c",
+                             "spec": "csos2(${x}, [0, 100, 300, 800])"}],
+               "namespaces": {}}
+        flat = {r.id: r.vw_line for r in
+                FeaturePipeline(PipelineSpec.from_json(doc))
+                .to_vw_lines(df, keep_cols=["id"], impl="flat").collect()}
+        dic = {r.id: r.vw_line for r in
+               FeaturePipeline(PipelineSpec.from_json(doc))
+               .to_vw_lines(df, keep_cols=["id"], impl="dict").collect()}
+        assert flat == dic
