@@ -258,12 +258,13 @@ def bag_flat(cache: TokenCache, col: str, name: str, hash_fn,
 
 
 def _pair_entries(codes: np.ndarray, row_ids: np.ndarray, dist: int):
-    """(anchor, anchor+dist) same-row code pairs."""
+    """(anchor, anchor+dist) same-row code pairs + anchor positions."""
     if len(codes) <= dist:
         e = np.empty(0, np.int64)
-        return e, e, e
+        return e, e, e, e
     same = row_ids[dist:] == row_ids[:-dist]
-    return codes[:-dist][same], codes[dist:][same], row_ids[:-dist][same]
+    pos = np.nonzero(same)[0]
+    return codes[:-dist][same], codes[dist:][same], row_ids[:-dist][same], pos
 
 
 def pairgrams_flat(cache: TokenCache, col: str, name: str, hash_fn,
@@ -278,18 +279,28 @@ def pairgrams_flat(cache: TokenCache, col: str, name: str, hash_fn,
                 np.empty(0, np.int64), isna)
     codes, uniques = factorize_strings(tokens)
     U = np.int64(len(uniques))
-    c1s, c2s, rs = [], [], []
-    for d in distances:
-        a, b, r = _pair_entries(codes, row_ids, d)
+    c1s, c2s, rs, ps, ds = [], [], [], [], []
+    for rank, d in enumerate(distances):
+        a, b, r, p = _pair_entries(codes, row_ids, d)
         c1s.append(a)
         c2s.append(b)
         rs.append(r)
+        ps.append(p)
+        ds.append(np.full(len(a), rank, dtype=np.int64))
     c1 = np.concatenate(c1s)
     c2 = np.concatenate(c2s)
     rows_in = np.concatenate(rs)
     if len(c1) == 0:
         return (np.empty(0, np.int32), np.empty(0, np.float64),
                 np.empty(0, np.int64), isna)
+    if len(distances) > 1:
+        # the dict tier (Counter over anchor-major iteration) emits each
+        # anchor's pairs before moving on; the per-distance concatenation
+        # above is distance-major, so re-order the entry stream to
+        # (anchor position, distance) to keep flat==dict byte parity in
+        # the first-occurrence order _count_packed preserves
+        order = np.lexsort((np.concatenate(ds), np.concatenate(ps)))
+        c1, c2, rows_in = c1[order], c2[order], rows_in[order]
     pair_code = c1 * U + c2
     pcodes, puniq = pd.factorize(pair_code)
     # distinct token pairs can RENDER to the same gram string when a

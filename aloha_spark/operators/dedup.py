@@ -115,7 +115,14 @@ def _spread(df: DataFrame) -> DataFrame:
     input already has >= defaultParallelism partitions and this is a
     no-op (no shuffle)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # file count is a cheap lower bound on scan partitions (no RDD
+    # conversion); only a non-file source falls back to the RDD probe.
+    # At real scale files >> cores, so this stays a no-op with no
+    # shuffle; underestimation merely triggers a harmless repartition
+    # on small inputs, which is exactly the case _spread exists for.
+    files = df.inputFiles()
+    nparts = len(files) if files else df.rdd.getNumPartitions()
+    if nparts < target:
         return df.repartition(target)
     return df
 
@@ -298,16 +305,26 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     small = ex2.where((F.col("n") > 1) & (F.col("n") <= max_bucket_size))
     buckets = (small.groupBy("band", "blk")
                .agg(F.collect_list(F.struct("id", "sh")).alias("ms")))
-    ms = F.array_sort("ms")   # struct sort: by id first -> stable pairs
-    pair_structs = F.filter(
-        F.flatten(F.transform(
-            ms, lambda x: F.transform(
-                ms, lambda y: F.struct(
-                    x["id"].alias("id_a"), y["id"].alias("id_b"),
-                    x["sh"].alias("sh_a"), y["sh"].alias("sh_b"))))),
-        lambda p: p["id_a"] < p["id_b"])
-    pairs_small = (buckets.select(F.explode(pair_structs).alias("p"))
-                   .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b"))
+    # upper triangle only, streamed: explode the anchor index first so no
+    # row ever holds more than O(n) structs (the old nested-transform
+    # form materialized the full n^2 pair array in a single row before
+    # filtering).  array_sort orders by id, so every pair in the sliced
+    # tail already satisfies id_a < id_b — no filter needed.
+    arr = F.array_sort("ms")
+    anchored = (buckets
+                .select(arr.alias("arr"))
+                .select("arr",
+                        F.explode(F.sequence(
+                            F.lit(0), F.size("arr") - 2)).alias("i"))
+                .select(F.element_at("arr", F.col("i") + 1).alias("x"),
+                        F.slice("arr", F.col("i") + 2,
+                                F.size("arr")).alias("rest")))
+    pairs_small = (anchored
+                   .select("x", F.explode("rest").alias("y"))
+                   .select(F.col("x.id").alias("id_a"),
+                           F.col("y.id").alias("id_b"),
+                           F.col("x.sh").alias("sh_a"),
+                           F.col("y.sh").alias("sh_b")))
 
     big = ex2.where(F.col("n") > max_bucket_size)
     anchors = big.groupBy("band", "blk").agg(

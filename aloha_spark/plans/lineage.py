@@ -173,6 +173,10 @@ def repair(spark: SparkSession, lineage_path: str,
     import os
     import shutil
 
+    # a prior repair may have crashed after its commit marker was
+    # written (tmp holds the committed repaired table); reading the
+    # stale pre-swap table here would resurrect already-evicted rows
+    _recover_repair(lineage_path)
     lin = spark.read.parquet(lineage_path)
     keep = lin.where(~F.col(BUCKET_COL).isin(list(bad_buckets)))
     # the lineage table is O(num_buckets x restarts) rows — driver-side

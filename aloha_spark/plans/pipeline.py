@@ -475,7 +475,10 @@ def _assemble_vw_bodies(plan: _ExecPlan, pdf: pd.DataFrame):
 def _fmt17(v) -> str:
     if isinstance(v, (int, np.integer)):
         return str(int(v))
-    if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+    # negative zero must not take the int fast path: the dict tier's
+    # decimal_format(-0.0, 17) renders "-0", matching Double.toString
+    if isinstance(v, float) and v == int(v) and abs(v) < 1e15 \
+            and not (v == 0.0 and np.signbit(v)):
         return str(int(v))
     return decimal_format(v, 17)
 

@@ -1,0 +1,125 @@
+"""Round-3 regression pins: skipGram flat/dict within-row order parity,
+negative-zero label rendering on the flat VW path, repair() recovering
+an interrupted prior repair, and the simhash upper-triangle expansion."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aloha_spark.plans.pipeline import FeaturePipeline, _fmt17
+from aloha_spark.plans.spec import PipelineSpec
+
+
+def _collect(df, col):
+    return {r.id: r[col] for r in df.collect()}
+
+
+def _parity(spark, doc, rows, schema="id long, text string, w double"):
+    df = spark.createDataFrame(rows, schema)
+    flat = _collect(FeaturePipeline(PipelineSpec.from_json(doc))
+                    .to_vw_lines(df, keep_cols=["id"], impl="flat"),
+                    "vw_line")
+    dic = _collect(FeaturePipeline(PipelineSpec.from_json(doc))
+                   .to_vw_lines(df, keep_cols=["id"], impl="dict"),
+                   "vw_line")
+    return flat, dic
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_vw_skipgrams_flat_matches_dict(spark, k):
+    # multi-distance skip-grams: dict tier emits anchor-major
+    # (a_b, a_c, b_c, ...); the flat kernel must match byte-for-byte
+    doc = {"features": [{"name": "sg", "spec": f"skipGrams(${{text}}, 2, {k})"}],
+           "namespaces": {}}
+    rows = [(0, "a b c d e", 1.0), (1, "x y", 1.0), (2, None, 1.0),
+            (3, "p q r p q", 2.0)]
+    flat, dic = _parity(spark, doc, rows)
+    assert flat == dic
+    if k >= 2:
+        # anchor-major order: a_b then a_c (not a_b, b_c, ..., a_c)
+        line = flat[0]
+        assert line.index("sg=a_b") < line.index("sg=a_c") < line.index("sg=b_c")
+
+
+def test_vw_skipgram_and_bag_mixed_namespaces(spark):
+    doc = {"features": [{"name": "sg", "spec": "skipGrams(${text}, 2, 2)"},
+                        {"name": "bow", "spec": "bag(${text})"}],
+           "namespaces": {"t": ["sg", "bow"]},
+           "label": "${w}"}
+    rows = [(0, "the cat sat on the mat", 1.0), (1, "a a a b", -0.5),
+            (2, "", 3.0)]
+    flat, dic = _parity(spark, doc, rows)
+    assert flat == dic
+
+
+def test_fmt17_negative_zero():
+    # decimal_format canonicalizes "-0" -> "0", so both tiers agree on
+    # "0"; the guard ensures -0.0 goes through that canonical path
+    # rather than the int fast path (keeps parity by construction)
+    from aloha_spark.functions.formatting import decimal_format
+    assert _fmt17(-0.0) == decimal_format(-0.0, 17) == "0"
+    assert _fmt17(0.0) == "0"
+    assert _fmt17(2.0) == "2"
+
+
+def test_vw_negative_zero_label_flat_matches_dict(spark):
+    doc = {"features": [{"name": "b", "spec": "intercept()"}],
+           "namespaces": {}, "label": "${w}", "importance": "${w}"}
+    rows = [(0, "x", -0.0), (1, "y", 0.0)]
+    flat, dic = _parity(spark, doc, rows)
+    assert flat == dic
+    assert flat[0].startswith("0 ")
+
+
+def test_repair_recovers_interrupted_prior_repair(spark, tmp_path):
+    """A repair that crashed after writing its commit marker must be
+    finished by the NEXT repair() call, not silently read the stale
+    pre-swap table (which would resurrect evicted bad-bucket rows)."""
+    from aloha_spark.plans import lineage as L
+
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lineage")
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("conv_id"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"))
+    L.write_with_lineage(df, out, lin, key="conv_id", num_buckets=4)
+
+    # simulate: repair(buckets=[1]) crashed after the marker was written
+    # (tmp holds the repaired table; the old table is still in place)
+    keep = spark.read.parquet(lin).where(F.col(L.BUCKET_COL) != 1)
+    tmp_tbl = L._repair_tmp(lin)
+    keep.write.mode("overwrite").parquet(tmp_tbl)
+    with open(L._local_path(L._repair_marker(lin)), "w") as f:
+        f.write(L._local_path(tmp_tbl))
+
+    # a direct repair() for a DIFFERENT bucket must first finish the
+    # interrupted swap, so bucket 1's rows stay evicted
+    L.repair(spark, lin, bad_buckets=[2])
+    left = {r[L.BUCKET_COL] for r in
+            spark.read.parquet(lin).select(L.BUCKET_COL).collect()}
+    assert 1 not in left and 2 not in left
+    assert not os.path.exists(L._local_path(L._repair_marker(lin)))
+
+
+def test_simhash_pairs_upper_triangle(spark):
+    from aloha_spark.operators.dedup import simhash_near_pairs
+
+    rows = [(i, h) for i, h in
+            [(1, 0x00000000000000F0), (2, 0x00000000000000F1),
+             (3, 0x00000000000000F3), (4, 0x7FFF000000000000),
+             (5, 0x00000000000000F0)]]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_near_pairs(df, max_hamming=3).collect()}
+    # brute force oracle
+    import itertools
+    exp = {}
+    for (a, ha), (b, hb) in itertools.combinations(rows, 2):
+        d = bin(ha ^ hb).count("1")
+        blocks = any(((ha >> (16 * i)) & 0xFFFF) == ((hb >> (16 * i)) & 0xFFFF)
+                     for i in range(4))
+        if d <= 3 and blocks:
+            exp[(a, b)] = d
+    assert got == exp
+    assert all(a < b for a, b in got)
