@@ -317,6 +317,63 @@ def pairgrams_flat(cache: TokenCache, col: str, name: str, hash_fn,
     return table[out_s], counts, rows, isna
 
 
+def gramgrams_flat(cache: TokenCache, col: str, name: str, hash_fn,
+                   n: int, k: int, sep: str = "_", prefix: str = "=",
+                   suffix: str = "", split: str = r"\s+", default=None):
+    """General flat kernel for nGrams(s, n) / skipGrams(s, n, k) with any
+    n >= 1: one entry per (anchor, offset-combination), matching the dict
+    tier's ``combinations(window, n-1)`` enumeration.  The entry stream
+    is ordered (anchor position, combination rank) so the VW line sink
+    keeps flat==dict byte parity; unique code tuples are rendered and
+    hashed once, entries gather from the table."""
+    from itertools import combinations
+
+    tokens, row_ids, isna = cache.get(col, split, default)
+    empty = (np.empty(0, np.int32), np.empty(0, np.float64),
+             np.empty(0, np.int64), isna)
+    if len(tokens) == 0:
+        return empty
+    codes, uniques = factorize_strings(tokens)
+    combos = list(combinations(range(1, n + k), n - 1))
+    mats, rs, ps, cr = [], [], [], []
+    for rank, offs in enumerate(combos):
+        dmax = offs[-1] if offs else 0
+        if len(codes) <= dmax:
+            continue
+        if dmax:
+            # row_ids is non-decreasing: the anchor and its furthest
+            # offset sharing a row implies every middle offset does too
+            same = row_ids[dmax:] == row_ids[:-dmax]
+            pos = np.nonzero(same)[0]
+        else:
+            pos = np.arange(len(codes), dtype=np.int64)
+        if len(pos) == 0:
+            continue
+        mats.append(np.stack(
+            [codes[pos]] + [codes[pos + d] for d in offs], axis=1))
+        rs.append(row_ids[pos])
+        ps.append(pos)
+        cr.append(np.full(len(pos), rank, dtype=np.int64))
+    if not mats:
+        return empty
+    mat = np.concatenate(mats, axis=0)
+    rows_in = np.concatenate(rs)
+    if len(combos) > 1:
+        order = np.lexsort((np.concatenate(cr), np.concatenate(ps)))
+        mat, rows_in = mat[order], rows_in[order]
+    uniq_rows, inv = np.unique(mat, axis=0, return_inverse=True)
+    # distinct tuples can render to the same gram string when a token
+    # contains the separator; factorize_strings on the rendered keys
+    # merges them like the dict tier does
+    strings = np.array(
+        [f"{name}{prefix}{sep.join(uniques[c] for c in row)}{suffix}"
+         for row in uniq_rows], dtype=object)
+    scodes_u, suniq = factorize_strings(strings)
+    rows, out_s, counts = _count_packed(scodes_u[inv], rows_in, len(suniq))
+    table = hash_fn(list(suniq))
+    return table[out_s], counts, rows, isna
+
+
 def _ind_value_str(v) -> str:
     """Mirror of ind_batch's value rendering (Scala toString parity)."""
     from .formatting import java_double_to_string

@@ -363,19 +363,34 @@ def try_compile_flat(parsed: ParsedSpec):
         names = ["n", "k", "sep", "prefix", "suffix", "split", "max_elements"]
     for i, v in enumerate(consts):
         kwargs.setdefault(names[i], v)
-    if kwargs.get("n") != 2 or kwargs.get("max_elements") is not None:
+    n = kwargs.get("n")
+    if not isinstance(n, int) or n < 1 \
+            or kwargs.get("max_elements") is not None:
         return None
     k = int(kwargs.get("k", 0)) if fname == "skipGrams" else 0
-    distances = tuple(range(1, k + 2))
     bound = {kk: vv for kk, vv in kwargs.items()
              if kk in ("sep", "prefix", "suffix", "split")}
 
-    def fn(cache, name, hash_fn, _col=src_col, _kw=bound, _d=default,
-           _dist=distances):
-        return pairgrams_flat(cache, _col, name, hash_fn, _dist,
+    if n == 2:
+        # dedicated pair kernel: packs code pairs into one int64 —
+        # cheaper than the general tuple-unique path
+        distances = tuple(range(1, k + 2))
+
+        def fn(cache, name, hash_fn, _col=src_col, _kw=bound, _d=default,
+               _dist=distances):
+            return pairgrams_flat(cache, _col, name, hash_fn, _dist,
+                                  default=_d, **_kw)
+
+        return fn, src_col
+
+    from ..functions.batch import gramgrams_flat
+
+    def fn_n(cache, name, hash_fn, _col=src_col, _kw=bound, _d=default,
+             _n=n, _k=k):
+        return gramgrams_flat(cache, _col, name, hash_fn, _n, _k,
                               default=_d, **_kw)
 
-    return fn, src_col
+    return fn_n, src_col
 
 
 def try_compile_vbatch(parsed: ParsedSpec):

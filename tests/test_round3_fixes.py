@@ -42,6 +42,33 @@ def test_vw_skipgrams_flat_matches_dict(spark, k):
         assert line.index("sg=a_b") < line.index("sg=a_c") < line.index("sg=b_c")
 
 
+@pytest.mark.parametrize("spec", [
+    "nGrams(${text}, 1)",
+    "nGrams(${text}, 3)",
+    "nGrams(${text}, 4)",
+    "skipGrams(${text}, 3, 1)",
+    "skipGrams(${text}, 3, 2)",
+    "skipGrams(${text}, 1, 2)",
+])
+def test_vw_higher_order_grams_flat_matches_dict(spark, spec):
+    # n != 2 grams now compile to the general flat kernel; parity with
+    # the dict tier covers counts, key rendering, and within-row order
+    doc = {"features": [{"name": "g", "spec": spec}], "namespaces": {}}
+    rows = [(0, "a b c d e f", 1.0), (1, "x y z", 1.0), (2, None, 1.0),
+            (3, "p p p p", 2.0), (4, "solo", 1.0), (5, "", 1.0),
+            (6, "t_u v w_x y", 1.0)]   # tokens containing the separator
+    flat, dic = _parity(spark, doc, rows)
+    assert flat == dic
+
+
+def test_higher_order_grams_compile_flat():
+    doc = {"features": [{"name": "tri", "spec": "nGrams(${text}, 3)"},
+                        {"name": "sg3", "spec": "skipGrams(${text}, 3, 2)"}],
+           "namespaces": {}}
+    pipe = FeaturePipeline(PipelineSpec.from_json(doc))
+    assert all(fp.flat_fn is not None for fp in pipe.plan.features)
+
+
 def test_vw_skipgram_and_bag_mixed_namespaces(spark):
     doc = {"features": [{"name": "sg", "spec": "skipGrams(${text}, 2, 2)"},
                         {"name": "bow", "spec": "bag(${text})"}],
