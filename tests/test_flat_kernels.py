@@ -102,7 +102,7 @@ class TestFlatKernels:
             "bag(${prev_text:-''})": True,
             "nGrams(${text}, 2)": True,
             "skipGrams(${text}, 2, 1)": True,
-            "nGrams(${text}, 3)": False,        # n != 2 -> dict tier
+            "nGrams(${text}, 3)": True,         # general n kernel (r3)
             "bag(${text}, '=', '', '\\s+', 5)": False,  # maxElements
             "bag(${v:-0})": False,              # non-string default
             "ind(${role})": True,
