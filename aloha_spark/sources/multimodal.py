@@ -45,23 +45,77 @@ def synthesize_media(df: DataFrame, text_col: str = "text",
     )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload to an HxWx3 array.
+def _autodetect_image_decoder():
+    """Return a real ``payload -> HxWx3 uint8`` decoder when a codec
+    library is importable, else None.  Checked once at first use so the
+    same pipeline code activates real decoding on a cluster image that
+    ships PIL or opencv (neither is present in this sandbox)."""
+    try:
+        from io import BytesIO
 
-    STUB: real decoding needs PIL/opencv (absent here).  ``fake=True``
-    returns a deterministic 4x4x3 array derived from the bytes."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True "
-            "for the deterministic test decoder")
+        from PIL import Image
+
+        def _pil(payload: bytes) -> np.ndarray:
+            return np.asarray(Image.open(BytesIO(payload)).convert("RGB"))
+
+        return _pil
+    except ImportError:
+        pass
+    try:
+        import cv2
+
+        def _cv2(payload: bytes) -> np.ndarray:
+            img = cv2.imdecode(np.frombuffer(payload, np.uint8),
+                               cv2.IMREAD_COLOR)
+            if img is None:
+                raise ValueError("undecodable image payload")
+            return img[:, :, ::-1]          # BGR -> RGB
+
+        return _cv2
+    except ImportError:
+        return None
+
+
+_UNSET = object()
+_auto_decoder = _UNSET
+
+
+def fake_decode_image(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in decoder: 4x4x3 array derived from the
+    payload bytes (crc-seeded).  Keeps the Spark plumbing — schema,
+    batch shape, partitioning — fully exercised without codec libs."""
     crc = zlib.crc32(payload or b"")
     rng = (crc + np.arange(48, dtype=np.uint32) * 2654435761) % 256
     return rng.reshape(4, 4, 3).astype(np.uint8)
 
 
-def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
+def decode_image(payload: bytes, fake: bool = False,
+                 decoder=None) -> np.ndarray:
+    """Decode an image payload to an HxWx3 array.
+
+    Decoder resolution order: explicit ``decoder`` callable >
+    auto-detected codec library (PIL/opencv) > deterministic fake when
+    ``fake=True`` > NotImplementedError (this sandbox has no codec
+    libs; the seam is how a real deployment plugs one in)."""
+    global _auto_decoder
+    if decoder is not None:
+        return decoder(payload)
+    if _auto_decoder is _UNSET:
+        _auto_decoder = _autodetect_image_decoder()
+    if _auto_decoder is not None:
+        return _auto_decoder(payload)
+    if fake:
+        return fake_decode_image(payload)
+    raise NotImplementedError(
+        "image codecs unavailable in this environment; pass a decoder "
+        "callable or fake=True for the deterministic test decoder")
+
+
+def extract_media_features(df: DataFrame, fake: bool = True,
+                           decoder=None) -> DataFrame:
     """Feature-extract stage: mapInPandas over (payload, metadata) ->
-    per-item numeric features.  Runs the (stub) decoder batch-wise."""
+    per-item numeric features.  Runs the decoder batch-wise; pass
+    ``decoder`` to plug a real codec through the seam."""
     schema = ("media_id long, kind string, n_bytes long, crc long, "
               "mean_intensity double, aspect double")
 
@@ -74,7 +128,7 @@ def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 b = bytes(p) if p is not None else b""
                 n_bytes.append(len(b))
                 crcs.append(zlib.crc32(b))
-                img = decode_image(b, fake=fake)
+                img = decode_image(b, fake=fake, decoder=decoder)
                 means.append(float(img.mean()))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
@@ -99,29 +153,34 @@ def resize_image(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return img[rows][:, cols]
 
 
-def sample_frames(payload: bytes, n_frames: int,
-                  fake: bool = False) -> list[np.ndarray]:
+def sample_frames(payload: bytes, n_frames: int, fake: bool = False,
+                  frame_decoder=None) -> list[np.ndarray]:
     """Frame sampling for video payloads.
 
-    STUB decode (no video codec in this container): with ``fake=True``
-    the payload is split into ``n_frames`` byte windows, each decoded by
-    the deterministic fake image decoder — the Spark-side contract
-    (batch shape, per-frame fan-out, deterministic output) is real."""
+    ``frame_decoder`` is the seam for a real video codec: a callable
+    ``(payload, n_frames) -> list[HxWx3 array]``.  Without one, the
+    fake path splits the payload into ``n_frames`` byte windows, each
+    decoded by the deterministic fake image decoder — the Spark-side
+    contract (batch shape, per-frame fan-out, determinism) is real."""
+    if frame_decoder is not None:
+        return frame_decoder(payload, n_frames)
     if not fake:
         raise NotImplementedError(
-            "video codecs unavailable in this environment; pass fake=True "
-            "for the deterministic windowed decoder")
+            "video codecs unavailable in this environment; pass a "
+            "frame_decoder callable or fake=True for the deterministic "
+            "windowed decoder")
     b = payload or b""
     if n_frames <= 0:
         return []
     step = max(1, len(b) // n_frames)
-    return [decode_image(b[i * step:(i + 1) * step + 1], fake=True)
+    return [fake_decode_image(b[i * step:(i + 1) * step + 1])
             for i in range(n_frames)]
 
 
 def extract_frame_features(df: DataFrame, n_frames: int = 4,
                            target: tuple = (2, 2),
-                           fake: bool = True) -> DataFrame:
+                           fake: bool = True,
+                           frame_decoder=None) -> DataFrame:
     """Video path: sample frames -> resize -> per-frame stats, exploded
     to one row per (media_id, frame_idx) — the shape a frame-level
     training pipeline consumes."""
@@ -136,7 +195,8 @@ def extract_frame_features(df: DataFrame, n_frames: int = 4,
             ids, fidx, means, rh, rw = [], [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 frames = sample_frames(
-                    bytes(p) if p is not None else b"", n_frames, fake=fake)
+                    bytes(p) if p is not None else b"", n_frames,
+                    fake=fake, frame_decoder=frame_decoder)
                 for i, fr in enumerate(frames):
                     small = resize_image(fr, tw, th)
                     ids.append(mid)

@@ -129,6 +129,68 @@ def test_repair_recovers_interrupted_prior_repair(spark, tmp_path):
     assert not os.path.exists(L._local_path(L._repair_marker(lin)))
 
 
+def test_media_decoder_seam(spark):
+    """A custom decoder callable plugs through extract_media_features;
+    the default fake path is unchanged."""
+    import numpy as np
+
+    from aloha_spark.sources import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(9)], "doc_id long, text string")
+    media = M.synthesize_media(docs)
+
+    calls = {"n": 0}
+
+    def all_sevens(payload):
+        calls["n"] += 1
+        return np.full((2, 2, 3), 7, dtype=np.uint8)
+
+    got = M.extract_media_features(media, decoder=all_sevens).toPandas()
+    assert (got["mean_intensity"] == 7.0).all()
+
+    # default path still the deterministic fake (decoder=None, no codec
+    # libs in this sandbox) — byte-stable stats
+    base = M.extract_media_features(media, fake=True).toPandas()
+    base2 = M.extract_media_features(media, fake=True).toPandas()
+    assert base["crc"].tolist() == base2["crc"].tolist()
+    assert base["mean_intensity"].tolist() == base2["mean_intensity"].tolist()
+
+
+def test_media_real_codec_golden():
+    """Activates only when a codec lib is installed: decode a 1x1 red
+    PNG through the auto-detected decoder."""
+    import numpy as np
+
+    from aloha_spark.sources import multimodal as M
+
+    if M._autodetect_image_decoder() is None:
+        import pytest as _pytest
+        _pytest.skip("no codec library in this environment")
+    png_1x1_red = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452000000010000000108020000009077"
+        "53de0000000c49444154789c62f80f0400000500012718e8ae0000000049454e44ae426082")
+    img = M.decode_image(png_1x1_red)
+    assert img.shape == (1, 1, 3)
+    assert np.array_equal(img[0, 0], [255, 0, 0])
+
+
+def test_video_frame_decoder_seam(spark):
+    import numpy as np
+
+    from aloha_spark.sources import multimodal as M
+
+    def two_frames(payload, n):
+        return [np.full((3, 3, 3), 10, dtype=np.uint8) for _ in range(2)]
+
+    docs = spark.createDataFrame(
+        [(2, "vid payload")], "doc_id long, text string")
+    media = M.synthesize_media(docs)          # doc_id 2 -> kind 'video'
+    got = M.extract_frame_features(media, n_frames=4,
+                                   frame_decoder=two_frames).toPandas()
+    assert len(got) == 2 and (got["mean_intensity"] == 10.0).all()
+
+
 def test_simhash_pairs_upper_triangle(spark):
     from aloha_spark.operators.dedup import simhash_near_pairs
 
