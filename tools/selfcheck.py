@@ -174,6 +174,25 @@ def property_gates(spark, sf_dir) -> dict:
            f"deterministic={det} equal_text_equal_fp={eq_ok} "
            f"distinct_frac={distinct_frac:.3f}")
 
+    # --- fingerprint vs DuckDB md5 sentinel: the partition of doc_ids
+    # induced by the 64-bit rolling-hash fingerprint must equal the one
+    # induced by an INDEPENDENT engine's content hash (DuckDB md5 of the
+    # same text) — i.e. fingerprint is a pure, collision-free function
+    # of content on this corpus, in both directions ---
+    import duckdb as _duck
+    sen = _duck.connect()
+    md5 = sen.execute(
+        f"SELECT doc_id, md5(COALESCE(text, '')) AS m FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").df() \
+        .set_index("doc_id")["m"]
+    joined = pd.DataFrame({"fp": f1, "m": md5}).dropna()
+    fp_per_md5 = joined.groupby("m")["fp"].nunique().max()
+    md5_per_fp = joined.groupby("fp")["m"].nunique().max()
+    record("fingerprint_md5_sentinel",
+           fp_per_md5 == 1 and md5_per_fp == 1,
+           f"fp-per-content={fp_per_md5} content-per-fp={md5_per_fp} "
+           f"on {len(joined)} docs (DuckDB md5 partition == fp partition)")
+
     return gates
 
 
@@ -253,6 +272,22 @@ def main():
           f"rows-only, {n_bad} problems ==")
     with open("/tmp/selfcheck.json", "w") as f:
         json.dump(results, f, indent=1)
+    if not only:
+        # committed machine-readable artifact (judge/driver-readable
+        # without re-running): full-registry runs only
+        import os
+        report = {
+            "sf_dir": sf_dir,
+            "n_match": n_match,
+            "n_rows_only": sum(1 for r in results.values()
+                               if r["status"] == "ROWS_ONLY"),
+            "n_problems": n_bad,
+            "results": results,
+        }
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SELFCHECK_r3.json")
+        with open(out, "w") as f:
+            json.dump(report, f, indent=1)
     spark.stop()
     sys.exit(1 if n_bad else 0)
 
