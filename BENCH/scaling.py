@@ -107,6 +107,12 @@ def main():
     ap.add_argument("--turns", type=int, default=8_000_000)
     ap.add_argument("--levels", default="2,8,32",
                     help="comma list; every adjacent 4x pair is reported")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="repetitions per level, interleaved across "
+                         "levels (this host has multi-minute hypervisor "
+                         "CPU-steal episodes that can double any single "
+                         "wall; interleaving + best-per-level "
+                         "decorrelates the ratio from one episode)")
     ap.add_argument("--data-dir", default=None)
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
@@ -122,11 +128,20 @@ def main():
 
     runner = RUNNER.format(repo=REPO)
     results: dict[int, dict] = {}
-    for cpus in levels:
-        print(f"running local[{cpus}] ...", file=sys.stderr)
-        line = run([sys.executable, "-c", runner, str(cpus), data_dir])
-        results[cpus] = json.loads(line)
-        print(line, file=sys.stderr)
+    raw: dict[int, list] = {c: [] for c in levels}
+    for rep in range(args.reps):
+        for cpus in levels:
+            print(f"rep {rep + 1}/{args.reps} local[{cpus}] ...",
+                  file=sys.stderr)
+            line = run([sys.executable, "-c", runner, str(cpus), data_dir])
+            r = json.loads(line)
+            raw[cpus].append(r)
+            print(line, file=sys.stderr)
+            if cpus not in results or \
+                    r["rows_per_sec"] > results[cpus]["rows_per_sec"]:
+                results[cpus] = r
+    for c in levels:
+        results[c]["all_walls"] = [x["wall_sec"] for x in raw[c]]
 
     pairs = [(a, b) for a in levels for b in levels if b == 4 * a]
     effs = {}
