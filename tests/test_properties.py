@@ -78,6 +78,27 @@ class TestFlatKernelProperties:
             assert _flat_entries(idx, vals, rids, i) == \
                 _dict_entries(ref, "f"), (t, k)
 
+    @given(st.lists(st.one_of(st.none(), text_strategy),
+                    min_size=1, max_size=10),
+           st.integers(min_value=1, max_value=4),
+           st.integers(min_value=0, max_value=2))
+    @settings(max_examples=40, deadline=None)
+    def test_gramgrams_equal_skipgrams(self, texts, n, k):
+        """General-n flat kernel (r3) == dict skip_grams for every
+        (n, k), including None rows and separator-bearing tokens."""
+        from aloha_spark.functions.batch import gramgrams_flat
+
+        cache = TokenCache(pd.DataFrame({"t": pd.Series(texts, dtype=object)}))
+        idx, vals, rids, isna = gramgrams_flat(
+            cache, "t", "f", _hash_fn, n, k)
+        for i, t in enumerate(texts):
+            if t is None:
+                assert isna[i]
+                continue
+            ref = skip_grams(t, n, k)
+            assert _flat_entries(idx, vals, rids, i) == \
+                _dict_entries(ref, "f"), (t, n, k)
+
     @given(text_strategy, st.integers(min_value=1, max_value=4))
     @settings(max_examples=60, deadline=None)
     def test_ngrams_count_invariant(self, t, n):
