@@ -149,10 +149,19 @@ class TokenCache:
     key: (column, split, default) -> (tokens object-array, row_ids,
     isna bool-array).  ``default`` is the spec-level ${var:-default}
     string substituted for NULL input (None = no default: NULL rows
-    yield no tokens and are reported missing)."""
+    yield no tokens and are reported missing).
 
-    def __init__(self, pdf: pd.DataFrame):
+    When constructed with the Arrow RecordBatch (``rb``), whitespace
+    tokenization + token factorization run entirely in Arrow C++
+    (``ascii_split_whitespace`` + ``dictionary_encode``): only the
+    vocab-sized dictionary ever becomes Python strings.  Rows whose
+    semantics Arrow can't reproduce (non-ASCII content — the dict
+    tier's regex splits unicode whitespace — or all-whitespace
+    strings) are spliced in via the per-row tokenizer."""
+
+    def __init__(self, pdf: pd.DataFrame, rb=None):
         self.pdf = pdf
+        self.rb = rb
         self._cache: dict = {}
 
     def get(self, col: str, split: str, default):
@@ -185,6 +194,101 @@ class TokenCache:
         out = (tokens, row_ids, isna)
         self._cache[key] = out
         return out
+
+    def get_codes(self, col: str, split: str, default):
+        """(codes, uniques, row_ids, isna): factorized token stream.
+        Arrow-native when possible; else python tokenize + factorize."""
+        key = ("codes", col, split, default)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        out = None
+        if self.rb is not None and split == r"\s+" \
+                and col in self.rb.schema.names:
+            try:
+                out = self._arrow_codes(col, default)
+            except Exception:
+                out = None      # any arrow-side surprise -> python path
+        if out is None:
+            tokens, row_ids, isna = self.get(col, split, default)
+            codes, uniques = factorize_strings(tokens)
+            out = (codes.astype(np.int64, copy=False), uniques,
+                   row_ids, isna)
+        self._cache[key] = out
+        return out
+
+    def _arrow_codes(self, col: str, default):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from .textfeatures import _tokenize
+
+        arr = self.rb.column(self.rb.schema.names.index(col))
+        if not (pa.types.is_string(arr.type)
+                or pa.types.is_large_string(arr.type)):
+            return None
+        n = len(arr)
+        null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        isna = np.zeros(n, dtype=bool)
+        if default is None:
+            isna = null_mask.copy()
+            excluded = null_mask
+            arr = pc.fill_null(arr, "")
+        else:
+            excluded = np.zeros(n, dtype=bool)
+            arr = pc.fill_null(arr, default)
+        # rows the C++ splitter can't reproduce: non-ASCII (the dict
+        # tier's regex treats unicode whitespace as a separator)
+        non_ascii = pc.not_equal(
+            pc.utf8_length(arr), pc.binary_length(arr)) \
+            .to_numpy(zero_copy_only=False)
+        fallback = non_ascii & ~excluded
+        # Java split semantics: strip trailing separators...
+        rt = pc.ascii_rtrim_whitespace(arr)
+        # ...which turns all-whitespace (non-empty) strings into zero
+        # tokens, while the truly-empty string keeps its single ""
+        allws = pc.equal(rt, "").to_numpy(zero_copy_only=False) \
+            & pc.not_equal(arr, "").to_numpy(zero_copy_only=False)
+        toks = pc.ascii_split_whitespace(rt)
+        lengths = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(pc.list_flatten(toks))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        uniques = np.array(enc.dictionary.to_pylist(), dtype=object)
+        drop = allws | fallback | excluded
+        if drop.any():
+            entry_drop = np.repeat(drop, lengths)
+            codes = codes[~entry_drop]
+            lengths = np.where(drop, 0, lengths)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        if fallback.any():
+            # splice per-row-tokenized entries back in row-major order
+            lut = {u: i for i, u in enumerate(uniques.tolist())}
+            vals = self.pdf[col]
+            fb_rows = np.nonzero(fallback)[0]
+            pos = np.searchsorted(row_ids, fb_rows)
+            c_parts, r_parts = [], []
+            prev = 0
+            for i, p in zip(fb_rows.tolist(), pos.tolist()):
+                v = vals.iat[i]
+                if v is None or (isinstance(v, float) and v != v):
+                    v = default
+                ci = [lut.setdefault(t, len(lut))
+                      for t in _tokenize(v, r"\s+")]
+                c_parts.append(codes[prev:p])
+                r_parts.append(row_ids[prev:p])
+                c_parts.append(np.asarray(ci, dtype=np.int64))
+                r_parts.append(np.full(len(ci), i, dtype=np.int64))
+                prev = p
+            c_parts.append(codes[prev:])
+            r_parts.append(row_ids[prev:])
+            codes = np.concatenate(c_parts)
+            row_ids = np.concatenate(r_parts)
+            if len(lut) > len(uniques):
+                uniques = np.array(list(lut), dtype=object)
+        return codes, uniques, row_ids, isna
 
 
 def factorize_strings(arr):
@@ -248,11 +352,10 @@ def _hash_key_table(uniques, fmt, hash_fn) -> np.ndarray:
 def bag_flat(cache: TokenCache, col: str, name: str, hash_fn,
              prefix: str = "=", suffix: str = "", split: str = r"\s+",
              default=None):
-    tokens, row_ids, isna = cache.get(col, split, default)
-    if len(tokens) == 0:
+    codes, uniques, row_ids, isna = cache.get_codes(col, split, default)
+    if len(codes) == 0:
         return (np.empty(0, np.int32), np.empty(0, np.float64),
                 np.empty(0, np.int64), isna)
-    codes, uniques = factorize_strings(tokens)
     rows, out_codes, counts = _count_packed(codes, row_ids, len(uniques))
     table = _hash_key_table(
         uniques, lambda t: f"{name}{prefix}{t}{suffix}", hash_fn)
@@ -275,11 +378,10 @@ def pairgrams_flat(cache: TokenCache, col: str, name: str, hash_fn,
     """Shared kernel for nGrams(s,2) (distances=(1,)) and
     skipGrams(s,2,k) (distances=(1..k+1)): counts of token pairs at the
     given in-row offsets, key = prefix + t1 + sep + t2 + suffix."""
-    tokens, row_ids, isna = cache.get(col, split, default)
-    if len(tokens) == 0:
+    codes, uniques, row_ids, isna = cache.get_codes(col, split, default)
+    if len(codes) == 0:
         return (np.empty(0, np.int32), np.empty(0, np.float64),
                 np.empty(0, np.int64), isna)
-    codes, uniques = factorize_strings(tokens)
     U = np.int64(len(uniques))
     c1s, c2s, rs, ps, ds = [], [], [], [], []
     for rank, d in enumerate(distances):
@@ -330,12 +432,11 @@ def gramgrams_flat(cache: TokenCache, col: str, name: str, hash_fn,
     hashed once, entries gather from the table."""
     from itertools import combinations
 
-    tokens, row_ids, isna = cache.get(col, split, default)
+    codes, uniques, row_ids, isna = cache.get_codes(col, split, default)
     empty = (np.empty(0, np.int32), np.empty(0, np.float64),
              np.empty(0, np.int64), isna)
-    if len(tokens) == 0:
+    if len(codes) == 0:
         return empty
-    codes, uniques = factorize_strings(tokens)
     combos = list(combinations(range(1, n + k), n - 1))
     mats, rs, ps, cr = [], [], [], []
     for rank, offs in enumerate(combos):

@@ -197,7 +197,7 @@ def _batch_eval(plan: _ExecPlan, pdf: pd.DataFrame):
     return order, prefixed, missing, erring
 
 
-def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn):
+def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn, rb=None):
     """Dict-free evaluator for the flat sinks: returns
     (hashed_idx, vals, row_ids, feat_ids, missing) with feature-name
     prefixing applied during flattening and ``hash_fn`` applied per
@@ -219,7 +219,7 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn):
     fid_chunks: list[np.ndarray] = []
     missing = [[] for _ in range(n)]
     arange = np.arange(n, dtype=np.int64)
-    cache = TokenCache(pdf)
+    cache = TokenCache(pdf, rb=rb)
 
     fi = 0
 
@@ -937,7 +937,7 @@ class FeaturePipeline:
                     [rb.select([c for c in rb.schema.names
                                 if c in eval_cols])]).to_pandas()
                 idx, vals, row_ids, _fids, missing = \
-                    _batch_eval_flat(plan, pdf, hash_fn)
+                    _batch_eval_flat(plan, pdf, hash_fn, rb=rb)
                 # numMissingThreshold abort (RegressionFeatures.scala:
                 # 99-110, parity with to_vw_lines): too-missing rows
                 # yield NULL vectors, their entries dropped

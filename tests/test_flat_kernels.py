@@ -92,9 +92,9 @@ class TestFlatKernels:
     def test_tokenization_shared_across_features(self):
         cache = TokenCache(pd.DataFrame({"text": TEXTS}))
         bag_flat(cache, "text", "a", _hash_fn)
-        assert len(cache._cache) == 1
+        n0 = len(cache._cache)   # token entry + codes entry
         pairgrams_flat(cache, "text", "b", _hash_fn, (1,))
-        assert len(cache._cache) == 1  # same (col, split, default) key
+        assert len(cache._cache) == n0  # same (col, split, default) key
 
     def test_compile_coverage(self):
         compiled = {

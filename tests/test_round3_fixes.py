@@ -129,6 +129,43 @@ def test_repair_recovers_interrupted_prior_repair(spark, tmp_path):
     assert not os.path.exists(L._local_path(L._repair_marker(lin)))
 
 
+def test_sparse_vectors_arrow_tokenizer_hostile_text(spark):
+    """to_sparse_vectors (mapInArrow -> arrow-native tokenize/encode)
+    must equal the dict tier on text the C++ splitter can't handle
+    directly: unicode whitespace, NULs, trailing/leading separators,
+    all-whitespace, empties, NULLs."""
+    rows = [
+        (0, "plain ascii text"),
+        (1, "x y unicode space"),
+        (2, "a\x00b c \x00"),
+        (3, "trail \t "),
+        (4, " \t "),
+        (5, ""),
+        (6, None),
+        (7, "ünïcode tökens mixed ascii"),
+        (8, "  lead"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    doc = {"features": [{"name": "bow", "spec": "bag(${text})"},
+                        {"name": "bi", "spec": "nGrams(${text}, 2)"}],
+           "namespaces": {}}
+
+    def vecs(impl_flat):
+        pipe = FeaturePipeline(PipelineSpec.from_json(doc))
+        if not impl_flat:
+            for fp in pipe.plan.features:
+                fp.flat_fn = None
+        out = pipe.to_sparse_vectors(df, keep_cols=["id"]).toPandas()
+        return out.sort_values("id").reset_index(drop=True)
+
+    a, b = vecs(True), vecs(False)
+    for i in range(len(rows)):
+        assert list(a["indices"][i]) == list(b["indices"][i]), rows[i]
+        assert list(a["values"][i]) == list(b["values"][i]), rows[i]
+        assert list(a["missing_features"][i]) == \
+            list(b["missing_features"][i]), rows[i]
+
+
 def test_media_decoder_seam(spark):
     """A custom decoder callable plugs through extract_media_features;
     the default fake path is unchanged."""
