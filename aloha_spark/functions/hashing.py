@@ -75,12 +75,47 @@ def _utf16_matrix(strings: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
     return out, lens
 
 
+#: cross-batch memo for the default seed: reused Python workers see the
+#: same (zipfian) vocabulary batch after batch, so most unique-key
+#: tables are warm after the first few batches.  Bounded: cleared when
+#: it exceeds the cap (a few hundred MB worst case, typical far less).
+_HASH_MEMO: dict = {}
+_HASH_MEMO_CAP = 1 << 21
+
+
 def string_hash_array(strings: Sequence[str], seed: int = STRING_SEED) -> np.ndarray:
     """Hash a batch of strings; returns int32 ndarray.
 
     Column-wise loop: iteration count is ceil(max_token_len / 2), while
     all rows advance in lockstep under numpy — the per-batch Python
     overhead is O(max string length), not O(rows)."""
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    if seed == STRING_SEED:
+        memo = _HASH_MEMO
+        get = memo.get
+        out = np.empty(n, dtype=np.int32)
+        miss_i, miss_s = [], []
+        for i, s in enumerate(strings):
+            h = get(s)
+            if h is None:
+                miss_i.append(i)
+                miss_s.append(s)
+            else:
+                out[i] = h
+        if miss_s:
+            hs = _string_hash_uncached(miss_s, seed)
+            if len(memo) + len(miss_s) > _HASH_MEMO_CAP:
+                memo.clear()
+            for i, s, h in zip(miss_i, miss_s, hs.tolist()):
+                out[i] = h
+                memo[s] = h
+        return out
+    return _string_hash_uncached(strings, seed)
+
+
+def _string_hash_uncached(strings: Sequence[str], seed: int) -> np.ndarray:
     n = len(strings)
     if n == 0:
         return np.empty(0, dtype=np.int32)

@@ -416,14 +416,14 @@ def _ns_layout(plan: _ExecPlan):
     return memb_ns, memb_pos, off, counts, np.asarray(headers, dtype=object)
 
 
-def _assemble_vw_bodies(plan: _ExecPlan, pdf: pd.DataFrame):
+def _assemble_vw_bodies(plan: _ExecPlan, pdf: pd.DataFrame, rb=None):
     """Flat VW line assembly: feature evaluation, epsilon filtering,
     value formatting, and namespace grouping all run over whole-batch
     numpy arrays; the only per-row work is the final string join.
     Returns (body_strings list aligned with rows, missing)."""
     n = len(pdf)
     keys, vals, rows, fids, missing = \
-        _batch_eval_flat(plan, pdf, _IDENTITY_KEYS)
+        _batch_eval_flat(plan, pdf, _IDENTITY_KEYS, rb=rb)
     if len(rows) == 0:
         return [""] * n, missing
     # epsilon rules (VwRowCreator.scala:75-83): ~1 -> bare key, ~0 ->
@@ -493,12 +493,14 @@ def _fmt17(v) -> str:
     return decimal_format(v, 17)
 
 
-def _assemble_libsvm_lines(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn):
-    """Flat LibSVM assembly: hash/mask (vectorized), per-batch lexsort +
+def _assemble_libsvm_lines(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn,
+                           rb=None):
+    """Flat LibSVM assembly: hash/mask (vectorized), per-batch sort +
     last-wins dedupe (one pass), java Double.toString rendering with an
     integer fast path; per-row work is the final join only."""
     n = len(pdf)
-    idx, vals, rows, _fids, missing = _batch_eval_flat(plan, pdf, hash_fn)
+    idx, vals, rows, _fids, missing = _batch_eval_flat(plan, pdf, hash_fn,
+                                                       rb=rb)
     lines = [""] * n
     if len(rows):
         # single packed int64 key beats a 2-key lexsort ~8x; idx is
@@ -656,21 +658,30 @@ class FeaturePipeline:
 
     def _lines_transform(self, df: DataFrame, keep_cols: list,
                          line_fn: Callable, out_col: str) -> DataFrame:
+        """Arrow-native line transform: keep-columns pass through
+        zero-copy and the RecordBatch rides along so the flat kernels
+        can tokenize/factorize in Arrow C++ (TokenCache.get_codes)."""
+        import pyarrow as pa
+
         pre = self._with_precomputed(df)
         plan = self.plan
         keep_t = ", ".join(f"{c} {pre.schema[c].dataType.simpleString()}"
                            for c in keep_cols)
         schema = (keep_t + ", " if keep_t else "") + f"{out_col} string"
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if pdf.empty:
+        def run(batches):
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                out = {c: pdf[c] for c in keep_cols}
-                out[out_col] = line_fn(plan, pdf)
-                yield pd.DataFrame(out)
+                pdf = pa.Table.from_batches([rb]).to_pandas()
+                lines = line_fn(plan, pdf, rb)
+                names = rb.schema.names
+                arrays = [rb.column(names.index(c)) for c in keep_cols]
+                arrays.append(pa.array(lines, type=pa.string()))
+                yield pa.RecordBatch.from_arrays(
+                    arrays, keep_cols + [out_col])
 
-        return pre.mapInPandas(run, schema=schema)
+        return pre.mapInArrow(run, schema=schema)
 
     def to_vw_lines(self, df: DataFrame, keep_cols: Optional[list] = None,
                     labeled: Optional[bool] = None,
@@ -685,8 +696,8 @@ class FeaturePipeline:
             labeled = self.spec.label is not None
         keep = keep_cols if keep_cols is not None else []
 
-        def mk_flat(plan: _ExecPlan, pdf: pd.DataFrame) -> list:
-            bodies, missing = _assemble_vw_bodies(plan, pdf)
+        def mk_flat(plan: _ExecPlan, pdf: pd.DataFrame, rb=None) -> list:
+            bodies, missing = _assemble_vw_bodies(plan, pdf, rb=rb)
             thr = plan.num_missing_threshold
             labels = _eval_dv(plan, pdf, "label") if labeled else None
             imps = _eval_dv(plan, pdf, "importance") if labeled else None
@@ -712,7 +723,7 @@ class FeaturePipeline:
                 lines.append(head + t + (iv if iv else "|"))
             return lines
 
-        def mk_dict(plan: _ExecPlan, pdf: pd.DataFrame) -> list:
+        def mk_dict(plan: _ExecPlan, pdf: pd.DataFrame, rb=None) -> list:
             order, bags, missing, erring = _batch_eval(plan, pdf)
             labels = _eval_dv(plan, pdf, "label") if labeled else None
             imps = _eval_dv(plan, pdf, "importance") if labeled else None
@@ -761,8 +772,8 @@ class FeaturePipeline:
                 raise ValueError(f"cb {nm} spec must be Column-expressible")
             cb_cols[nm] = col
 
-        def mk(plan: _ExecPlan, pdf: pd.DataFrame) -> list:
-            bodies, _missing = _assemble_vw_bodies(plan, pdf)
+        def mk(plan: _ExecPlan, pdf: pd.DataFrame, rb=None) -> list:
+            bodies, _missing = _assemble_vw_bodies(plan, pdf, rb=rb)
 
             def _clean(col):
                 vals = pdf[_PREFIX + "cb_" + col].tolist()
@@ -809,15 +820,16 @@ class FeaturePipeline:
             return [None if v is None else decimal_format(float(v), 17)
                     for v in labels]
 
-        def mk_flat(plan: _ExecPlan, pdf: pd.DataFrame) -> list:
-            bodies, _missing = _assemble_libsvm_lines(plan, pdf, hash_fn)
+        def mk_flat(plan: _ExecPlan, pdf: pd.DataFrame, rb=None) -> list:
+            bodies, _missing = _assemble_libsvm_lines(plan, pdf, hash_fn,
+                                                      rb=rb)
             labs = _label_strs(plan, pdf)
             if labs is None:
                 return bodies
             return [b if l is None else (f"{l} {b}" if b else l)
                     for l, b in zip(labs, bodies)]
 
-        def mk_dict(plan: _ExecPlan, pdf: pd.DataFrame) -> list:
+        def mk_dict(plan: _ExecPlan, pdf: pd.DataFrame, rb=None) -> list:
             order, bags, missing, erring = _batch_eval(plan, pdf)
             labs = _label_strs(plan, pdf)
             lines = []
