@@ -888,15 +888,18 @@ class FeaturePipeline:
         schema = (keep_t + ", " if keep_t else "") + \
             f"{out_col} array<string>"
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
+        def run(batches):
             pid = TaskContext.get().partitionId() if TaskContext.get() else 0
             seed = partition_seed(base_seed, pid)
-            for pdf in batches:
-                if pdf.empty:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
+                pdf = pa.Table.from_batches([rb]).to_pandas()
                 # shared features assemble on the flat tier; the rest of
                 # each block is selected from the precomputed lines
-                bodies, _missing = _assemble_vw_bodies(plan, pdf)
+                bodies, _missing = _assemble_vw_bodies(plan, pdf, rb=rb)
                 positives = pdf[positive_col].tolist()
                 blocks = []
                 for i, iv in enumerate(bodies):
@@ -911,11 +914,12 @@ class FeaturePipeline:
                     blocks.append(head + [
                         pos_lines[j] if j in pos else neg_lines[j]
                         for j in label_ids])
-                out = {c: pdf[c] for c in keep}
-                out[out_col] = blocks
-                yield pd.DataFrame(out)
+                names = rb.schema.names
+                arrays = [rb.column(names.index(c)) for c in keep]
+                arrays.append(pa.array(blocks, type=pa.list_(pa.string())))
+                yield pa.RecordBatch.from_arrays(arrays, keep + [out_col])
 
-        return pre.mapInPandas(run, schema=schema)
+        return pre.mapInArrow(run, schema=schema)
 
     def to_sparse_vectors(self, df: DataFrame,
                           keep_cols: Optional[list] = None,
