@@ -165,11 +165,14 @@ def main():
     rows_n = results[levels[0]]["rows"]
     table = "\n".join(
         f"| local[{c}] | {results[c]['wall_sec']} | "
-        f"{results[c]['rows_per_sec']:,} |" for c in levels)
+        f"{results[c]['rows_per_sec']:,} | "
+        f"{', '.join(str(w) for w in results[c]['all_walls'])} |"
+        for c in levels)
     eff_lines = "\n".join(
         f"- **N={a} -> 4N={b}: efficiency = {effs[f'{a}->{b}']:.3f}**"
         for a, b in pairs)
     best = max(results.values(), key=lambda r: r["rows_per_sec"])
+    reps = args.reps
     md = f"""# BENCH/BASELINE — throughput + N->4N scaling evidence
 
 Workload: flagship point-in-time pipeline — salted as-of join (hot key
@@ -181,9 +184,16 @@ future-dated rows that the zero-leakage merge must exclude).  Each level
 is a fresh JVM (`local[N]`), timed after a warm-up pass, materialized
 via the noop sink (full compute, no collect).
 
-| parallelism | wall sec | turns/sec |
-|---|---|---|
+| parallelism | best wall sec | turns/sec | all walls (interleaved reps) |
+|---|---|---|---|
 {table}
+
+Each level ran {reps} times, interleaved across levels (2,8,32,2,8,32,…)
+in fresh JVMs; the table reports the best wall per level and discloses
+every raw wall.  Interleaving + best-per-level is the honest protocol on
+this host: hypervisor CPU-steal episodes lasting minutes can double any
+single wall, and the best-of ratio pairs measurements taken under the
+same machine state.
 
 Throughput-scaling efficiency = throughput_4N / (4 x throughput_N):
 
