@@ -225,16 +225,19 @@ Every stage of the plan — range-partitioned as-of merge, window
 exchanges, Arrow-native featurize — parallelizes purely by partition
 count with no driver-side serialization point, which is what governs
 scaling on a real N -> 4N *executor* cluster where each executor brings
-its own memory bus and OS scheduler.  On this single 32-vCPU
-virtualized host the full-width pair (8->32) additionally measures two
-single-box artifacts a multi-executor cluster does not have: (a) at
-local[32] every active task co-schedules a JVM thread AND an Arrow
-Python worker (~64 runnables on 32 vCPUs, on a host with 20-30%
-hypervisor CPU steal under load), and (b) all 32 lanes share one DRAM
-bus, and the hashed-vector kernels are memory-bandwidth-bound, so the
-box tops out near its single-node ceiling regardless of lane count.
-Absolute numbers move run to run with steal; ratios within one
-interleaved run (one machine state) are the stable signal.
+its own memory bus and OS scheduler.  The full-width pair (8->32)
+instead measures a single-box ceiling, and we attributed it by
+measurement (`BENCH/stage_probe.py`, results in
+`BENCH/last_stage_probe.json`): the pipeline's ZERO-PYTHON portion
+(windows + salted as-of, pure Catalyst — no Arrow workers, no
+JVM/Python co-scheduling) plateaus in the same ~340-450k rows/s band at
+local[8] and local[32] as the full pipeline does.  Removing Python
+entirely does not restore width-32 scaling, so the collapse is the
+host's — all 32 virtualized lanes share one DRAM bus for
+shuffle/sort/hash traffic, under 20-30% hypervisor CPU steal — not a
+property of the plan.  Absolute numbers move run to run with steal;
+ratios within one interleaved run (one machine state) are the stable
+signal.
 
 Reference sanity bar (BASELINE.md): the warmed single-JVM Scala library
 does ~1.2e5 rows/sec on 5 threads for featurization alone; this pipeline
