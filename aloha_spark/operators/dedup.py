@@ -216,6 +216,15 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     sigs = with_minhash(df.select(id_col, text), text, num_hashes,
                         shingle_n, seed)
     cands = lsh_candidate_pairs(sigs, id_col, "minhash", bands, rows_per_band)
+    # the verify stage consumes the candidate set three times (the
+    # pruning semi-join + both sides of the pair join); without a
+    # materialization point Catalyst re-plans the whole
+    # minhash-UDF -> banding -> groupBy subtree per consumer (measured
+    # 3x Python eval nodes, zero reused exchanges).  Candidates are
+    # tiny relative to the corpus — persisting them is also what a
+    # 100 TB run would do (write the candidate table once, verify
+    # against it).
+    cands = cands.persist()
     verified = exact_jaccard(df, cands, id_col, text, shingle_n)
     return verified.where(F.col("jaccard") >= threshold)
 
@@ -359,56 +368,83 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     a pandas UDF), candidates = pairs sharing a code within Hamming <=
     probe_hamming in ANY of ``n_tables`` independent tables (the
     standard recall amplification: miss probability decays as
-    ``(1-p^planes)^n_tables``), verified with exact cosine (JVM
-    ``aggregate``/``zip_with`` arithmetic).  Candidate volume grows
-    linearly in n_tables; the equi-join key (table, code) keeps every
-    table's buckets disjoint in one shuffle."""
+    ``(1-p^planes)^n_tables``), verified with exact cosine.  The verify
+    is an Arrow-vectorized dot product over UNIT vectors: each vector
+    is L2-normalized exactly once (in the same UDF pass that codes it),
+    so the per-pair work is a 1-row einsum term instead of a
+    dot+2-norms higher-order-function chain — the candidate set is the
+    quadratic object here, so per-pair cost is what dominates at every
+    scale.  Candidate volume grows linearly in n_tables; the equi-join
+    key (table, code) keeps every table's buckets disjoint in one
+    shuffle."""
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
     rng = np.random.default_rng(seed)
     mats = rng.standard_normal((n_tables, dim, planes)).astype(np.float64)
 
-    @pandas_udf("array<int>")
-    def codes_udf(vecs: pd.Series) -> pd.Series:
+    @pandas_udf("struct<codes:array<int>,vn:array<double>>")
+    def code_norm_udf(vecs: pd.Series) -> pd.DataFrame:
         m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         if m.size == 0:
-            return pd.Series([])
+            return pd.DataFrame({"codes": [], "vn": []})
         weights = (np.int64(1) << np.arange(planes, dtype=np.int64))
         out = np.empty((len(m), n_tables), dtype=np.int64)
         for t in range(n_tables):
             bits = (m @ mats[t]) > 0
             out[:, t] = bits.astype(np.int64) @ weights
-        return pd.Series(out.astype(np.int32).tolist())
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        # zero vectors stay zero: their cosine with anything is NaN in
+        # the exact formula; dot(0-vector) = 0 < any threshold > 0,
+        # preserving the drop
+        vn = m / np.where(nrm > 0.0, nrm, 1.0)
+        return pd.DataFrame({"codes": list(out.astype(np.int32)),
+                             "vn": list(vn)})
 
-    coded = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                      codes_udf(F.col(vec_col)).alias("codes"))
-    # one row per (vector, table): the join key is (table, code)
-    tbl = (coded.select(
-        "id", "v",
-        F.posexplode("codes").alias("tbl", "code")))
+    # persisted: consumed by the (table, code) join AND twice more to
+    # re-attach unit vectors after candidate dedup — without a
+    # materialization point the coding UDF would re-run per consumer
+    coded = (df.select(F.col(id_col).alias("id"),
+                       code_norm_udf(F.col(vec_col)).alias("cn"))
+               .select("id", F.col("cn.codes").alias("codes"),
+                       F.col("cn.vn").alias("vn"))
+               .persist())
+    # one row per (vector, table): the join key is (table, code).
+    # Ids only — the n_tables x (1 + planes) probe explosion must not
+    # replicate the embedding vectors through the shuffle (at dim=64
+    # that is ~30x more bytes than the int keys); vectors are attached
+    # AFTER the candidate pairs are deduped, from the persisted coded
+    # table.
+    tbl = coded.select("id", F.posexplode("codes").alias("tbl", "code"))
     # multi-probe: also join on the code with one bit flipped
     probes = [F.col("code")]
     if probe_hamming >= 1:
         probes += [F.col("code").bitwiseXOR(F.lit(1 << b))
                    for b in range(planes)]
     exploded = tbl.select(
-        "id", "v", "tbl",
+        "id", "tbl",
         F.explode(F.array(*[p.alias("p") for p in probes])).alias("probe"))
     l = tbl.alias("l")
     r = exploded.alias("r")
-    cands = (l.join(r, (F.col("l.tbl") == F.col("r.tbl"))
-                    & (F.col("l.code") == F.col("r.probe")))
-             .where(F.col("l.id") < F.col("r.id"))
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
-             .dropDuplicates(["id_a", "id_b"]))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda a, x: a + x))
-    cos = dot / (norm("va") * norm("vb"))
-    return (cands.withColumn("cosine", cos)
+    cand_ids = (l.join(r, (F.col("l.tbl") == F.col("r.tbl"))
+                       & (F.col("l.code") == F.col("r.probe")))
+                .where(F.col("l.id") < F.col("r.id"))
+                .select(F.col("l.id").alias("id_a"),
+                        F.col("r.id").alias("id_b"))
+                .dropDuplicates(["id_a", "id_b"]))
+    cands = (cand_ids
+             .join(coded.select(F.col("id").alias("id_a"),
+                                F.col("vn").alias("va")), "id_a")
+             .join(coded.select(F.col("id").alias("id_b"),
+                                F.col("vn").alias("vb")), "id_b"))
+
+    @pandas_udf("double")
+    def unit_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=float)
+        A = np.asarray([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.asarray([np.asarray(x, dtype=np.float64) for x in b])
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return (cands.withColumn("cosine", unit_dot(F.col("va"), F.col("vb")))
                  .where(F.col("cosine") >= threshold)
                  .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
