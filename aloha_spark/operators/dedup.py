@@ -142,10 +142,13 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     at least one (band, band-signature) bucket."""
     band_exprs = []
     for bi in range(bands):
-        sl = F.slice(F.col(minhash_col), bi * rows_per_band + 1, rows_per_band)
+        # hash the band's longs directly (no array<string> cast — that
+        # allocated rows x bands strings just to feed the hash); equal
+        # slices hash equal either way, which is all banding needs
+        elems = [F.element_at(F.col(minhash_col), bi * rows_per_band + j + 1)
+                 for j in range(rows_per_band)]
         band_exprs.append(F.struct(F.lit(bi).alias("band"),
-                                   F.xxhash64(sl.cast("array<string>"),
-                                              F.lit(bi)).alias("sig")))
+                                   F.xxhash64(*elems, F.lit(bi)).alias("sig")))
     exploded = (df.select(F.col(id_col).alias("id"),
                           F.explode(F.array(*band_exprs)).alias("b"))
                   .select("id", F.col("b.band").alias("band"),
