@@ -191,12 +191,22 @@ def exact_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     # candidate id set can itself be large)
     pruned = df.join(wanted, df[id_col] == F.col("__wid"), "left_semi")
     # tokenize once per row, then shingle over the materialized array —
-    # a lambda that re-splits per shingle would be O(tokens^2)
+    # a lambda that re-splits per shingle would be O(tokens^2).
+    # split(trim(''), '\\s+') yields [''] not [], and the shingle
+    # sequence below always emits index 0 — without the empty-token
+    # filter and the empty-doc guard, every pair of empty/whitespace
+    # documents would score a phantom jaccard of 1.0 (the Python
+    # shingle helper returns the empty set for them)
+    toks = F.filter(toks, lambda x: x != F.lit(""))
     with_toks = pruned.select(F.col(id_col).alias("id"), toks.alias("toks"))
-    sh = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(F.col("toks")) - F.lit(shingle_n),
-                                        F.lit(0))),
-        lambda i: F.array_join(F.slice(F.col("toks"), i + 1, shingle_n), " ")))
+    sh = F.when(F.size(F.col("toks")) == 0,
+                F.array().cast("array<string>")) \
+        .otherwise(F.array_distinct(F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.size(F.col("toks")) - F.lit(shingle_n),
+                                  F.lit(0))),
+            lambda i: F.array_join(F.slice(F.col("toks"), i + 1, shingle_n),
+                                   " "))))
     docs = with_toks.select("id", sh.alias("sh"))
     a = docs.alias("a")
     b = docs.alias("b")
@@ -205,8 +215,15 @@ def exact_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             .join(b, pairs.id_b == F.col("b.id"))
             .select(
                 "id_a", "id_b",
-                (F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-                 / F.size(F.array_union("a.sh", "b.sh"))).alias("jaccard")))
+                # 0/0 (both shingle sets empty) throws under ANSI and
+                # is NULL under try_divide; the Python shingle helper
+                # defines it as 0.0
+                F.coalesce(
+                    F.try_divide(
+                        F.size(F.array_intersect("a.sh", "b.sh"))
+                        .cast("double"),
+                        F.size(F.array_union("a.sh", "b.sh"))),
+                    F.lit(0.0)).alias("jaccard")))
 
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",

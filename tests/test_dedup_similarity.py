@@ -236,3 +236,51 @@ class TestMultiTableLsh:
             rec[nt] = len(got & exact) / max(1, len(exact))
         assert rec[6] >= rec[1]
         assert rec[6] >= 0.4
+
+
+class TestDegenerateInputs:
+    """Hostile-corpus hardening for the LSH verify paths: empty/NULL
+    text through minhash, zero vectors through the unit-dot verify."""
+
+    def test_minhash_all_empty_and_null_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "   "), (4, "one"), (5, "one")],
+            "doc_id int, text string")
+        pairs = minhash_dedup_pairs(df, threshold=0.5,
+                                    num_hashes=16, bands=8).toPandas()
+        # empty/whitespace/NULL docs share the all-zero signature and
+        # thus band together, but exact-Jaccard verification gives
+        # them jaccard 0.0 (empty shingle sets) — they must NOT be
+        # reported; the identical non-empty docs must be.
+        assert set(map(tuple, pairs[["id_a", "id_b"]].values)) == {(4, 5)}
+
+    def test_minhash_single_doc_corpus(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")],
+                                   "doc_id int, text string")
+        assert minhash_dedup_pairs(df, num_hashes=16, bands=8).count() == 0
+
+    def test_embedding_zero_vectors_never_match(self, spark):
+        rows = [(1, [0.0] * 8), (2, [0.0] * 8),
+                (3, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+                (4, [1.0, 1e-9, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        out = embedding_neardup_pairs(df, threshold=0.9, planes=4,
+                                      probe_hamming=4, n_tables=4,
+                                      vec_col="embedding").toPandas()
+        got = set(map(tuple, out[["id_a", "id_b"]].values))
+        # zero vectors have no direction: cosine with anything is
+        # undefined and must never clear the threshold (the unit-dot
+        # path maps them to the zero vector -> dot 0.0)
+        assert all(1 not in p and 2 not in p for p in got)
+        assert (3, 4) in got
+
+    def test_embedding_unit_dot_matches_exact_cosine(self, spark, embs):
+        out = embedding_neardup_pairs(embs, threshold=0.8, planes=4,
+                                      probe_hamming=4, n_tables=6).toPandas()
+        pdf = embs.toPandas()
+        vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                for r in pdf.itertuples()}
+        for r in out.itertuples():
+            a, b = vecs[r.id_a], vecs[r.id_b]
+            exact = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert abs(r.cosine - round(exact, 6)) < 1e-9
