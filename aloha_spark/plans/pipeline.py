@@ -923,12 +923,21 @@ class FeaturePipeline:
 
     def to_sparse_vectors(self, df: DataFrame,
                           keep_cols: Optional[list] = None,
-                          seed: int = STRING_SEED) -> DataFrame:
+                          seed: int = STRING_SEED,
+                          impl: str = "auto") -> DataFrame:
         """Hashed sparse vectors: the whole Arrow batch's keys hash in a
         single vectorized murmur call; per row: mask, sort, dedupe
         (last wins).
 
-        Arrow-native (``mapInArrow``): keep-columns pass through
+        ``impl``: ``'auto'`` (default) picks the pure-Catalyst plan when
+        every feature is a scalar Column-tier spec (static key space —
+        the murmur hashes are driver-side compile-time literals, so the
+        whole sink stays inside whole-stage codegen with zero Python
+        workers); otherwise the Arrow path.  ``'jvm'`` forces the
+        Catalyst plan (raises if a feature needs a Python tier),
+        ``'arrow'`` forces the Arrow path (the A/B semantics oracle).
+
+        Arrow path (``mapInArrow``): keep-columns pass through
         zero-copy, and the ragged (indices, values) output is built
         directly as ``ListArray.from_arrays(offsets, flat)`` — no
         ``np.split`` into per-row objects, no pandas->Arrow reassembly
@@ -938,6 +947,16 @@ class FeaturePipeline:
         keep = keep_cols if keep_cols is not None else list(df.columns)
         pre = self._with_precomputed(df)
         plan = self.plan
+        if impl != "arrow":
+            jvm_ok = all(fp.kind == "column" for fp in plan.features)
+            if impl == "jvm" and not jvm_ok:
+                bad = [fp.name for fp in plan.features
+                       if fp.kind != "column"]
+                raise ValueError(
+                    f"impl='jvm' needs every feature on the Column tier "
+                    f"with a numeric source; not eligible: {bad}")
+            if jvm_ok:
+                return self._to_sparse_vectors_jvm(pre, keep, seed)
         mask = np.int32((1 << plan.num_bits) - 1)
         keep_t = ", ".join(f"{c} {pre.schema[c].dataType.simpleString()}"
                            for c in keep)
@@ -1023,3 +1042,70 @@ class FeaturePipeline:
                     arrays, keep + ["indices", "values", "missing_features"])
 
         return pre.mapInArrow(run, schema=schema)
+
+    def _to_sparse_vectors_jvm(self, pre: DataFrame, keep: list,
+                               seed: int) -> DataFrame:
+        """Pure-Catalyst sparse-vector sink for all-scalar plans.
+
+        Scalar Column-tier features have a *static* key space — the
+        present key is the feature name and the missing key is
+        ``name=UNK`` — so both murmur hashes are computed once on the
+        driver (same ``string_hash_array`` kernel as the Arrow path,
+        hashing parity by construction) and baked into the plan as
+        int literals.  Per row each feature emits exactly one struct
+        ``(i=hash, v=value, d=decl_idx)``: the present entry when the
+        precomputed column is non-null non-NaN, else the UNK entry —
+        pandas ``isna`` treats NaN as missing, so the JVM predicate
+        must too.  ``array_sort`` by (i, d) + adjacent keep-last
+        reproduces the Arrow path's stable-sort last-wins dedupe
+        (LibSvmRowCreator.scala:21-48 SortedMap semantics), and
+        ``numMissingThreshold`` aborts yield NULL vectors exactly like
+        RegressionFeatures.scala:99-110.  No Python worker anywhere:
+        feature evaluation stays in whole-stage codegen and the
+        array assembly is JVM-side higher-order functions
+        (gated in tests/test_jvm_sparse.py)."""
+        plan = self.plan
+        mask = int((1 << plan.num_bits) - 1)
+
+        entries = []
+        miss_flags = []
+        for di, fp in enumerate(plan.features):
+            x = F.col(_PREFIX + fp.name)
+            h = int(string_hash_array([fp.name], seed)[0]) & mask
+            u = int(string_hash_array([fp.name + "=UNK"], seed)[0]) & mask
+            present = x.isNotNull() & ~F.isnan(x)
+            entries.append(
+                F.when(present, F.struct(
+                    F.lit(h).alias("i"), x.alias("v"),
+                    F.lit(di).alias("d")))
+                .otherwise(F.struct(
+                    F.lit(u).alias("i"), F.lit(1.0).alias("v"),
+                    F.lit(di).alias("d"))))
+            miss_flags.append(F.when(~present, F.lit(fp.name)))
+
+        out = pre.withColumn(
+            "__sv_sorted",
+            F.array_sort(
+                F.array(*entries),
+                lambda a, b: F.when(a["i"] != b["i"], a["i"] - b["i"])
+                              .otherwise(a["d"] - b["d"])))
+        arr = F.col("__sv_sorted")
+        # adjacent keep-last: equal hashed indices sit next to each
+        # other post-sort with the highest declaration index last
+        deduped = F.filter(
+            arr,
+            lambda s, j: (j == F.size(arr) - 1)
+            | (F.get(arr, j + 1)["i"] != s["i"]))
+        missing = F.array_compact(F.array(*miss_flags))
+        indices = F.transform(deduped, lambda s: s["i"].cast("int"))
+        values = F.transform(deduped, lambda s: s["v"])
+        thr = plan.num_missing_threshold
+        if thr is not None:
+            aborted = F.size(missing) > F.lit(thr)
+            indices = F.when(~aborted, indices)
+            values = F.when(~aborted, values)
+        return out.select(
+            *keep,
+            indices.alias("indices"),
+            values.alias("values"),
+            missing.alias("missing_features"))
