@@ -766,6 +766,99 @@ def q_regression_spline(spark, sf_dir):
     return apply_model(feats, m, "score").select("doc_id", "score")
 
 
+def q_feature_vectors_jvm(spark, sf_dir):
+    """Pure-Catalyst sparse-vector sink (all-scalar plan, zero Python
+    workers): static-key murmur hashes are driver-side literals, so
+    the whole hashed-vector assembly runs as JVM expressions
+    (pipeline.py _to_sparse_vectors_jvm).  Deterministic NULL
+    injection (event_id % 7 / % 5) exercises UNK entries, the
+    missing_features bookkeeping, and the numMissingThreshold abort
+    (RegressionFeatures.scala:99-110); vectors are exploded to scalar
+    rows so the driver can value-hash them."""
+    from aloha_spark.plans.pipeline import FeaturePipeline
+    from aloha_spark.plans.spec import PipelineSpec
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("x"),
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("y"))
+    spec = PipelineSpec.from_json({
+        "features": [{"name": "val", "spec": "${x}"},
+                     {"name": "vc", "spec": "clamp(${x:-0}, 0, 250)"},
+                     {"name": "dbl", "spec": "${x} * 2 - 1"},
+                     {"name": "half", "spec": "${y} / 2"}],
+        "namespaces": {}, "numBits": 18, "numMissingThreshold": 2})
+    out = FeaturePipeline(spec).to_sparse_vectors(
+        ev, keep_cols=["event_id"], impl="jvm")
+    return (out.select(
+        "event_id",
+        F.posexplode_outer(
+            F.arrays_zip("indices", "values")).alias("pos", "u"),
+        F.array_join("missing_features", ",").alias("missing"))
+        .select("event_id",
+                F.col("pos").cast("int").alias("pos"),
+                F.col("u.indices").alias("idx"),
+                F.round("u.values", 6).alias("val"),
+                "missing"))
+
+
+def _feature_vectors_jvm_oracle() -> str:
+    """DuckDB mirror of q_feature_vectors_jvm.  The hashed indices are
+    compile-time constants (same driver-side murmur kernel the Spark
+    plan bakes in as literals), so the oracle embeds them as ints —
+    an independent re-derivation of the whole JVM sink: entry
+    construction, UNK fallback, (idx) ordering, threshold abort."""
+    from aloha_spark.functions.hashing import string_hash_array
+    mask = (1 << 18) - 1
+    h = {k: int(string_hash_array([k])[0]) & mask
+         for k in ("val", "val=UNK", "vc", "dbl", "dbl=UNK",
+                   "half", "half=UNK")}
+    return f"""
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS x,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS y
+  FROM events
+), f AS (
+  SELECT event_id,
+         x AS f_val,
+         LEAST(GREATEST(COALESCE(x, 0.0), 0.0), 250.0) AS f_vc,
+         x * 2 - 1 AS f_dbl,
+         y / 2 AS f_half,
+         CONCAT_WS(',', CASE WHEN x IS NULL THEN 'val' END,
+                        CASE WHEN x IS NULL THEN 'dbl' END,
+                        CASE WHEN y IS NULL THEN 'half' END) AS missing,
+         (CASE WHEN x IS NULL THEN 2 ELSE 0 END
+          + CASE WHEN y IS NULL THEN 1 ELSE 0 END) AS nmiss
+  FROM e
+), ent0 AS (
+  SELECT event_id, missing,
+         UNNEST([
+           {{'idx': CASE WHEN f_val IS NULL
+                    THEN {h['val=UNK']} ELSE {h['val']} END,
+             'val': COALESCE(f_val, 1.0)}},
+           {{'idx': {h['vc']}, 'val': f_vc}},
+           {{'idx': CASE WHEN f_dbl IS NULL
+                    THEN {h['dbl=UNK']} ELSE {h['dbl']} END,
+             'val': COALESCE(f_dbl, 1.0)}},
+           {{'idx': CASE WHEN f_half IS NULL
+                    THEN {h['half=UNK']} ELSE {h['half']} END,
+             'val': COALESCE(f_half, 1.0)}}
+         ]) AS u
+  FROM f WHERE nmiss <= 2
+)
+SELECT event_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY u.idx) - 1
+            AS INT) AS pos,
+       CAST(u.idx AS INT) AS idx,
+       ROUND(u.val, 6) AS val,
+       missing
+FROM ent0
+UNION ALL
+SELECT event_id, CAST(NULL AS INT) AS pos, CAST(NULL AS INT) AS idx,
+       CAST(NULL AS DOUBLE) AS val, missing
+FROM f WHERE nmiss > 2"""
+
+
 def q_csv_columnar(spark, sf_dir):
     """S13/F19: columnar CSV sink with regular + hotOne encodings."""
     from aloha_spark.sinks.csv_sink import csv_columns
@@ -1077,7 +1170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_tool_count": q_rolling_tool_count,
         "asof_state": q_asof_state,
         "asof_salted": q_asof_salted,
-        "asof_merge": q_asof_merge,
         "pit_pipeline": q_pit_pipeline,
         # relational / aggregation
         "pricing_summary": q_pricing_summary,
@@ -1116,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_cat": q_hashed_cat,
         "libsvm_labeled": q_libsvm_labeled,
         "regression_spline": q_regression_spline,
+        "feature_vectors_jvm": q_feature_vectors_jvm,
         "csv_columnar": q_csv_columnar,
         "error_swallow": q_error_swallow,
         "model_tree_leaves": q_model_tree_leaves,
@@ -1133,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_reindex": q_turn_reindex,
         "session_stats": q_session_stats,
         "asof_strict": q_asof_strict,
+        "asof_merge": q_asof_merge,
         "ann_topk": q_ann_topk,
         "constant_model": q_constant_model,
         "error_model": q_error_model,
@@ -1572,6 +1666,7 @@ SELECT doc_id,
          + CAST(1.0 AS DOUBLE), CAST(0 AS DOUBLE)), CAST(32 AS DOUBLE))
        AS score
 FROM documents""",
+        "feature_vectors_jvm": _feature_vectors_jvm_oracle(),
         "csv_columnar": """
 SELECT c_custkey AS key, c_name AS name,
        CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
