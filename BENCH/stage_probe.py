@@ -46,6 +46,9 @@ RUNNER = textwrap.dedent("""
              .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
              .config("spark.default.parallelism", str(max(2 * cpus, 8)))
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             # 30k-row Arrow batches: ~20-50% lower 2M-turn wall vs the 10k
+             # default (per-batch flat-kernel overhead amortizes; 60k regresses)
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "30000")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.driver.memory", "24g")

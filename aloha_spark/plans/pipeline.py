@@ -46,6 +46,7 @@ from .spec import (
     try_compile_column,
     try_compile_flat,
     try_compile_vbatch,
+    try_parse_binning,
 )
 
 _PREFIX = "__als_"
@@ -558,6 +559,7 @@ class FeaturePipeline:
         self.spec = spec
         self._columns: dict[str, object] = {}   # driver-only JVM handles
         self._dv_columns: dict[str, object] = {}
+        self._binning: dict[str, dict] = {}     # JVM sparse-sink tier
         feats: list[_FeatPlan] = []
         for p in spec.features:
             col = try_compile_column(p)
@@ -576,6 +578,9 @@ class FeaturePipeline:
             flat = try_compile_flat(p)
             if flat is not None:
                 fp.flat_fn = flat[0]
+            binned = try_parse_binning(p)
+            if binned is not None:
+                self._binning[p.name] = binned
             feats.append(fp)
         dv: dict[str, _FeatPlan] = {}
         for dv_name, p in (("label", spec.label),
@@ -948,13 +953,14 @@ class FeaturePipeline:
         pre = self._with_precomputed(df)
         plan = self.plan
         if impl != "arrow":
-            jvm_ok = all(fp.kind == "column" for fp in plan.features)
+            jvm_ok = all(fp.kind == "column" or fp.name in self._binning
+                         for fp in plan.features)
             if impl == "jvm" and not jvm_ok:
                 bad = [fp.name for fp in plan.features
-                       if fp.kind != "column"]
+                       if fp.kind != "column" and fp.name not in self._binning]
                 raise ValueError(
-                    f"impl='jvm' needs every feature on the Column tier "
-                    f"with a numeric source; not eligible: {bad}")
+                    f"impl='jvm' needs every feature on the Column or "
+                    f"binning tier with a numeric source; not eligible: {bad}")
             if jvm_ok:
                 return self._to_sparse_vectors_jvm(pre, keep, seed)
         mask = np.int32((1 << plan.num_bits) - 1)
@@ -1067,28 +1073,98 @@ class FeaturePipeline:
         plan = self.plan
         mask = int((1 << plan.num_bits) - 1)
 
-        entries = []
+        def hh(key: str) -> int:
+            return int(string_hash_array([key], seed)[0]) & mask
+
+        def ent(i_col, v_col, di: int, e: int):
+            # e = emission order within the feature: binning functions
+            # emit [bin_b, bin_b+1]; on an intra-feature hash collision
+            # the flat tier's stable sort keeps the later emission, so
+            # the comparator needs the tiebreak
+            return F.struct(i_col.cast("int").alias("i"),
+                            v_col.cast("double").alias("v"),
+                            F.lit(di).alias("d"), F.lit(e).alias("e"))
+
+        feat_arrays = []
         miss_flags = []
         for di, fp in enumerate(plan.features):
-            x = F.col(_PREFIX + fp.name)
-            h = int(string_hash_array([fp.name], seed)[0]) & mask
-            u = int(string_hash_array([fp.name + "=UNK"], seed)[0]) & mask
+            if fp.kind == "column":
+                x = F.col(_PREFIX + fp.name)
+                present = x.isNotNull() & ~F.isnan(x)
+                arr = (F.when(present,
+                              F.array(ent(F.lit(hh(fp.name)), x, di, 0)))
+                       .otherwise(F.array(ent(F.lit(hh(fp.name + "=UNK")),
+                                              F.lit(1.0), di, 0))))
+                feat_arrays.append(arr)
+                miss_flags.append(F.when(~present, F.lit(fp.name)))
+                continue
+            # binning tier: enumerable key space (grid bins / knots),
+            # hashes precomputed per bin on the driver
+            desc = self._binning[fp.name]
+            x = F.col(desc["src"]).cast("double")
             present = x.isNotNull() & ~F.isnan(x)
-            entries.append(
-                F.when(present, F.struct(
-                    F.lit(h).alias("i"), x.alias("v"),
-                    F.lit(di).alias("d")))
-                .otherwise(F.struct(
-                    F.lit(u).alias("i"), F.lit(1.0).alias("v"),
-                    F.lit(di).alias("d"))))
+            unk_arr = F.array(ent(F.lit(hh(fp.name + "=UNK")),
+                                  F.lit(1.0), di, 0))
+            if desc["fn"] in ("sos2", "sos2u"):
+                vmin, vmax = float(desc["vmin"]), float(desc["vmax"])
+                delta = float(desc["delta"])
+                # bins reach floor(K)+1 when vmax is off-grid (the
+                # fraction entry lands one past the clamped bin)
+                nb = int((vmax - vmin) / delta)
+                harr = F.array(*[
+                    F.lit(hh(f"{fp.name}={int(desc['vmin'] + b * desc['delta'])}"))
+                    for b in range(nb + 2)])
+                v = (F.least(F.greatest(x, F.lit(vmin)), F.lit(vmax))
+                     - F.lit(vmin)) / F.lit(delta)
+                b = v.cast("int")
+                frac = v - b.cast("double")
+                interp = (F.when(frac == 0.0,
+                                 F.array(ent(F.get(harr, b),
+                                             F.lit(1.0), di, 0)))
+                          .otherwise(F.array(
+                              ent(F.get(harr, b), F.lit(1.0) - frac, di, 0),
+                              ent(F.get(harr, b + 1), frac, di, 1))))
+                if desc["fn"] == "sos2u":
+                    body = (F.when(x < F.lit(vmin),
+                                   F.array(ent(
+                                       F.lit(hh(fp.name + "=UNDERFLOW")),
+                                       F.lit(1.0), di, 0)))
+                            .otherwise(interp))
+                else:
+                    body = interp
+            else:
+                knots = desc["knots"]
+                kh = [hh(f"{fp.name}={k}") for k in knots]
+                harr = F.array(*[F.lit(h) for h in kh])
+                karr = F.array(*[F.lit(float(k)) for k in knots])
+                pos = F.array_position(karr, x)     # 1-based; 0 = no hit
+                cnt = F.aggregate(                  # bisect_left(knots, x)
+                    karr, F.lit(0),
+                    lambda acc, k: acc + F.when(k < x, 1).otherwise(0))
+                lo, hi = F.get(karr, cnt - 1), F.get(karr, cnt)
+                span = hi - lo
+                body = (F.when(x >= F.lit(float(knots[-1])),
+                               F.array(ent(F.lit(kh[-1]), F.lit(1.0), di, 0)))
+                        .when(x <= F.lit(float(knots[0])),
+                              F.array(ent(F.lit(kh[0]), F.lit(1.0), di, 0)))
+                        .when(pos > 0,
+                              F.array(ent(F.get(harr, pos - 1),
+                                          F.lit(1.0), di, 0)))
+                        .otherwise(F.array(
+                            ent(F.get(harr, cnt - 1), (hi - x) / span, di, 0),
+                            ent(F.get(harr, cnt), (x - lo) / span, di, 1))))
+            feat_arrays.append(F.when(present, body).otherwise(unk_arr))
             miss_flags.append(F.when(~present, F.lit(fp.name)))
 
+        combined = feat_arrays[0] if len(feat_arrays) == 1 \
+            else F.concat(*feat_arrays)
         out = pre.withColumn(
             "__sv_sorted",
             F.array_sort(
-                F.array(*entries),
+                combined,
                 lambda a, b: F.when(a["i"] != b["i"], a["i"] - b["i"])
-                              .otherwise(a["d"] - b["d"])))
+                .otherwise(F.when(a["d"] != b["d"], a["d"] - b["d"])
+                           .otherwise(a["e"] - b["e"]))))
         arr = F.col("__sv_sorted")
         # adjacent keep-last: equal hashed indices sit next to each
         # other post-sort with the highest declaration index last

@@ -393,6 +393,55 @@ def try_compile_flat(parsed: ParsedSpec):
     return fn_n, src_col
 
 
+def try_parse_binning(parsed: ParsedSpec):
+    """sos2 / sos2U / csos2 over a plain variable with literal consts →
+    descriptor for the pure-Catalyst sparse sink.  Binning functions
+    have *enumerable* key spaces (grid bins / knots / UNK / UNDERFLOW),
+    so every murmur hash is a driver-side compile-time constant.
+    Returns None when the spec needs a Python tier (defaults, computed
+    args) — mirroring try_compile_flat's constraints."""
+    try:
+        tree = ast.parse(parsed.expr, mode="eval")
+    except SyntaxError:
+        return None
+    node = tree.body
+    if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+            and node.func.id in ("sos2", "sos2U", "csos2")):
+        return None
+    if not node.args or not isinstance(node.args[0], ast.Name) \
+            or node.keywords:
+        return None
+    var = node.args[0].id
+    if var not in parsed.variables or parsed.defaults.get(var) is not None:
+        return None
+    src = runtime_source(parsed, var)
+    if node.func.id == "csos2":
+        if len(node.args) != 2 or not isinstance(node.args[1], ast.List):
+            return None
+        knots = []
+        for el in node.args[1].elts:
+            if not isinstance(el, ast.Constant) \
+                    or not isinstance(el.value, (int, float)):
+                return None
+            knots.append(el.value)
+        if len(knots) < 2 or sorted(knots) != knots:
+            return None
+        return {"fn": "csos2", "src": src, "knots": knots}
+    if len(node.args) != 4:
+        return None
+    consts = []
+    for a in node.args[1:]:
+        if not isinstance(a, ast.Constant) \
+                or not isinstance(a.value, (int, float)):
+            return None
+        consts.append(a.value)
+    vmin, vmax, delta = consts
+    if delta <= 0 or vmax <= vmin:
+        return None
+    return {"fn": "sos2u" if node.func.id == "sos2U" else "sos2",
+            "src": src, "vmin": vmin, "vmax": vmax, "delta": delta}
+
+
 def try_compile_vbatch(parsed: ParsedSpec):
     """Returns ``(kernel_fn, var_name)`` where ``kernel_fn(series) ->
     list[bag|None]``, or None if the spec doesn't fit the pattern."""
@@ -547,6 +596,12 @@ class PipelineSpec:
                 feats.append(parse_feature_spec(f["name"], f["spec"]))
             else:
                 raise ValueError("feature entries must be {name, spec} objects")
+        names = [p.name for p in feats]
+        if len(names) != len(set(names)):
+            # name-keyed compile state (Column handles, binning
+            # descriptors) makes duplicates silently cross-wire tiers
+            dups = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(f"duplicate feature names: {dups}")
         nss = {k: list(v) for k, v in doc.get("namespaces", {}).items()}
         mk = lambda key: (parse_feature_spec(key, doc[key])  # noqa: E731
                           if key in doc and doc[key] is not None else None)

@@ -73,6 +73,9 @@ def main(argv=None):
 
     spark = (SparkSession.builder.appName("aloha-spark-featurize")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             # 30k-row Arrow batches: ~20-50% lower 2M-turn wall vs the 10k
+             # default (per-batch flat-kernel overhead amortizes; 60k regresses)
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "30000")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())

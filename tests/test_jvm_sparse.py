@@ -38,6 +38,30 @@ COLLIDE_SPEC = {
 }
 
 
+#: binning tier: grid bins (incl. off-grid vmax -> overflow bin),
+#: underflow key, custom knots with exact hits and clamps
+BINNING_SPEC = {
+    "features": [
+        {"name": "a", "spec": "${x}"},
+        {"name": "s", "spec": "sos2(${x}, 0, 10, 3)"},
+        {"name": "u", "spec": "sos2U(${x}, 2, 8, 2)"},
+        {"name": "c", "spec": "csos2(${x}, [0, 1, 5, 10])"},
+        {"name": "cy", "spec": "csos2(${y}, [2, 4])"},
+    ],
+    "namespaces": {},
+    "numBits": 18,
+}
+
+BINNING_COLLIDE_SPEC = {
+    "features": [
+        {"name": f"s{i}", "spec": f"sos2(${{x}}, 0, 12, {i + 1})"}
+        for i in range(6)
+    ],
+    "namespaces": {},
+    "numBits": 3,
+}
+
+
 def _rows(df):
     out = []
     for r in df.orderBy("rid").collect():
@@ -73,6 +97,37 @@ def test_jvm_matches_arrow_under_collisions(spark):
     assert j == a
     # sanity: collisions actually happened (10 features, 8 slots)
     assert all(len(ix) < 10 for _, ix, _, _ in j)
+
+
+def _mkdf_bins(spark):
+    # grid edges, interior fractions, exact knots, underflow, NaN, null
+    data = [(0, 0.0, 2.0), (1, 1.5, 3.0), (2, 5.0, 4.0), (3, 9.7, 1.0),
+            (4, 10.0, 5.0), (5, -3.0, 2.5), (6, 42.0, None),
+            (7, None, 3.5), (8, float("nan"), 2.0), (9, 2.0, 4.0),
+            (10, 7.999, 3.999), (11, 0.3, 2.0001)]
+    return spark.createDataFrame(data, "rid int, x double, y double")
+
+
+def test_jvm_matches_arrow_binning(spark):
+    j, a = _ab(spark, BINNING_SPEC, _mkdf_bins(spark))
+    assert j == a
+
+
+def test_jvm_matches_arrow_binning_collisions(spark):
+    j, a = _ab(spark, BINNING_COLLIDE_SPEC, _mkdf_bins(spark))
+    assert j == a
+
+
+def test_jvm_binning_plan_python_free(spark):
+    pipe = FeaturePipeline(PipelineSpec.from_json(BINNING_SPEC))
+    df = spark.range(8).select(
+        F.col("id").cast("int").alias("rid"),
+        (F.col("id") * 1.3).alias("x"),
+        (F.col("id") + 0.5).alias("y"))
+    out = pipe.to_sparse_vectors(df, keep_cols=["rid"])
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted").lower()
+    assert "mapinarrow" not in plan and "python" not in plan
 
 
 def test_jvm_missing_threshold_abort(spark):
@@ -113,6 +168,38 @@ def test_auto_falls_back_to_arrow_for_bags(spark):
     assert "mapinarrow" in plan or "python" in plan
     with pytest.raises(ValueError):
         pipe.to_sparse_vectors(df, keep_cols=["rid"], impl="jvm")
+
+
+def test_jvm_matches_arrow_fuzz(spark):
+    """200 deterministic-pseudorandom rows through the full mixed spec
+    (scalars + all three binning fns) — one A/B pass, no per-example
+    Spark jobs."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    xs = rng.uniform(-5, 15, 200)
+    ys = rng.uniform(0, 6, 200)
+    # sprinkle nulls/NaN/exact grid points
+    rows = []
+    for i in range(200):
+        x = [None, float("nan"), 3.0, float(xs[i])][i % 4 if i % 17 == 0
+                                                    else 3]
+        y = None if i % 13 == 0 else float(ys[i])
+        rows.append((i, x, y))
+    df = spark.createDataFrame(rows, "rid int, x double, y double")
+    bin_feats = [{"name": "b_" + f["name"], "spec": f["spec"]}
+                 for f in BINNING_SPEC["features"][1:]]
+    spec = {"features": SCALAR_SPEC["features"] + bin_feats,
+            "namespaces": {}, "numBits": 18}
+    j, a = _ab(spark, spec, df)
+    assert j == a
+
+
+def test_duplicate_feature_names_rejected(spark):
+    with pytest.raises(ValueError, match="duplicate feature names"):
+        PipelineSpec.from_json({
+            "features": [{"name": "c", "spec": "${x}"},
+                         {"name": "c", "spec": "${y}"}],
+            "namespaces": {}, "numBits": 18})
 
 
 def test_jvm_values_exact(spark):
