@@ -32,6 +32,7 @@ RUNNER = textwrap.dedent("""
     import json, os, sys, time
     sys.path.insert(0, {repo!r})
     from pyspark.sql import SparkSession, functions as F
+    from aloha_spark.tuning import arrow_batch_rows
 
     cpus = int(sys.argv[1])
     data_dir = sys.argv[2]
@@ -40,9 +41,9 @@ RUNNER = textwrap.dedent("""
              .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
              .config("spark.default.parallelism", str(max(2 * cpus, 8)))
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-             # 30k-row Arrow batches: ~20-50% lower 2M-turn wall vs the 10k
-             # default (per-batch flat-kernel overhead amortizes; 60k regresses)
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "30000")
+             # shared batch-size knob (aloha_spark/tuning.py)
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                     str(arrow_batch_rows(cpus)))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.driver.memory", "24g")

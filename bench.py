@@ -21,6 +21,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from aloha_spark.tuning import arrow_batch_rows
+
 
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
@@ -31,9 +33,10 @@ def build_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
         .config("spark.default.parallelism", str(max(2 * cpus, 8)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 30k-row Arrow batches: ~20-50% lower 2M-turn wall vs the 10k
-        # default (per-batch flat-kernel overhead amortizes; 60k regresses)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "30000")
+        # shared batch-size knob (see aloha_spark/tuning.py for the
+        # batches-per-task measurement behind it)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(arrow_batch_rows(cpus)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

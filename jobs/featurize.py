@@ -70,15 +70,18 @@ def main(argv=None):
     from aloha_spark.plans.pipeline import FeaturePipeline
     from aloha_spark.plans.spec import PipelineSpec
     from aloha_spark.sources.tables import read_table
+    from aloha_spark.tuning import arrow_batch_rows
 
     spark = (SparkSession.builder.appName("aloha-spark-featurize")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-             # 30k-row Arrow batches: ~20-50% lower 2M-turn wall vs the 10k
-             # default (per-batch flat-kernel overhead amortizes; 60k regresses)
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "30000")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
+    # width known only now (spark-submit --master decides): Arrow batch
+    # size is a runtime conf, sized per aloha_spark/tuning.py
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(arrow_batch_rows(spark.sparkContext.defaultParallelism)))
 
     t0 = time.time()
     with open(args.spec) as f:
