@@ -237,11 +237,15 @@ class TokenCache:
             excluded = np.zeros(n, dtype=bool)
             arr = pc.fill_null(arr, default)
         # rows the C++ splitter can't reproduce: non-ASCII (the dict
-        # tier's regex treats unicode whitespace as a separator)
+        # tier's regex treats unicode whitespace as a separator), and
+        # ASCII FS/GS/RS/US (\x1c-\x1f) — Python's \s matches them but
+        # ascii_split_whitespace only splits on [ \t\n\v\f\r]
         non_ascii = pc.not_equal(
             pc.utf8_length(arr), pc.binary_length(arr)) \
             .to_numpy(zero_copy_only=False)
-        fallback = non_ascii & ~excluded
+        ctrl_ws = pc.match_substring_regex(arr, "[\\x1c-\\x1f]") \
+            .to_numpy(zero_copy_only=False)
+        fallback = (non_ascii | ctrl_ws) & ~excluded
         # Java split semantics: strip trailing separators...
         rt = pc.ascii_rtrim_whitespace(arr)
         # ...which turns all-whitespace (non-empty) strings into zero

@@ -17,6 +17,7 @@ Spark-first design notes (the 100 TB story):
 
 from __future__ import annotations
 
+import weakref
 from typing import Optional, Sequence
 
 import numpy as np
@@ -25,6 +26,41 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
 from ..functions.hashing import string_hash_array
+
+# persisted intermediates keyed by the result DataFrame they back; the
+# finalizer auto-unpersists when the result is garbage-collected, so a
+# long-lived session running many dedup/ANN queries does not accumulate
+# plan caches in the CacheManager.  release_intermediates() frees them
+# eagerly once the caller has materialized the result.
+_INTERMEDIATES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _safe_unpersist(jdf_holder: DataFrame) -> None:
+    try:
+        jdf_holder.unpersist(blocking=False)
+    except Exception:
+        pass                      # session already stopped
+
+
+def _track_intermediates(result: DataFrame, *persisted: DataFrame) -> DataFrame:
+    _INTERMEDIATES[result] = list(persisted)
+    for p in persisted:
+        weakref.finalize(result, _safe_unpersist, p)
+    return result
+
+
+def release_intermediates(result: DataFrame) -> int:
+    """Unpersist the cached intermediates backing a pairs DataFrame
+    returned by :func:`minhash_dedup_pairs` /
+    :func:`embedding_neardup_pairs`.  Spark cannot know when a lazily
+    returned plan is done being consumed, so call this after the result
+    has been written/collected.  (If never called, the same frames are
+    unpersisted when the result is garbage-collected.)  Returns the
+    number of frames released."""
+    frames = _INTERMEDIATES.pop(result, [])
+    for f in frames:
+        _safe_unpersist(f)
+    return len(frames)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -115,13 +151,13 @@ def _spread(df: DataFrame) -> DataFrame:
     input already has >= defaultParallelism partitions and this is a
     no-op (no shuffle)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    # file count is a cheap lower bound on scan partitions (no RDD
-    # conversion); only a non-file source falls back to the RDD probe.
-    # At real scale files >> cores, so this stays a no-op with no
-    # shuffle; underestimation merely triggers a harmless repartition
-    # on small inputs, which is exactly the case _spread exists for.
-    files = df.inputFiles()
-    nparts = len(files) if files else df.rdd.getNumPartitions()
+    # Exact probe: file COUNT is not a proxy for scan partitions in
+    # either direction — FileSourceScan bin-packs many small files into
+    # few partitions (maxPartitionBytes/openCostInBytes), and splits one
+    # large file into many.  getNumPartitions() only builds the physical
+    # plan (no job runs; the file listing is already cached in the
+    # FileIndex), so the cost is planning-time, not data-touch.
+    nparts = df.rdd.getNumPartitions()
     if nparts < target:
         return df.repartition(target)
     return df
@@ -246,7 +282,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     # against it).
     cands = cands.persist()
     verified = exact_jaccard(df, cands, id_col, text, shingle_n)
-    return verified.where(F.col("jaccard") >= threshold)
+    return _track_intermediates(
+        verified.where(F.col("jaccard") >= threshold), cands)
 
 
 # ---------------------------------------------------------------------------
@@ -465,6 +502,8 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
         B = np.asarray([np.asarray(x, dtype=np.float64) for x in b])
         return pd.Series(np.einsum("ij,ij->i", A, B))
 
-    return (cands.withColumn("cosine", unit_dot(F.col("va"), F.col("vb")))
-                 .where(F.col("cosine") >= threshold)
-                 .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+    return _track_intermediates(
+        cands.withColumn("cosine", unit_dot(F.col("va"), F.col("vb")))
+             .where(F.col("cosine") >= threshold)
+             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")),
+        coded)

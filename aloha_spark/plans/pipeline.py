@@ -483,6 +483,28 @@ def _assemble_vw_bodies(plan: _ExecPlan, pdf: pd.DataFrame, rb=None):
     return _join_rows(inter[mask], irow[mask], n), missing
 
 
+def _rb_to_pandas(rb, tz, columns=None):
+    """RecordBatch -> pandas with mapInPandas' timestamp semantics.
+
+    Spark hands pandas UDFs tz-NAIVE timestamp columns localized to the
+    session timezone; a raw ``Table.to_pandas()`` on a ``mapInArrow``
+    batch instead yields tz-AWARE values, which would render differently
+    in feature evaluation for any non-UTC session.  ``columns``
+    optionally projects before conversion."""
+    import pyarrow as pa
+    if columns is not None:
+        rb = rb.select(columns)
+    pdf = pa.Table.from_batches([rb]).to_pandas()
+    for c in pdf.columns:
+        if isinstance(pdf[c].dtype, pd.DatetimeTZDtype):
+            pdf[c] = pdf[c].dt.tz_convert(tz).dt.tz_localize(None)
+    return pdf
+
+
+def _session_tz(df: DataFrame) -> str:
+    return df.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+
+
 def _fmt17(v) -> str:
     if isinstance(v, (int, np.integer)):
         return str(int(v))
@@ -673,12 +695,13 @@ class FeaturePipeline:
         keep_t = ", ".join(f"{c} {pre.schema[c].dataType.simpleString()}"
                            for c in keep_cols)
         schema = (keep_t + ", " if keep_t else "") + f"{out_col} string"
+        tz = _session_tz(pre)
 
         def run(batches):
             for rb in batches:
                 if rb.num_rows == 0:
                     continue
-                pdf = pa.Table.from_batches([rb]).to_pandas()
+                pdf = _rb_to_pandas(rb, tz)
                 lines = line_fn(plan, pdf, rb)
                 names = rb.schema.names
                 arrays = [rb.column(names.index(c)) for c in keep_cols]
@@ -895,13 +918,15 @@ class FeaturePipeline:
 
         import pyarrow as pa
 
+        tz = _session_tz(pre)
+
         def run(batches):
             pid = TaskContext.get().partitionId() if TaskContext.get() else 0
             seed = partition_seed(base_seed, pid)
             for rb in batches:
                 if rb.num_rows == 0:
                     continue
-                pdf = pa.Table.from_batches([rb]).to_pandas()
+                pdf = _rb_to_pandas(rb, tz)
                 # shared features assemble on the flat tier; the rest of
                 # each block is selected from the precomputed lines
                 bodies, _missing = _assemble_vw_bodies(plan, pdf, rb=rb)
@@ -981,15 +1006,16 @@ class FeaturePipeline:
             return string_hash_array(keys, seed) & mask
 
         thr = plan.num_missing_threshold
+        tz = _session_tz(pre)
 
         def run(batches):
             for rb in batches:
                 n = rb.num_rows
                 if n == 0:
                     continue
-                pdf = pa.Table.from_batches(
-                    [rb.select([c for c in rb.schema.names
-                                if c in eval_cols])]).to_pandas()
+                pdf = _rb_to_pandas(
+                    rb, tz, columns=[c for c in rb.schema.names
+                                     if c in eval_cols])
                 idx, vals, row_ids, _fids, missing = \
                     _batch_eval_flat(plan, pdf, hash_fn, rb=rb)
                 # numMissingThreshold abort (RegressionFeatures.scala:

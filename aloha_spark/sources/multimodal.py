@@ -94,18 +94,20 @@ def decode_image(payload: bytes, fake: bool = False,
     """Decode an image payload to an HxWx3 array.
 
     Decoder resolution order: explicit ``decoder`` callable >
-    auto-detected codec library (PIL/opencv) > deterministic fake when
-    ``fake=True`` > NotImplementedError (this sandbox has no codec
+    deterministic fake when ``fake=True`` (an explicit request for the
+    test decoder must win even when a codec lib is installed — fake
+    payloads are not valid image bytes) > auto-detected codec library
+    (PIL/opencv) > NotImplementedError (this sandbox has no codec
     libs; the seam is how a real deployment plugs one in)."""
     global _auto_decoder
     if decoder is not None:
         return decoder(payload)
+    if fake:
+        return fake_decode_image(payload)
     if _auto_decoder is _UNSET:
         _auto_decoder = _autodetect_image_decoder()
     if _auto_decoder is not None:
         return _auto_decoder(payload)
-    if fake:
-        return fake_decode_image(payload)
     raise NotImplementedError(
         "image codecs unavailable in this environment; pass a decoder "
         "callable or fake=True for the deterministic test decoder")

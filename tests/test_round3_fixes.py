@@ -249,3 +249,159 @@ def test_simhash_pairs_upper_triangle(spark):
             exp[(a, b)] = d
     assert got == exp
     assert all(a < b for a, b in got)
+
+
+# --------------------------------------------------------------------------
+# post-review fixes (round 3, second pass)
+
+def test_decode_image_fake_outranks_autodetect(monkeypatch):
+    """An explicit fake=True must win even when a codec lib is
+    installed: fake payloads are not valid image bytes, so consulting
+    the real codec would crash every task on a PIL-shipping cluster."""
+    import numpy as np
+
+    from aloha_spark.sources import multimodal as M
+
+    def boom(payload):
+        raise AssertionError("real codec consulted despite fake=True")
+
+    monkeypatch.setattr(M, "_auto_decoder", boom)
+    out = M.decode_image(b"not an image", fake=True)
+    assert out.shape == (4, 4, 3)
+    # ...and without fake, the auto-detected decoder IS used
+    monkeypatch.setattr(M, "_auto_decoder",
+                        lambda p: np.zeros((2, 3, 3), dtype=np.uint8))
+    assert M.decode_image(b"x").shape == (2, 3, 3)
+
+
+def test_arrow_tokenizer_ascii_control_whitespace_parity():
+    """Python's \\s matches FS/GS/RS/US (\\x1c-\\x1f) but Arrow's
+    ascii_split_whitespace does not; such rows must fall back to the
+    per-row tokenizer to keep flat==dict byte parity."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from aloha_spark.functions.batch import TokenCache
+
+    texts = ["a\x1cb", "x\x1d\x1ey z", "\x1f", "plain text",
+             None, "", "  lead", "trail\x1e"]
+    pdf = pd.DataFrame({"text": texts})
+    rb = pa.RecordBatch.from_pandas(pdf)
+
+    def norm(out):
+        codes, uniq, row_ids, isna = out
+        return ([uniq[c] for c in codes], row_ids.tolist(), isna.tolist())
+
+    assert norm(TokenCache(pdf, rb).get_codes("text", r"\s+", None)) == \
+        norm(TokenCache(pdf, None).get_codes("text", r"\s+", None))
+    assert norm(TokenCache(pdf, rb).get_codes("text", r"\s+", "d")) == \
+        norm(TokenCache(pdf, None).get_codes("text", r"\s+", "d"))
+
+
+def test_spread_no_shuffle_for_single_splittable_file(spark, tmp_path):
+    """inputFiles() count is not a proxy for scan partitions: one big
+    splittable file already scans at >= defaultParallelism partitions,
+    so _spread must NOT inject a full shuffle for it."""
+    from aloha_spark.operators.dedup import _spread
+
+    p = str(tmp_path / "one_big")
+    spark.range(50000).selectExpr(
+        "id", "md5(cast(id as string)) as a", "sha2(cast(id as string), 256) as b") \
+        .coalesce(1).write.parquet(p)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+    try:
+        df = spark.read.parquet(p)
+        assert len(df.inputFiles()) == 1
+        assert df.rdd.getNumPartitions() >= \
+            spark.sparkContext.defaultParallelism
+        assert _spread(df) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_spread_repartitions_underparallel_plan(spark):
+    from aloha_spark.operators.dedup import _spread
+
+    df = spark.range(100).coalesce(1)
+    out = _spread(df)
+    assert out.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+
+
+def test_rb_to_pandas_matches_mapinpandas_timestamps(spark):
+    """mapInArrow batches carry tz-AWARE timestamps; Spark's own
+    mapInPandas hands the UDF tz-naive session-local values.  The
+    manual conversion helper must match the latter (feature evaluation
+    renders what it sees)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from aloha_spark.plans.pipeline import _rb_to_pandas, _session_tz
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.sql("select timestamp'2024-06-01 12:34:56' as ts")
+        tz = _session_tz(df)
+
+        def via_pandas(it):
+            for pdf in it:
+                yield pd.DataFrame({"s": pdf["ts"].astype(str)})
+
+        exp = df.mapInPandas(via_pandas, "s string").collect()[0].s
+
+        def via_helper(it):
+            for rb in it:
+                pdf = _rb_to_pandas(rb, tz)
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame({"s": pdf["ts"].astype(str)}))
+
+        def via_raw(it):
+            for rb in it:
+                pdf = pa.Table.from_batches([rb]).to_pandas()
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame({"s": pdf["ts"].astype(str)}))
+
+        got = df.mapInArrow(via_helper, "s string").collect()[0].s
+        raw = df.mapInArrow(via_raw, "s string").collect()[0].s
+        assert got == exp == "2024-06-01 12:34:56"
+        assert raw != exp          # the divergence the helper closes
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_vw_lines_parity_under_non_utc_session_tz(spark):
+    """End-to-end guard: the Arrow-native line sink must produce the
+    dict tier's bytes even when the session timezone is not UTC and a
+    feature reads a timestamp variable."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        df = spark.sql(
+            "select * from values "
+            "(timestamp'2024-06-01 12:34:56', 'user'), "
+            "(timestamp'2024-06-02 00:00:01', 'assistant') as t(ts, role)")
+        pipe = FeaturePipeline(PipelineSpec.from_json({
+            "features": [{"name": "t", "spec": "ind(${ts})"},
+                         {"name": "r", "spec": "ind(${role})"}],
+            "namespaces": {}, "numBits": 18}))
+        flat = [r.vw_line for r in
+                pipe.to_vw_lines(df, impl="flat").collect()]
+        dic = [r.vw_line for r in
+               pipe.to_vw_lines(df, impl="dict").collect()]
+        assert flat == dic
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_release_intermediates(spark):
+    from aloha_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, "common shingle text body number %d" % (i % 3))
+         for i in range(30)], "doc_id long, text string")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    assert pairs.count() > 0
+    assert D.release_intermediates(pairs) == 1
+    assert D.release_intermediates(pairs) == 0   # idempotent
