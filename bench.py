@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from aloha_spark.tuning import arrow_batch_rows
+from aloha_spark.tuning import arrow_batch_rows, worker_channel_confs
 
 
 def build_spark(cpus: int):
@@ -41,6 +41,9 @@ def build_spark(cpus: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # UDS worker channel: immune to the host's loopback-TCP packet
+        # loss (see aloha_spark/tuning.py::worker_channel_confs)
+        .config(map=worker_channel_confs())
         .getOrCreate()
     )
 
@@ -94,7 +97,8 @@ spark = build_spark({cpus})
 df, n = flagship_synthetic(spark, {n_turns})
 materialize(df.limit(100000))  # warm-up (JIT, Python workers)
 walls = []
-for _ in range(2):  # best-of-2: damps hypervisor CPU-steal noise
+for _ in range(3):  # best-of-3: damps hypervisor CPU-steal noise
+                    # (same-code walls measured 5.6-31s on this host)
     t0 = time.time()
     materialize(df)
     walls.append(time.time() - t0)

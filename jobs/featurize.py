@@ -70,12 +70,13 @@ def main(argv=None):
     from aloha_spark.plans.pipeline import FeaturePipeline
     from aloha_spark.plans.spec import PipelineSpec
     from aloha_spark.sources.tables import read_table
-    from aloha_spark.tuning import arrow_batch_rows
+    from aloha_spark.tuning import arrow_batch_rows, worker_channel_confs
 
     spark = (SparkSession.builder.appName("aloha-spark-featurize")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.session.timeZone", "UTC")
+             .config(map=worker_channel_confs())
              .getOrCreate())
     # width known only now (spark-submit --master decides): Arrow batch
     # size is a runtime conf, sized per aloha_spark/tuning.py

@@ -9,6 +9,12 @@ os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
+def _worker_channel_confs():
+    from aloha_spark.tuning import worker_channel_confs
+
+    return worker_channel_confs()
+
+
 @pytest.fixture(scope="session")
 def spark():
     from pyspark.sql import SparkSession
@@ -22,6 +28,7 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        .config(map=_worker_channel_confs())
         .getOrCreate()
     )
     yield s

@@ -209,6 +209,7 @@ def main():
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.ui.enabled", "false")
              .config("spark.sql.session.timeZone", "UTC")
+             .config(map=worker_channel_confs())
              .getOrCreate())
 
     con = duckdb.connect()
