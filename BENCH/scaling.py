@@ -234,15 +234,18 @@ its own memory bus and OS scheduler.  The full-width pair (8->32)
 instead measures a single-box ceiling, attributed by measurement to TWO
 host artifacts:
 
-1. **Steady-state plateau** (`BENCH/stage_probe.py`, results in
-   `BENCH/last_stage_probe.json`): the pipeline's ZERO-PYTHON portion
-   (windows + salted as-of, pure Catalyst — no Arrow workers, no
-   JVM/Python co-scheduling) plateaus in the same ~340-450k rows/s band
-   at local[8] and local[32] as the full pipeline does.  Removing
-   Python entirely does not restore width-32 scaling, so the plateau is
-   the host's — all 32 virtualized lanes share one DRAM bus for
-   shuffle/sort/hash traffic, under 20-30% hypervisor CPU steal — not a
-   property of the plan.
+1. **Single-box DRAM/steal ceiling, quantified** (`BENCH/
+   stage_probe.py`, results in `BENCH/last_stage_probe.json`, measured
+   clean after the channel fix in #2): the pipeline's ZERO-PYTHON
+   portion (windows + salted as-of, pure Catalyst — no Arrow workers)
+   reaches 740,745 rows/s at local[8] and 1,520,902 rows/s at
+   local[32] — an 8->32 efficiency of **0.51 for a plan with no Python
+   at all**.  That is the host's width-32 ceiling (all 32 virtualized
+   lanes share one DRAM bus for shuffle/sort/hash traffic, under
+   20-30% hypervisor CPU steal), the upper bound for ANY plan.  The
+   full pipeline's 8->32 efficiency lands at ~90% of that ceiling; the
+   residue is the Arrow featurize stage's 32 Python workers sharing
+   the same saturated bus.
 2. **Episodic collapse, diagnosed to packet level**: during a width-32
    run we captured a stalled straggler with `jstack` + `ss -tinm`: the
    Python<->JVM Arrow channel (TCP over loopback on this host) showed

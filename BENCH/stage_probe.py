@@ -5,20 +5,26 @@ zero Python — ``point_in_time_features``) and the full pipeline
 (``flagship_vectors``, + Arrow featurize) at two parallelism levels on
 the same pre-materialized input, in fresh JVMs.
 
-Round-3 finding (16M turns, this host): the ZERO-PYTHON plan plateaus
-exactly like the full one —
+Round-3 finding, REVISED after the loopback-TCP fix (the first probe
+ran over the lossy TCP worker channel and under steal episodes, which
+flattened everything into one ~340-450k band).  Clean numbers (16M
+turns, UDS channel, quiet host):
 
-    jvm  local[8]  432,294 rows/s     full local[8]  290,572-362,412
-    jvm  local[32] 341,874 rows/s     full local[32] 393,705-448,513
+    jvm  local[8]    740,745 rows/s   full local[8]    405,807
+    jvm  local[32] 1,520,902 rows/s   full local[32]   500,678
 
-i.e. both land in the same ~340-450k band at either width, with ±30%
-run-to-run swing from hypervisor CPU steal.  The 8->32 efficiency
-collapse is therefore attributable to the single-box resource ceiling
-(one shared DRAM bus for all lanes + steal), NOT to JVM/Python-worker
-co-scheduling: removing Python entirely does not restore width-32
-scaling.  On a real N -> 4N *executor* cluster each executor adds its
-own memory bus, which is the regime the 2->8 pair (efficiency 0.816)
-evidences.
+Two attributions fall out:
+
+* The PURE-JVM Catalyst plan itself caps at 8->32 efficiency
+  1,520,902 / (4 x 740,745) = 0.51 — that is this host's single-box
+  ceiling (one shared DRAM bus for shuffle/sort/hash + 20-30%
+  hypervisor steal), the upper bound for ANY plan at width 32.
+* The full pipeline's measured 8->32 efficiency (0.464 in
+  BENCH/last_scaling.json) is ~90% of that ceiling; the remaining gap
+  is the Arrow featurize stage (32 Python workers sharing the same
+  saturated bus).  On a real N -> 4N *executor* cluster each executor
+  adds its own memory bus, which is the regime the 2->8 pair
+  (efficiency 0.975) evidences.
 
 Usage: python BENCH/stage_probe.py [--cpus 8,32] [--parts jvm,full]
        [--data-dir /tmp/aloha_scaling_16000000]
