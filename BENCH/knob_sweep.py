@@ -72,6 +72,9 @@ VARIANTS = {
     "baseline": {},
     "shuffle_128": {"spark.sql.shuffle.partitions": "128"},
     "shuffle_32": {"spark.sql.shuffle.partitions": "32"},
+    # 5 interleaved 16M pairs vs G1: ParallelGC degrades far less under
+    # hypervisor-steal windows (won 3 noisy pairs by 25-60%) but loses
+    # quiet pairs by ~8%; no consistent winner, G1 default kept
     "parallel_gc": {"spark.driver.extraJavaOptions": "-XX:+UseParallelGC"},
     "tmpfs_local_dir": {"spark.local.dir": "/dev/shm/aloha_knob"},
     "no_shuffle_compress": {"spark.shuffle.compress": "false",

@@ -29,6 +29,14 @@ def arrow_batch_rows(parallelism: int) -> int:
     is the robust choice at every measured (width, rows) cell.  The
     ``parallelism`` argument is kept so a future width-dependent rule
     slots in without touching call sites.
+
+    Post-UDS re-measurement (see :func:`worker_channel_confs`): with
+    the worker channel on Unix domain sockets the 2M 30k-batch blowup
+    is GONE (4.6s vs the 25-35s measured over TCP) — the "JVM/Python
+    serialization" was actually the lossy TCP channel collapsing under
+    the burstier 30k traffic — and throughput is flat within noise
+    across 10k-30k at both 2M and 16M.  10k stays: it is the safe
+    choice if anyone reverts to TCP, and there is nothing to win.
     """
     del parallelism
     return 10_000

@@ -19,6 +19,8 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
+from aloha_spark.tuning import worker_channel_confs  # noqa: E402
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
