@@ -266,6 +266,34 @@ host artifacts:
 Absolute numbers move run to run with these episodes; ratios within one
 interleaved run (one machine state) are the stable signal.
 
+**Episode anatomy (measured, round 3b):** during a bad phase the same
+2M-turn featurize that takes 3.7-5s in a clean phase takes 15-60s, with
+ZERO reported steal, ZERO TLB-shootdown/compaction anomalies, and
+unchanged fork/context-switch counts.  Per-thread `/proc` accounting
+pins the loss: executor-task threads and Python workers burn up to 4x
+more *system* than user CPU (one slow rep charged 197s of sys to the
+JVM's task threads and 127s to the Python workers for ~40s of user work
+each), while a pure-userspace 32-wide matmul probe run in the same
+minutes is unaffected, and a zero-Python Catalyst-only plan stays
+3.3-6.5s through a phase where the full pipeline reads 44-113s.  That
+signature — kernel paths (channel I/O, page faults) inflating ~10x
+while userspace is clean and steal reads zero — is lock-holder
+preemption: the hypervisor preempts a vCPU holding a guest kernel lock
+and the others spin in-kernel until it returns, which PV steal
+accounting does not capture.  Episodes last minutes and gate entire
+measurement windows, so `bench.py` measures the 2M flagship in 2-3
+*spaced* fresh-JVM windows with adaptive best-of-reps per window (stop
+once two consecutive reps land within 5% of the window min), discloses
+every raw wall in `featurize_2m_walls`, and takes a third window
+automatically when the first two disagree by >1.5x.  Worked example of
+a fully gated measurement: an 8M-turn scaling spot-check run during a
+bad phase (`BENCH/verify_8m_r3b.json`, all raw walls disclosed) landed
+130-161s outliers on the width-8/32 levels and a 2->8 ratio of 0.413 —
+the same binary + input that measures 0.975 in the interleaved
+16M-turn table above.  Ratios are only meaningful when the levels being
+compared ran under one machine state, which is what the interleaved
+protocol above enforces.
+
 Reference sanity bar (BASELINE.md): the warmed single-JVM Scala library
 does ~1.2e5 rows/sec on 5 threads for featurization alone; this pipeline
 reaches {best['rows_per_sec']:,.0f} turns/sec end-to-end — including the
