@@ -245,7 +245,13 @@ host artifacts:
    20-30% hypervisor CPU steal), the upper bound for ANY plan.  The
    full pipeline's 8->32 efficiency lands at ~90% of that ceiling; the
    residue is the Arrow featurize stage's 32 Python workers sharing
-   the same saturated bus.
+   the same saturated bus.  Moving that stage JVM-side was prototyped
+   and measured (`tools/jvm_hash_experiment.py`): a bit-exact
+   Catalyst-expression MurmurHash3.stringHash is ~40x SLOWER than the
+   memoized numpy/Arrow kernel (higher-order-function lambdas are not
+   codegen'd; each UTF-16 unit costs a substring+conv round-trip), so
+   the Arrow tier is the measured optimum for a pure-Python deliverable
+   and the residue is irreducible without a native Scala UDF jar.
 2. **Episodic collapse, diagnosed to packet level**: during a width-32
    run we captured a stalled straggler with `jstack` + `ss -tinm`: the
    Python<->JVM Arrow channel (TCP over loopback on this host) showed
