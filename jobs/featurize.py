@@ -76,6 +76,16 @@ def main(argv=None):
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.session.timeZone", "UTC")
+             # straggler mitigation on real clusters: every stage here
+             # is idempotent (deterministic transforms + noop/overwrite
+             # bucket writes gated by the lineage table), so a
+             # speculative duplicate of a stuck task is always safe.
+             # Quantile 0.9 + multiplier 3 only relaunches the long
+             # tail (e.g. a host with the kernel-preemption episodes
+             # documented in BENCH/BASELINE.md); no-op under local[N].
+             .config("spark.speculation", "true")
+             .config("spark.speculation.quantile", "0.9")
+             .config("spark.speculation.multiplier", "3")
              .config(map=worker_channel_confs())
              .getOrCreate())
     # width known only now (spark-submit --master decides): Arrow batch
