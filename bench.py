@@ -115,7 +115,10 @@ while True:
     lo = min(walls)
     if len(walls) >= 3 and max(walls[-2:]) <= lo * 1.05:
         break
-    if len(walls) >= 8:
+    # cap the window by reps AND by wall budget: a fully gated phase
+    # must not stall the whole bench (the spaced-window min still
+    # recovers capability when any one window lands clean)
+    if len(walls) >= 8 or sum(walls) > 300:
         break
 print(json.dumps({{"wall_sec": min(walls),
                    "walls": [round(w, 2) for w in walls]}}))
