@@ -1125,6 +1125,27 @@ def q_media_features(spark, sf_dir):
     return extract_media_features(synthesize_media(_docs(spark, sf_dir)))
 
 
+def q_doc_scrub(spark, sf_dir):
+    """PII scrubbing over documents.  The corpus itself is PII-free, so
+    deterministic synthetic PII (email/URL/IPv4/phone derived from
+    doc_id) is concatenated onto every text — identically in the oracle
+    SQL — so the redaction chain is actually exercised end to end."""
+    from aloha_spark.operators.textstats import with_pii_scrubbed
+    did = F.col("doc_id").cast("string")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did,
+            F.lit("@example.com or http://ex.com/p/"), did,
+            F.lit(" node 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1 (415) 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"))
+    return with_pii_scrubbed(d).select(
+        "doc_id", "text_scrubbed", "n_redactions")
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1230,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "constant_model": q_constant_model,
         "error_model": q_error_model,
+        "doc_scrub": q_doc_scrub,
         # rows-only (hash parity / formats / approx)
         "feature_vectors": q_feature_vectors,
         "vw_lines": q_vw_lines,
@@ -1470,6 +1492,47 @@ SELECT doc_id,
              + 0.2 * (1.0 - LEAST(1.0, punct_ratio * 10))
              + 0.2 * (1.0 - rep_ratio), 6) AS quality_score
 FROM s""",
+        "doc_scrub": """
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or http://ex.com/p/'
+              || CAST(doc_id AS VARCHAR)
+              || ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 tel +1 (415) 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+  FROM documents),
+s0 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, 'https?://[^\\s]+')) AS c0,
+         regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS t0
+  FROM injected),
+s1 AS (
+  SELECT doc_id, c0,
+         len(regexp_extract_all(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1,
+         regexp_replace(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+  FROM s0),
+s2 AS (
+  SELECT doc_id, c0, c1,
+         len(regexp_extract_all(t1,
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+           AS c2,
+         regexp_replace(t1,
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+             '<IP>', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT doc_id, c0, c1, c2,
+         len(regexp_extract_all(t2, '\\+[0-9][0-9()\\-. ]{6,}[0-9]')) AS c3,
+         regexp_replace(t2, '\\+[0-9][0-9()\\-. ]{6,}[0-9]',
+                        '<PHONE>', 'g') AS t3
+  FROM s2)
+SELECT doc_id, t3 AS text_scrubbed,
+       CAST(c0 + c1 + c2 + c3 AS BIGINT) AS n_redactions
+FROM s3""",
         "doc_stats": """
 WITH toks AS (
   SELECT doc_id, text,

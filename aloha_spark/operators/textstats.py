@@ -150,3 +150,42 @@ def _fingerprint_kernel(texts: pd.Series) -> pd.Series:
 def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     udf = pandas_udf(_fingerprint_kernel, "long")
     return df.withColumn("fingerprint", udf(F.col(text)))
+
+
+# PII scrubbing: the standard pre-training redaction pass (emails, URLs,
+# IPv4, phone numbers -> typed placeholders).  Pattern syntax is kept to
+# the subset shared by Java regex (Spark) and RE2 (the DuckDB oracle):
+# no lookarounds, no unicode category classes, no backreferences.  Order
+# matters and is part of the contract: URLs are redacted FIRST so an
+# address embedded in a URL (http://x.com/a@b.c) is swallowed by <URL>
+# rather than split into two placeholders; IPv4 before phone so dotted
+# quads never half-match the phone run.
+PII_PATTERNS = (
+    ("<URL>", r"https?://[^\s]+"),
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<IP>", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("<PHONE>", r"\+[0-9][0-9()\-. ]{6,}[0-9]"),
+)
+
+
+def with_pii_scrubbed(df: DataFrame, text: str = "text",
+                      out_col: str = "text_scrubbed",
+                      count_col: str = "n_redactions") -> DataFrame:
+    """Redact PII into typed placeholders, counting replacements.
+
+    Pure JVM (``regexp_replace`` / ``regexp_extract_all`` chains —
+    whole-stage codegen, no Python workers): at corpus scale this is a
+    map-only pass with zero shuffle.  Each stage counts its matches on
+    the text as it stands AFTER the previous stage, so the count equals
+    the number of placeholders actually inserted.  NULL text -> NULL
+    scrubbed / NULL count."""
+    cur = F.col(text)
+    n = F.lit(0).cast("long")
+    for placeholder, pat in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, placeholder)
+    return (df.withColumn(out_col,
+                          F.when(F.col(text).isNotNull(), cur))
+              .withColumn(count_col,
+                          F.when(F.col(text).isNotNull(),
+                                 n.cast("long"))))
