@@ -1125,6 +1125,24 @@ def q_media_features(spark, sf_dir):
     return extract_media_features(synthesize_media(_docs(spark, sf_dir)))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clustering: shared-shingle blocked candidates (lossless
+    for any threshold > 0) -> exact-Jaccard pairs (threshold 0.35, the
+    dedup_minhash operating point) -> connected components -> every doc
+    labeled with its cluster's canonical (minimum) doc_id.  Both the
+    blocker and the kernel are DETERMINISTIC so DuckDB replays them and
+    chases reachability with a recursive CTE; at corpus scale the same
+    components run over minhash_dedup_pairs output instead."""
+    from aloha_spark.operators.dedup import (
+        connected_components, exact_jaccard, shared_shingle_pairs)
+    d = _docs(spark, sf_dir)
+    cands = shared_shingle_pairs(d)
+    pairs = exact_jaccard(d, cands).where("jaccard >= 0.35")
+    comp = connected_components(pairs, nodes=d.select("doc_id"))
+    return comp.select(F.col("id").alias("doc_id"),
+                       F.col("component").cast("long").alias("component"))
+
+
 def q_doc_scrub(spark, sf_dir):
     """PII scrubbing over documents.  The corpus itself is PII-free, so
     deterministic synthetic PII (email/URL/IPv4/phone derived from
@@ -1193,7 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_salted": q_asof_salted,
         "pit_pipeline": q_pit_pipeline,
         # relational / aggregation
-        "pricing_summary": q_pricing_summary,
+        "dedup_components": q_dedup_components,
         "broadcast_join": q_broadcast_join,
         "interval_filter": q_interval_filter,
         "linear_score": q_linear_score,
@@ -1252,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constant_model": q_constant_model,
         "error_model": q_error_model,
         "doc_scrub": q_doc_scrub,
+        "pricing_summary": q_pricing_summary,
         # rows-only (hash parity / formats / approx)
         "feature_vectors": q_feature_vectors,
         "vw_lines": q_vw_lines,
@@ -1492,6 +1511,34 @@ SELECT doc_id,
              + 0.2 * (1.0 - LEAST(1.0, punct_ratio * 10))
              + 0.2 * (1.0 - rep_ratio), 6) AS quality_score
 FROM s""",
+        "dedup_components": """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(len(ts) - 3, 0) + 2),
+           i -> array_to_string(ts[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id,
+               string_split_regex(TRIM(text), '\\s+') AS ts
+        FROM documents) t),
+ex AS (
+  SELECT doc_id, UNNEST(s) AS g FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM ex a JOIN ex b USING (g)
+  WHERE a.doc_id <> b.doc_id AND g <> ''),
+edges AS (
+  SELECT c.src, c.dst
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.src
+  JOIN sh b ON b.doc_id = c.dst
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(a.s || b.s)) >= 0.35),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS component
+FROM reach GROUP BY src""",
         "doc_scrub": """
 WITH injected AS (
   SELECT doc_id,

@@ -262,6 +262,43 @@ def exact_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                     F.lit(0.0)).alias("jaccard")))
 
 
+def shared_shingle_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text: str = "text",
+                         shingle_n: int = 3) -> DataFrame:
+    """Candidate pairs via an inverted shingle index: explode each
+    document's distinct shingles, equi-join on the shingle, keep
+    distinct ``id_a < id_b`` pairs.  LOSSLESS for any Jaccard
+    threshold > 0 (a pair with a single common shingle still blocks
+    together), unlike MinHash banding which trades recall for cost —
+    use this as the deterministic, oracle-replayable blocker for
+    small/medium corpora and as the recall-1.0 baseline that gates
+    :func:`minhash_dedup_pairs`.
+
+    Scale story: one explode + one self-equi-join on the shingle key
+    — both plain shuffles.  Cost is sum(df_s^2) over shingle document
+    frequencies, so a heavy-tailed shingle distribution (stop-phrases)
+    makes this superlinear; at corpus scale that is exactly the regime
+    where :func:`minhash_dedup_pairs` takes over (banding keys are
+    uniform by construction).  Empty/whitespace documents produce no
+    shingles and therefore never pair (matching ``exact_jaccard``'s
+    empty-set semantics)."""
+    toks = F.filter(F.split(F.trim(F.col(text)), r"\s+"),
+                    lambda x: x != F.lit(""))
+    sh = F.when(F.size(toks) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.array_distinct(F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.size(toks) - F.lit(shingle_n),
+                                  F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "))))
+    ex = (df.select(F.col(id_col).alias("id"), F.explode(sh).alias("g")))
+    a, b = ex.alias("a"), ex.alias("b")
+    return (a.join(b, "g")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+
+
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text: str = "text", threshold: float = 0.7,
                         num_hashes: int = 64, bands: int = 16,
@@ -507,3 +544,83 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
              .where(F.col("cosine") >= threshold)
              .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")),
         coded)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> connected components -> canonical doc
+
+def connected_components(pairs: DataFrame, nodes: Optional[DataFrame] = None,
+                         id_a: str = "id_a", id_b: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Connected components over an undirected pair list: returns
+    ``(id, component)`` where component = the minimum id reachable from
+    the node (so each cluster is labeled by its canonical member, and
+    ``id == component`` marks the document to KEEP in a dedup pass).
+
+    Spark-first shape: min-label propagation — per iteration ONE join
+    (edges x labels) + ONE groupBy-min, both plain shuffles on the edge
+    set, which for near-dup dedup is orders of magnitude smaller than
+    the corpus.  Converges in O(cluster diameter) iterations with a
+    per-iteration convergence check (a count, not a collect of rows);
+    near-dup clusters are shallow in practice (dup families, not long
+    chains), so the loop typically ends after 2-4 rounds.  For
+    adversarially long chains swap in the alternating large-star/
+    small-star formulation — same building blocks, fewer rounds.
+
+    ``nodes`` (optional, single ``id`` column): isolated documents to
+    carry through with ``component = id`` (pairs alone cannot mention
+    them).
+    """
+    # both orientations in ONE scan of the pair subtree (a union of two
+    # selects would evaluate the — possibly expensive — candidate/verify
+    # lineage twice before the persist below caches anything)
+    edges = (pairs.select(F.explode(F.array(
+                 F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                 F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+             )).alias("e"))
+             .select("e.src", "e.dst")
+             .distinct())
+    members = edges.select(F.col("src").alias("id")).distinct()
+    if nodes is not None:
+        members = members.unionByName(
+            nodes.selectExpr(f"{nodes.columns[0]} as id")).distinct()
+    labels = members.withColumn("component", F.col("id"))
+    edges = edges.persist()
+    labels = labels.persist()
+    try:
+        for _ in range(max_iterations):
+            # neighbor labels: for every edge (src,dst) the dst node
+            # hears src's current label; keep the min over self + heard
+            heard = (edges.join(labels.withColumnRenamed("id", "src"),
+                                "src")
+                     .select(F.col("dst").alias("id"), "component"))
+            new_labels = (labels.select("id", "component")
+                          .unionByName(heard)
+                          .groupBy("id")
+                          .agg(F.min("component").alias("component"))
+                          .persist())
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "id")
+                       .where(F.col("n.component") != F.col("o.component"))
+                       .limit(1).count())
+            labels.unpersist(blocking=False)
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist(blocking=False)
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Drop every document that belongs to a near-dup cluster except the
+    cluster's minimum-id member — the standard keep-one policy over the
+    pair output of :func:`minhash_dedup_pairs` (or any pair source).
+    Documents in no pair are kept as-is (left anti join on the evicted
+    set; the components frame only spans pair members, so the corpus
+    never shuffles on the cluster label)."""
+    comp = connected_components(pairs)
+    evict = comp.where(F.col("id") != F.col("component")) \
+                .select(F.col("id").alias(id_col))
+    return df.join(evict, id_col, "left_anti")

@@ -1,0 +1,77 @@
+"""Connected components + keep-canonical dedup: chains that force
+multiple propagation rounds, isolated nodes, multi-cluster graphs."""
+
+import pyspark.sql.functions as F
+
+from aloha_spark.operators.dedup import (
+    connected_components, dedup_keep_canonical, exact_jaccard,
+    shared_shingle_pairs)
+
+
+def _labels(spark, edges, nodes=None):
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nd = (spark.createDataFrame([(n,) for n in nodes], "id long")
+          if nodes is not None else None)
+    rows = connected_components(pairs, nodes=nd).collect()
+    return {r["id"]: r["component"] for r in rows}
+
+
+def test_long_chain_converges(spark):
+    # a 7-node path needs several min-propagation rounds: the label 0
+    # must travel the full diameter
+    edges = [(i, i + 1) for i in range(6)]
+    labs = _labels(spark, edges)
+    assert labs == {i: 0 for i in range(7)}
+
+
+def test_two_clusters_and_isolated(spark):
+    edges = [(10, 11), (11, 12), (20, 21)]
+    labs = _labels(spark, edges, nodes=[10, 11, 12, 20, 21, 30])
+    assert labs == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+
+
+def test_edge_order_irrelevant(spark):
+    # min id arrives through the "wrong" end of the pair columns too
+    labs = _labels(spark, [(5, 1), (5, 9), (9, 3)])
+    assert labs == {1: 1, 5: 1, 9: 1, 3: 1}
+
+
+def test_shared_shingle_blocking_lossless(spark):
+    # every pair with jaccard > 0 must survive the blocker (shares at
+    # least one shingle); empty/whitespace docs never pair
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat today"),
+         (1, "the cat sat on the mat yesterday"),
+         (2, "a completely different sentence with other words"),
+         (3, "a completely different sentence with other words"),
+         (4, ""), (5, "   "), (6, "one two")],
+        "doc_id long, text string")
+    all_pairs = (docs.select(F.col("doc_id").alias("id_a"))
+                 .crossJoin(docs.select(F.col("doc_id").alias("id_b")))
+                 .where("id_a < id_b"))
+    brute = {(r["id_a"], r["id_b"])
+             for r in exact_jaccard(docs, all_pairs).collect()
+             if r["jaccard"] > 0}
+    blocked = {(r["id_a"], r["id_b"])
+               for r in shared_shingle_pairs(docs).collect()}
+    assert brute <= blocked
+    assert not any(4 in p or 5 in p for p in blocked)
+    # and the post-verify edge sets are identical at any threshold
+    verified = {(r["id_a"], r["id_b"])
+                for r in exact_jaccard(docs, shared_shingle_pairs(docs))
+                .where("jaccard >= 0.35").collect()}
+    brute35 = {(r["id_a"], r["id_b"])
+               for r in exact_jaccard(docs, all_pairs)
+               .where("jaccard >= 0.35").collect()}
+    assert verified == brute35 and (2, 3) in verified
+
+
+def test_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 4), (1, 5)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"]
+                  for r in dedup_keep_canonical(docs, pairs).collect())
+    # clusters {0,3,4} -> keep 0; {1,5} -> keep 1; isolated 2 kept
+    assert kept == [0, 1, 2]
