@@ -1,0 +1,177 @@
+"""spark-submit entry point: corpus-curation job for training-data
+pipelines — the document-side counterpart of jobs/featurize.py.
+
+Stages (each optional, composed in the order a 100 TB curation run
+wants them):
+
+    quality filter  ->  language filter  ->  PII scrub  ->
+    exact dedup (content digest)  ->
+    near-dup dedup (MinHash+LSH pairs -> connected components ->
+    keep canonical)  ->  bucketed write with per-bucket lineage
+
+Usage:
+    spark-submit --py-files aloha_spark.zip jobs/curate.py \
+        --docs <path> --out <path> --lineage <path> \
+        [--min-quality 0.5] [--langs en,de] [--scrub-pii] \
+        [--exact-dedup] [--neardup-threshold 0.7] \
+        [--num-hashes 64 --bands 16] [--num-buckets 256]
+
+Resume is implicit: buckets already recorded in the lineage table are
+skipped on re-run.  The curated frame is persisted before the bucketed
+write so the dedup stages run ONCE, not once per bucket group.
+
+Scrub order matters: PII is redacted BEFORE dedup so two documents
+that differ only in (redacted) PII deduplicate together, and the raw
+text never reaches the output dataset.
+
+Scale notes: quality/lang/scrub are map-only JVM passes (zero
+shuffle); exact dedup is one shuffle on a 16-byte digest; near-dup is
+the bucketed LSH plan from operators/dedup.py (banding equi-join,
+capped buckets) and connected components iterate over the PAIR set
+only — the corpus itself is touched by exactly one extra anti-join.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--lineage", required=True)
+    p.add_argument("--format", default="parquet")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-quality", type=float, default=None,
+                   help="drop documents with quality_score below this")
+    p.add_argument("--langs", default=None,
+                   help="comma list of language codes to keep")
+    p.add_argument("--scrub-pii", action="store_true",
+                   help="replace the text column with its scrubbed "
+                        "version (raw text never reaches the output)")
+    p.add_argument("--exact-dedup", action="store_true")
+    p.add_argument("--neardup-threshold", type=float, default=None,
+                   help="enable MinHash near-dup dedup at this exact-"
+                        "Jaccard threshold (e.g. 0.7)")
+    p.add_argument("--num-hashes", type=int, default=64)
+    p.add_argument("--bands", type=int, default=16)
+    p.add_argument("--shingle-n", type=int, default=3)
+    p.add_argument("--num-buckets", type=int, default=256)
+    p.add_argument("--group-size", type=int, default=32)
+    p.add_argument("--stage-counts", action="store_true",
+                   help="count rows after every stage (extra passes "
+                        "over the cached frame; off by default at scale)")
+    return p.parse_args(argv)
+
+
+def curate(spark, args):
+    """Build the curated DataFrame + a report dict (no write)."""
+    import pyspark.sql.functions as F
+
+    from aloha_spark.operators.dedup import (
+        dedup_keep_canonical, exact_dedup, minhash_dedup_pairs)
+    from aloha_spark.operators.textstats import (
+        with_lang_id, with_pii_scrubbed, with_quality_score)
+    from aloha_spark.sources.tables import read_table
+
+    id_col, text_col = args.id_col, args.text_col
+    docs = read_table(spark, args.docs, args.format)
+    report = {"input_rows": docs.count(), "stages": []}
+    x = docs
+
+    def checkpoint(stage):
+        report["stages"].append(
+            {"stage": stage, "rows": x.count()} if args.stage_counts
+            else {"stage": stage})
+
+    if args.min_quality is not None:
+        x = (with_quality_score(x, text_col)
+             .where(F.col("quality_score") >= args.min_quality))
+        checkpoint("quality_filter")
+    if args.langs:
+        keep_langs = [s for s in args.langs.split(",") if s]
+        x = (with_lang_id(x, text_col)
+             .where(F.col("lang_guess").isin(keep_langs)))
+        checkpoint("lang_filter")
+    if args.scrub_pii:
+        x = (with_pii_scrubbed(x, text_col)
+             .drop(text_col)
+             .withColumnRenamed("text_scrubbed", text_col))
+        checkpoint("pii_scrub")
+    if args.exact_dedup:
+        keeps = (exact_dedup(x, cols=[text_col], id_col=id_col)
+                 .select(F.col("keep_id").alias(id_col)))
+        x = x.join(keeps, id_col, "left_semi")
+        checkpoint("exact_dedup")
+    pairs = None
+    if args.neardup_threshold is not None:
+        pairs = minhash_dedup_pairs(
+            x.select(id_col, text_col), id_col=id_col, text=text_col,
+            threshold=args.neardup_threshold, num_hashes=args.num_hashes,
+            bands=args.bands, shingle_n=args.shingle_n)
+        x = dedup_keep_canonical(x, pairs, id_col=id_col)
+        checkpoint("neardup_dedup")
+    return x, pairs, report
+
+
+def main(argv=None):
+    args = parse_args(argv or sys.argv[1:])
+
+    from pyspark.sql import SparkSession
+    import pyspark.sql.functions as F
+
+    from aloha_spark.operators.dedup import release_intermediates
+    from aloha_spark.plans.lineage import write_with_lineage
+    from aloha_spark.tuning import arrow_batch_rows, worker_channel_confs
+
+    spark = (SparkSession.builder.appName("aloha-spark-curate")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             # idempotent stages + lineage-gated bucket writes: a
+             # speculative duplicate of a straggling task is always safe
+             .config("spark.speculation", "true")
+             .config("spark.speculation.quantile", "0.9")
+             .config("spark.speculation.multiplier", "3")
+             .config(map=worker_channel_confs())
+             .getOrCreate())
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(arrow_batch_rows(spark.sparkContext.defaultParallelism)))
+
+    t0 = time.time()
+    x, pairs, report = curate(spark, args)
+
+    # the write re-reads the curated frame once per bucket group — cache
+    # it so the dedup stages (minhash UDF, components loop) run ONCE
+    x = x.persist()
+    report["output_rows"] = x.count()
+    if args.scrub_pii:
+        report["redactions"] = (
+            x.agg(F.sum("n_redactions")).first()[0] or 0)
+    if pairs is not None:
+        report["neardup_pairs"] = pairs.count()
+
+    wr = write_with_lineage(
+        x, args.out, args.lineage, key=args.id_col, ts_col=args.id_col,
+        num_buckets=args.num_buckets, group_size=args.group_size)
+    x.unpersist()
+    if pairs is not None:
+        release_intermediates(pairs)
+    report.update({
+        "written_buckets": len(wr.written_buckets),
+        "skipped_buckets": len(wr.skipped_buckets),
+        "groups": wr.groups,
+        "wall_sec": round(time.time() - t0, 1),
+    })
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
