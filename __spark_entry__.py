@@ -1164,6 +1164,38 @@ def q_doc_scrub(spark, sf_dir):
         "doc_id", "text_scrubbed", "n_redactions")
 
 
+def q_doc_curate(spark, sf_dir):
+    """The jobs/curate.py composition as ONE driver-checkable query:
+    synthetic-PII injection (as in q_doc_scrub; the corpus is PII-free)
+    -> quality filter (>= 0.5) -> language filter (en) -> PII scrub
+    (scrubbed text REPLACES raw text) -> exact content dedup keeping
+    the minimum doc_id.  Every stage is the exact operator the
+    spark-submit job composes, so a green hash here certifies the whole
+    curation pipeline's semantics, not just its pieces."""
+    from aloha_spark.operators.dedup import exact_dedup
+    from aloha_spark.operators.textstats import (
+        with_lang_id, with_pii_scrubbed, with_quality_score)
+    did = F.col("doc_id").cast("string")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did,
+            F.lit("@example.com or http://ex.com/p/"), did,
+            F.lit(" node 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1 (415) 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"))
+    x = with_quality_score(d).where(F.col("quality_score") >= 0.5)
+    x = with_lang_id(x).where(F.col("lang_guess") == "en")
+    x = (with_pii_scrubbed(x).drop("text")
+         .withColumnRenamed("text_scrubbed", "text"))
+    keeps = (exact_dedup(x, cols=["text"], id_col="doc_id")
+             .select(F.col("keep_id").alias("doc_id")))
+    return (x.join(keeps, "doc_id", "left_semi")
+             .select("doc_id", "text", "n_redactions", "quality_score"))
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1270,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constant_model": q_constant_model,
         "error_model": q_error_model,
         "doc_scrub": q_doc_scrub,
+        "doc_curate": q_doc_curate,
         "pricing_summary": q_pricing_summary,
         # rows-only (hash parity / formats / approx)
         "feature_vectors": q_feature_vectors,
@@ -1580,6 +1613,91 @@ s3 AS (
 SELECT doc_id, t3 AS text_scrubbed,
        CAST(c0 + c1 + c2 + c3 AS BIGINT) AS n_redactions
 FROM s3""",
+        "doc_curate": """
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or http://ex.com/p/'
+              || CAST(doc_id AS VARCHAR)
+              || ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 tel +1 (415) 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+  FROM documents),
+t AS (
+  SELECT doc_id, text,
+         CASE WHEN TRIM(text) = '' THEN []
+              ELSE string_split_regex(TRIM(text), '\\s+') END AS ts,
+         LENGTH(text) AS n_chars,
+         LENGTH(regexp_replace(text, '[^\\.,;:!?]', '', 'g')) AS punct
+  FROM injected),
+q AS (
+  SELECT doc_id, text, ts,
+    ROUND(0.4 * (CASE WHEN n_chars BETWEEN 20 AND 10000
+                      THEN 1.0 ELSE 0.2 END)
+      + 0.2 * LEAST(1.0, (CASE WHEN len(ts) > 0 THEN
+          len(list_filter(ts, x -> list_contains(
+            ['the','a','of','and','to','in','is','it','that','for'],
+            lower(x))))::DOUBLE / len(ts) ELSE 0.0 END) * 5)
+      + 0.2 * (1.0 - LEAST(1.0, (CASE WHEN n_chars > 0
+          THEN punct::DOUBLE / n_chars ELSE 0.0 END) * 10))
+      + 0.2 * (1.0 - (CASE WHEN len(ts) > 0
+          THEN 1.0 - len(list_distinct(ts))::DOUBLE / len(ts)
+          ELSE 1.0 END)), 6) AS quality_score
+  FROM t),
+lng AS (
+  SELECT doc_id, text, quality_score,
+    len(list_filter(list_transform(ts, w -> LOWER(w)), w ->
+      list_contains(['der','die','das','und','zu','in','ist','den',
+                     'von','mit'], w))) AS h_de,
+    len(list_filter(list_transform(ts, w -> LOWER(w)), w ->
+      list_contains(['the','a','of','and','to','in','is','it','that',
+                     'for'], w))) AS h_en,
+    len(list_filter(list_transform(ts, w -> LOWER(w)), w ->
+      list_contains(['el','la','de','y','que','en','un','es','los',
+                     'por'], w))) AS h_es
+  FROM q WHERE quality_score >= 0.5),
+en AS (
+  SELECT doc_id, text, quality_score FROM lng
+  WHERE GREATEST(h_de, h_en, h_es) > 0
+    AND NOT (h_es >= h_en AND h_es >= h_de)
+    AND h_en >= h_de),
+s0 AS (
+  SELECT doc_id, quality_score,
+         len(regexp_extract_all(text, 'https?://[^\\s]+')) AS c0,
+         regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g') AS t0
+  FROM en),
+s1 AS (
+  SELECT doc_id, quality_score, c0,
+         len(regexp_extract_all(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1,
+         regexp_replace(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+  FROM s0),
+s2 AS (
+  SELECT doc_id, quality_score, c0, c1,
+         len(regexp_extract_all(t1,
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+           AS c2,
+         regexp_replace(t1,
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+             '<IP>', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT doc_id, quality_score, c0, c1, c2,
+         len(regexp_extract_all(t2, '\\+[0-9][0-9()\\-. ]{6,}[0-9]'))
+           AS c3,
+         regexp_replace(t2, '\\+[0-9][0-9()\\-. ]{6,}[0-9]',
+                        '<PHONE>', 'g') AS t3
+  FROM s2),
+scr AS (
+  SELECT doc_id, t3 AS text,
+         CAST(c0 + c1 + c2 + c3 AS BIGINT) AS n_redactions,
+         quality_score
+  FROM s3),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM scr GROUP BY text)
+SELECT s.doc_id, s.text, s.n_redactions, s.quality_score
+FROM scr s JOIN keep USING (doc_id)""",
         "doc_stats": """
 WITH toks AS (
   SELECT doc_id, text,
