@@ -570,6 +570,12 @@ def connected_components(pairs: DataFrame, nodes: Optional[DataFrame] = None,
     ``nodes`` (optional, single ``id`` column): isolated documents to
     carry through with ``component = id`` (pairs alone cannot mention
     them).
+
+    The returned frame is PERSISTED (the loop materialized it; dropping
+    the cache would make any later consumer replay the whole iteration
+    chain).  ``unpersist()`` it once consumed — or consume it through
+    :func:`dedup_keep_canonical`, which transfers the cache to the
+    result's auto-release tracking.
     """
     # both orientations in ONE scan of the pair subtree (a union of two
     # selects would evaluate the — possibly expensive — candidate/verify
@@ -623,4 +629,8 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
     comp = connected_components(pairs)
     evict = comp.where(F.col("id") != F.col("component")) \
                 .select(F.col("id").alias(id_col))
-    return df.join(evict, id_col, "left_anti")
+    out = df.join(evict, id_col, "left_anti")
+    # comp is persisted (see connected_components): hand its cache to
+    # the result's lifetime so a long-lived session doesn't accumulate
+    # one label cache per dedup pass
+    return _track_intermediates(out, comp)

@@ -151,6 +151,9 @@ BENCH_QUERIES = [
     # LSH, BPE-ish token counting, multilabel blocks
     "libsvm_lines", "regression_spline", "embed_neardup_lsh",
     "bpe_tokens", "multilabel_blocks",
+    # round 3: the full curation composition (quality -> lang -> scrub
+    # -> exact dedup), all-JVM except nothing — zero Python workers
+    "doc_curate",
 ]
 
 

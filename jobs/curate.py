@@ -161,6 +161,7 @@ def main(argv=None):
         x, args.out, args.lineage, key=args.id_col, ts_col=args.id_col,
         num_buckets=args.num_buckets, group_size=args.group_size)
     x.unpersist()
+    release_intermediates(x)      # the components label cache
     if pairs is not None:
         release_intermediates(pairs)
     report.update({

@@ -5,7 +5,7 @@ import pyspark.sql.functions as F
 
 from aloha_spark.operators.dedup import (
     connected_components, dedup_keep_canonical, exact_jaccard,
-    shared_shingle_pairs)
+    release_intermediates, shared_shingle_pairs)
 
 
 def _labels(spark, edges, nodes=None):
@@ -71,7 +71,10 @@ def test_keep_canonical(spark):
         [(i, f"t{i}") for i in range(6)], "doc_id long, text string")
     pairs = spark.createDataFrame(
         [(0, 3), (3, 4), (1, 5)], "id_a long, id_b long")
-    kept = sorted(r["doc_id"]
-                  for r in dedup_keep_canonical(docs, pairs).collect())
+    out = dedup_keep_canonical(docs, pairs)
+    kept = sorted(r["doc_id"] for r in out.collect())
     # clusters {0,3,4} -> keep 0; {1,5} -> keep 1; isolated 2 kept
     assert kept == [0, 1, 2]
+    # the persisted components label frame is transferred to the
+    # result's auto-release tracking (exactly one cache to free)
+    assert release_intermediates(out) == 1
