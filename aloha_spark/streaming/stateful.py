@@ -15,12 +15,20 @@ StatefulRowCreator.scala:36-75): referentially-transparent state
 threaded through an ordered iterator, one state per unit of
 parallelism — here the unit is the conversation group.
 
-State TTL note: ``GroupStateTimeout.ProcessingTimeTimeout`` hard-crashes
-the Python worker in this sandbox's PySpark build (reproduced with a
-minimal canary independent of this module), so idle-conversation
-eviction uses ``NoTimeout`` here; on a deployment where the timeout
-path works (or with transformWithState + native TTL), re-enable
-``setTimeoutDuration`` to bound state by activity.
+State TTL: idle-conversation eviction is available via
+``state_ttl_seconds`` using ``GroupStateTimeout.EventTimeTimeout`` — a
+conversation whose last event time falls ``ttl`` behind the stream's
+watermark has its state removed (verified working in this PySpark
+build; ``ProcessingTimeTimeout`` hard-crashes the Python worker here,
+reproduced with a minimal canary independent of this module, so the
+event-time path is the one offered).  TTL is OPT-IN because eviction
+is a semantic trade, not just a resource knob: a conversation that
+returns after eviction restarts as if new — ``dt_prev_sec`` is NULL,
+``last_tool`` backfill restarts empty, and ``session_id`` restarts at
+0 — whereas the batch recompute (and the NoTimeout default) carries
+those across any idle gap.  Pick ``ttl >> gap_seconds`` so the only
+rows that can diverge from batch are ones already starting a new
+session.  Default ``None`` keeps NoTimeout and exact batch parity.
 
 Ordering contract: rows are processed sorted by (ts, turn_idx) within
 each micro-batch; turns that arrive in a *later* micro-batch with an
@@ -66,12 +74,29 @@ STATE_SCHEMA = StructType([
 ])
 
 
-def _make_update_fn(gap_seconds: float):
+def _make_update_fn(gap_seconds: float, ttl_seconds: float = None):
     gap_ns = int(gap_seconds * 1_000_000_000)
+    ttl_ms = None if ttl_seconds is None else int(ttl_seconds * 1_000)
+
+    def _arm_ttl(state: GroupState, last_ts_ns) -> None:
+        if ttl_ms is None or last_ts_ns is None:
+            return
+        # EventTimeTimeout: fire once the watermark passes
+        # last-event-time + ttl.  Spark rejects timestamps at or behind
+        # the current watermark, so clamp just past it for groups whose
+        # entire history is already late.
+        target = last_ts_ns // 1_000_000 + ttl_ms
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(target, wm + 1))
 
     def update(key: Tuple[str],
                pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle-conversation eviction: drop the carried state; the
+            # conversation restarts as-new if it ever returns
+            state.remove()
+            return
         last_ts_ns, last_tool, session_id = (
             state.get if state.exists else (None, None, 0))
         conv_id = key[0]
@@ -84,6 +109,7 @@ def _make_update_fn(gap_seconds: float):
         chunks = [c for c in pdfs if not c.empty]
         if not chunks:
             state.update((last_ts_ns, last_tool, session_id))
+            _arm_ttl(state, last_ts_ns)
             return
         whole = (chunks[0] if len(chunks) == 1
                  else pd.concat(chunks, ignore_index=True))
@@ -121,33 +147,49 @@ def _make_update_fn(gap_seconds: float):
                 "session_id": out_sid,
             })
         state.update((last_ts_ns, last_tool, session_id))
+        _arm_ttl(state, last_ts_ns)
 
     return update
 
 
 def streaming_turn_features(stream: DataFrame,
-                            gap_seconds: float = 1800.0) -> DataFrame:
+                            gap_seconds: float = 1800.0,
+                            state_ttl_seconds: float = None,
+                            watermark: str = "10 minutes") -> DataFrame:
     """Attach dt_prev_sec / last_tool backfill / session_id to a
-    transcript stream, state carried per conv_id across micro-batches."""
+    transcript stream, state carried per conv_id across micro-batches.
+
+    ``state_ttl_seconds`` (opt-in) bounds state by activity: a
+    conversation idle for ``ttl`` past the event-time watermark has its
+    state evicted (see module docstring for the semantic trade).  The
+    watermark delay only matters in TTL mode and controls how much
+    event-time disorder is tolerated before eviction decisions fire.
+    """
+    if state_ttl_seconds is not None:
+        stream = stream.withWatermark("ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return (stream.groupBy("conv_id").applyInPandasWithState(
-        _make_update_fn(gap_seconds),
+        _make_update_fn(gap_seconds, state_ttl_seconds),
         outputStructType=TURN_FEATURES_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout))
+        timeoutConf=timeout))
 
 
 def run_turn_features_to_memory(spark, src_path: str,
                                 gap_seconds: float = 1800.0,
                                 query_name: str = "turn_features",
-                                max_files: int = 1) -> None:
+                                max_files: int = 1,
+                                state_ttl_seconds: float = None) -> None:
     """Drain ``src_path`` with availableNow (one file per micro-batch by
     default, exercising cross-batch state carry) into a memory sink."""
     from .sessionize import read_transcript_stream
 
     feats = streaming_turn_features(
         read_transcript_stream(spark, src_path, max_files=max_files),
-        gap_seconds)
+        gap_seconds, state_ttl_seconds=state_ttl_seconds)
     q = (feats.writeStream.format("memory").queryName(query_name)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()

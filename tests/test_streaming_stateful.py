@@ -79,6 +79,67 @@ class TestStreamingTurnFeatures:
         assert exp.groupby("conv_id")["session_id"].max().min() >= 1
 
 
+class TestStateTTL:
+    T0 = 1_700_000_000
+
+    def _write_ttl_slices(self, spark, path: str) -> None:
+        """Four files -> four micro-batches: conv a appears, goes idle
+        while conv b advances the watermark past a's TTL, then returns."""
+        T0 = self.T0
+        batches = [
+            [("a", 0, T0), ("a", 1, T0 + 120), ("a", 2, T0 + 240)],
+            [("b", 0, T0 + 100_000)],
+            [("b", 1, T0 + 100_060)],   # watermark now ~T0+99_400 > a's TTL
+            [("a", 3, T0 + 200_000), ("a", 4, T0 + 200_120)],
+        ]
+        os.makedirs(path, exist_ok=True)
+        for s, rows in enumerate(batches):
+            pdf = pd.DataFrame(
+                [(c, i, "user", f"t{i}", None, pd.Timestamp(t, unit="s"))
+                 for c, i, t in rows],
+                columns=["conv_id", "turn_idx", "role", "text", "tool",
+                         "ts"])
+            schema = ("conv_id string, turn_idx long, role string, "
+                      "text string, tool string, ts timestamp")
+            spark.createDataFrame(pdf, schema=schema).coalesce(1) \
+                .write.mode("overwrite").parquet(f"{path}/b{s}")
+            import glob
+            import shutil
+            f = sorted(glob.glob(f"{path}/b{s}/part-*.parquet"))[0]
+            shutil.move(f, f"{path}/{s:02d}.parquet")
+            shutil.rmtree(f"{path}/b{s}")
+
+    def _returning_rows(self, spark, src, ttl, name):
+        run_turn_features_to_memory(spark, src, gap_seconds=1800.0,
+                                    query_name=name, max_files=1,
+                                    state_ttl_seconds=ttl)
+        return (spark.table(name)
+                .filter("conv_id = 'a'")
+                .select("turn_idx", "dt_prev_sec", "session_id")
+                .orderBy("turn_idx").toPandas())
+
+    def test_idle_conversation_evicted_and_restarts_fresh(self, spark,
+                                                          tmp_path):
+        src = str(tmp_path / "ttl_stream")
+        self._write_ttl_slices(spark, src)
+        got = self._returning_rows(spark, src, ttl=3600.0, name="tf_ttl")
+        assert got["turn_idx"].tolist() == [0, 1, 2, 3, 4]
+        # returning turn restarts as-new: no carried dt, session back to 0
+        assert pd.isna(got.loc[got["turn_idx"] == 3, "dt_prev_sec"]).all()
+        assert got.loc[got["turn_idx"] == 3, "session_id"].item() == 0
+        assert got.loc[got["turn_idx"] == 4, "dt_prev_sec"].item() == 120.0
+
+    def test_no_ttl_default_carries_state_across_idle_gap(self, spark,
+                                                          tmp_path):
+        src = str(tmp_path / "nottl_stream")
+        self._write_ttl_slices(spark, src)
+        got = self._returning_rows(spark, src, ttl=None, name="tf_nottl")
+        # NoTimeout default: dt carried across the idle gap, session bumps
+        assert got.loc[got["turn_idx"] == 3, "dt_prev_sec"].item() == \
+            200_000.0 - 240.0
+        assert got.loc[got["turn_idx"] == 3, "session_id"].item() == 1
+
+
 class TestStreamingFeaturize:
     def test_stream_vectors_match_batch_pipeline(self, spark, tmp_path):
         """foreachBatch featurization over the stateful stream must give
