@@ -1238,7 +1238,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_lead": q_window_lag_lead,
         "backfill_last_tool": q_backfill_last_tool,
         "sessionize": q_sessionize,
-        "rolling_tool_count": q_rolling_tool_count,
+        # PII scrub: the one round-3 family whose only oracle row this
+        # is — keep it inside the driver's 50-query window (the 4th
+        # window variant it displaced, rolling_tool_count, stays
+        # selfcheck-covered below)
+        "doc_scrub": q_doc_scrub,
         "asof_state": q_asof_state,
         "asof_salted": q_asof_salted,
         "pit_pipeline": q_pit_pipeline,
@@ -1301,7 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "constant_model": q_constant_model,
         "error_model": q_error_model,
-        "doc_scrub": q_doc_scrub,
+        "rolling_tool_count": q_rolling_tool_count,
         "doc_curate": q_doc_curate,
         "pricing_summary": q_pricing_summary,
         # rows-only (hash parity / formats / approx)
