@@ -178,6 +178,30 @@ def streaming_turn_features(stream: DataFrame,
         timeoutConf=timeout))
 
 
+def run_turn_features_to_sink(spark, src_path: str, out_path: str,
+                              checkpoint_path: str,
+                              gap_seconds: float = 1800.0,
+                              max_files: int = 1,
+                              state_ttl_seconds: float = None) -> None:
+    """Production-shaped run: file source -> stateful turn features ->
+    parquet sink with a checkpoint.  Restartable: re-invoking with the
+    same checkpoint resumes from committed offsets with the per-
+    conversation state restored from the state store, so a turn arriving
+    after a stop/restart still sees dt_prev_sec / last_tool / session_id
+    carried from before the restart, and already-committed micro-batches
+    are never re-emitted (exactly-once file sink)."""
+    from .sessionize import read_transcript_stream
+
+    feats = streaming_turn_features(
+        read_transcript_stream(spark, src_path, max_files=max_files),
+        gap_seconds, state_ttl_seconds=state_ttl_seconds)
+    q = (feats.writeStream.format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", checkpoint_path)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
 def run_turn_features_to_memory(spark, src_path: str,
                                 gap_seconds: float = 1800.0,
                                 query_name: str = "turn_features",

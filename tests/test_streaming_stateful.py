@@ -13,7 +13,10 @@ from aloha_spark.operators.windows import (
     with_session_id,
     with_ts_delta,
 )
-from aloha_spark.streaming.stateful import run_turn_features_to_memory
+from aloha_spark.streaming.stateful import (
+    run_turn_features_to_memory,
+    run_turn_features_to_sink,
+)
 
 
 def _write_sliced_turns(spark, path: str, n_convs: int = 6,
@@ -138,6 +141,82 @@ class TestStateTTL:
         assert got.loc[got["turn_idx"] == 3, "dt_prev_sec"].item() == \
             200_000.0 - 240.0
         assert got.loc[got["turn_idx"] == 3, "session_id"].item() == 1
+
+
+class TestCheckpointRecovery:
+    """Stop/restart against one checkpoint: per-conversation state must
+    survive the restart (dt/session carried into post-restart turns) and
+    committed micro-batches must not be re-emitted (exactly-once)."""
+
+    T0 = 1_700_000_000
+
+    def _write_file(self, spark, path: str, name: str, rows) -> None:
+        pdf = pd.DataFrame(
+            [(c, i, "user", f"t{i}", tool, pd.Timestamp(t, unit="s"))
+             for c, i, tool, t in rows],
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+        schema = ("conv_id string, turn_idx long, role string, "
+                  "text string, tool string, ts timestamp")
+        tmp = f"{path}/_tmp_{name}"
+        spark.createDataFrame(pdf, schema=schema).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        import glob
+        import shutil
+        f = sorted(glob.glob(f"{tmp}/part-*.parquet"))[0]
+        shutil.move(f, f"{path}/{name}.parquet")
+        shutil.rmtree(tmp)
+
+    def test_state_survives_restart_and_no_reemission(self, spark,
+                                                      tmp_path):
+        T0 = self.T0
+        src = str(tmp_path / "ckpt_src")
+        out = str(tmp_path / "ckpt_out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src, exist_ok=True)
+
+        # run 1: two files -> two committed micro-batches
+        self._write_file(spark, src, "00",
+                         [("a", 0, "search", T0), ("a", 1, None, T0 + 120)])
+        self._write_file(spark, src, "01", [("a", 2, None, T0 + 240)])
+        run_turn_features_to_sink(spark, src, out, ckpt, max_files=1)
+        first = spark.read.parquet(out)
+        assert first.count() == 3
+
+        # "crash": the query object is gone; only src/out/ckpt persist.
+        # run 2: two new files — one in-gap turn (state must carry) and
+        # one past the 1800s gap (session must bump using carried ts)
+        self._write_file(spark, src, "02", [("a", 3, None, T0 + 360)])
+        self._write_file(spark, src, "03", [("a", 4, None, T0 + 9000)])
+        run_turn_features_to_sink(spark, src, out, ckpt, max_files=1)
+
+        got = (spark.read.parquet(out)
+               .select("turn_idx", "dt_prev_sec", "last_tool",
+                       "session_id")
+               .orderBy("turn_idx").toPandas())
+        # exactly-once: 5 rows total, each turn exactly once
+        assert got["turn_idx"].tolist() == [0, 1, 2, 3, 4]
+        # state carried across the restart: turn 3 sees turn 2's ts...
+        assert got.loc[got["turn_idx"] == 3, "dt_prev_sec"].item() == 120.0
+        # ...and the pre-restart tool backfill
+        assert got.loc[got["turn_idx"] == 3, "last_tool"].item() == "search"
+        assert got.loc[got["turn_idx"] == 3, "session_id"].item() == 0
+        # gap turn after restart: session id increments off carried state
+        assert got.loc[got["turn_idx"] == 4, "dt_prev_sec"].item() == 8640.0
+        assert got.loc[got["turn_idx"] == 4, "session_id"].item() == 1
+
+    def test_restart_with_no_new_files_emits_nothing(self, spark,
+                                                     tmp_path):
+        T0 = self.T0
+        src = str(tmp_path / "ckpt_src2")
+        out = str(tmp_path / "ckpt_out2")
+        ckpt = str(tmp_path / "ckpt2")
+        os.makedirs(src, exist_ok=True)
+        self._write_file(spark, src, "00",
+                         [("a", 0, None, T0), ("a", 1, None, T0 + 60)])
+        run_turn_features_to_sink(spark, src, out, ckpt, max_files=1)
+        n1 = spark.read.parquet(out).count()
+        run_turn_features_to_sink(spark, src, out, ckpt, max_files=1)
+        assert spark.read.parquet(out).count() == n1 == 2
 
 
 class TestStreamingFeaturize:
