@@ -17,8 +17,16 @@ parallelism — here the unit is the conversation group.
 
 State TTL: idle-conversation eviction is available via
 ``state_ttl_seconds`` using ``GroupStateTimeout.EventTimeTimeout`` — a
-conversation whose last event time falls ``ttl`` behind the stream's
-watermark has its state removed (verified working in this PySpark
+conversation whose MAX event time seen falls ``ttl`` behind the
+stream's watermark has its state removed.  The idle clock is the max
+event time seen, not the last-processed row's: an out-of-order row
+that is inside the watermark window but behind the group's max
+regresses the latter, and arming off it would evict a conversation
+that was active more recently (rows fully behind the watermark are
+dropped by Spark before reaching the operator, so the regression is
+bounded by the watermark delay; pinned by
+``test_late_row_does_not_evict_active_conversation``).  (Verified
+working in this PySpark
 build; ``ProcessingTimeTimeout`` hard-crashes the Python worker here,
 reproduced with a minimal canary independent of this module, so the
 event-time path is the one offered).  TTL is OPT-IN because eviction
@@ -41,7 +49,7 @@ bounded as described in the TTL note above.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Any, Iterable, Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -66,26 +74,34 @@ TURN_FEATURES_SCHEMA = StructType([
     StructField("session_id", LongType()),
 ])
 
-# state: last event-time (epoch ns), last known tool, current session id
+# state: last event-time (epoch ns), last known tool, current session id,
+# max event-time ever seen (epoch ns — the TTL idle clock; last_ts_ns can
+# REGRESS when a late row arrives, max_ts_ns cannot)
 STATE_SCHEMA = StructType([
     StructField("last_ts_ns", LongType()),
     StructField("last_tool", StringType()),
     StructField("session_id", LongType()),
+    StructField("max_ts_ns", LongType()),
 ])
 
 
-def _make_update_fn(gap_seconds: float, ttl_seconds: float = None):
+def _make_update_fn(gap_seconds: float,
+                    ttl_seconds: Optional[float] = None):
     gap_ns = int(gap_seconds * 1_000_000_000)
     ttl_ms = None if ttl_seconds is None else int(ttl_seconds * 1_000)
 
-    def _arm_ttl(state: GroupState, last_ts_ns) -> None:
-        if ttl_ms is None or last_ts_ns is None:
+    def _arm_ttl(state: GroupState, max_ts_ns) -> None:
+        if ttl_ms is None or max_ts_ns is None:
             return
         # EventTimeTimeout: fire once the watermark passes
-        # last-event-time + ttl.  Spark rejects timestamps at or behind
-        # the current watermark, so clamp just past it for groups whose
+        # max-event-time-seen + ttl.  The basis is the max, NOT the
+        # last-processed row's event time: a late out-of-order row
+        # regresses last_ts_ns, and arming off that would evict a
+        # conversation that was active minutes ago because one stale
+        # row arrived.  Spark rejects timestamps at or behind the
+        # current watermark, so clamp just past it for groups whose
         # entire history is already late.
-        target = last_ts_ns // 1_000_000 + ttl_ms
+        target = max_ts_ns // 1_000_000 + ttl_ms
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(target, wm + 1))
 
@@ -97,8 +113,8 @@ def _make_update_fn(gap_seconds: float, ttl_seconds: float = None):
             # conversation restarts as-new if it ever returns
             state.remove()
             return
-        last_ts_ns, last_tool, session_id = (
-            state.get if state.exists else (None, None, 0))
+        last_ts_ns, last_tool, session_id, max_ts_ns = (
+            state.get if state.exists else (None, None, 0, None))
         conv_id = key[0]
         # a group larger than one Arrow batch arrives as SEVERAL chunks
         # in arbitrary order — the (ts, turn_idx) ordering contract is
@@ -108,8 +124,8 @@ def _make_update_fn(gap_seconds: float, ttl_seconds: float = None):
         # of conversations, which stays streamed)
         chunks = [c for c in pdfs if not c.empty]
         if not chunks:
-            state.update((last_ts_ns, last_tool, session_id))
-            _arm_ttl(state, last_ts_ns)
+            state.update((last_ts_ns, last_tool, session_id, max_ts_ns))
+            _arm_ttl(state, max_ts_ns)
             return
         whole = (chunks[0] if len(chunks) == 1
                  else pd.concat(chunks, ignore_index=True))
@@ -146,15 +162,20 @@ def _make_update_fn(gap_seconds: float, ttl_seconds: float = None):
                 "last_tool": out_tool,
                 "session_id": out_sid,
             })
-        state.update((last_ts_ns, last_tool, session_id))
-        _arm_ttl(state, last_ts_ns)
+        # within-batch rows are sorted, so last_ts_ns is this batch's
+        # max; the all-time max only ever ratchets up
+        if last_ts_ns is not None:
+            max_ts_ns = (last_ts_ns if max_ts_ns is None
+                         else max(max_ts_ns, last_ts_ns))
+        state.update((last_ts_ns, last_tool, session_id, max_ts_ns))
+        _arm_ttl(state, max_ts_ns)
 
     return update
 
 
 def streaming_turn_features(stream: DataFrame,
                             gap_seconds: float = 1800.0,
-                            state_ttl_seconds: float = None,
+                            state_ttl_seconds: Optional[float] = None,
                             watermark: str = "10 minutes") -> DataFrame:
     """Attach dt_prev_sec / last_tool backfill / session_id to a
     transcript stream, state carried per conv_id across micro-batches.
@@ -182,7 +203,8 @@ def run_turn_features_to_sink(spark, src_path: str, out_path: str,
                               checkpoint_path: str,
                               gap_seconds: float = 1800.0,
                               max_files: int = 1,
-                              state_ttl_seconds: float = None) -> None:
+                              state_ttl_seconds: Optional[float] = None,
+                              watermark: str = "10 minutes") -> None:
     """Production-shaped run: file source -> stateful turn features ->
     parquet sink with a checkpoint.  Restartable: re-invoking with the
     same checkpoint resumes from committed offsets with the per-
@@ -194,7 +216,8 @@ def run_turn_features_to_sink(spark, src_path: str, out_path: str,
 
     feats = streaming_turn_features(
         read_transcript_stream(spark, src_path, max_files=max_files),
-        gap_seconds, state_ttl_seconds=state_ttl_seconds)
+        gap_seconds, state_ttl_seconds=state_ttl_seconds,
+        watermark=watermark)
     q = (feats.writeStream.format("parquet")
          .option("path", out_path)
          .option("checkpointLocation", checkpoint_path)
@@ -206,14 +229,16 @@ def run_turn_features_to_memory(spark, src_path: str,
                                 gap_seconds: float = 1800.0,
                                 query_name: str = "turn_features",
                                 max_files: int = 1,
-                                state_ttl_seconds: float = None) -> None:
+                                state_ttl_seconds: Optional[float] = None,
+                                watermark: str = "10 minutes") -> None:
     """Drain ``src_path`` with availableNow (one file per micro-batch by
     default, exercising cross-batch state carry) into a memory sink."""
     from .sessionize import read_transcript_stream
 
     feats = streaming_turn_features(
         read_transcript_stream(spark, src_path, max_files=max_files),
-        gap_seconds, state_ttl_seconds=state_ttl_seconds)
+        gap_seconds, state_ttl_seconds=state_ttl_seconds,
+        watermark=watermark)
     q = (feats.writeStream.format("memory").queryName(query_name)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()

@@ -82,35 +82,44 @@ class TestStreamingTurnFeatures:
         assert exp.groupby("conv_id")["session_id"].max().min() >= 1
 
 
-class TestStateTTL:
-    T0 = 1_700_000_000
+T0 = 1_700_000_000
 
+
+def _write_turn_file(spark, path: str, name: str, rows) -> None:
+    """Write ``rows`` — (conv_id, turn_idx, tool, epoch_sec) tuples — as
+    ONE parquet file ``{path}/{name}.parquet`` so maxFilesPerTrigger=1
+    maps each call to exactly one micro-batch."""
+    import glob
+    import shutil
+    pdf = pd.DataFrame(
+        [(c, i, "user", f"t{i}", tool, pd.Timestamp(t, unit="s"))
+         for c, i, tool, t in rows],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    schema = ("conv_id string, turn_idx long, role string, "
+              "text string, tool string, ts timestamp")
+    tmp = f"{path}/_tmp_{name}"
+    os.makedirs(path, exist_ok=True)
+    spark.createDataFrame(pdf, schema=schema).coalesce(1) \
+        .write.mode("overwrite").parquet(tmp)
+    f = sorted(glob.glob(f"{tmp}/part-*.parquet"))[0]
+    shutil.move(f, f"{path}/{name}.parquet")
+    shutil.rmtree(tmp)
+
+
+class TestStateTTL:
     def _write_ttl_slices(self, spark, path: str) -> None:
         """Four files -> four micro-batches: conv a appears, goes idle
         while conv b advances the watermark past a's TTL, then returns."""
-        T0 = self.T0
         batches = [
-            [("a", 0, T0), ("a", 1, T0 + 120), ("a", 2, T0 + 240)],
-            [("b", 0, T0 + 100_000)],
-            [("b", 1, T0 + 100_060)],   # watermark now ~T0+99_400 > a's TTL
-            [("a", 3, T0 + 200_000), ("a", 4, T0 + 200_120)],
+            [("a", 0, None, T0), ("a", 1, None, T0 + 120),
+             ("a", 2, None, T0 + 240)],
+            [("b", 0, None, T0 + 100_000)],
+            # watermark now ~T0+99_400 > a's TTL
+            [("b", 1, None, T0 + 100_060)],
+            [("a", 3, None, T0 + 200_000), ("a", 4, None, T0 + 200_120)],
         ]
-        os.makedirs(path, exist_ok=True)
         for s, rows in enumerate(batches):
-            pdf = pd.DataFrame(
-                [(c, i, "user", f"t{i}", None, pd.Timestamp(t, unit="s"))
-                 for c, i, t in rows],
-                columns=["conv_id", "turn_idx", "role", "text", "tool",
-                         "ts"])
-            schema = ("conv_id string, turn_idx long, role string, "
-                      "text string, tool string, ts timestamp")
-            spark.createDataFrame(pdf, schema=schema).coalesce(1) \
-                .write.mode("overwrite").parquet(f"{path}/b{s}")
-            import glob
-            import shutil
-            f = sorted(glob.glob(f"{path}/b{s}/part-*.parquet"))[0]
-            shutil.move(f, f"{path}/{s:02d}.parquet")
-            shutil.rmtree(f"{path}/b{s}")
+            _write_turn_file(spark, path, f"{s:02d}", rows)
 
     def _returning_rows(self, spark, src, ttl, name):
         run_turn_features_to_memory(spark, src, gap_seconds=1800.0,
@@ -118,7 +127,8 @@ class TestStateTTL:
                                     state_ttl_seconds=ttl)
         return (spark.table(name)
                 .filter("conv_id = 'a'")
-                .select("turn_idx", "dt_prev_sec", "session_id")
+                .select("turn_idx", "dt_prev_sec", "last_tool",
+                        "session_id")
                 .orderBy("turn_idx").toPandas())
 
     def test_idle_conversation_evicted_and_restarts_fresh(self, spark,
@@ -142,42 +152,59 @@ class TestStateTTL:
             200_000.0 - 240.0
         assert got.loc[got["turn_idx"] == 3, "session_id"].item() == 1
 
+    def test_late_row_does_not_evict_active_conversation(self, spark,
+                                                         tmp_path):
+        """The TTL idle clock is the MAX event time seen: an
+        out-of-order row must not shrink it.  Rows fully behind the
+        watermark are dropped by Spark before reaching the operator, so
+        the dangerous case is a row that regresses the group's max while
+        staying inside the watermark window (regression bounded by the
+        watermark delay, 600s here).  Arming the timeout off the
+        last-processed row's event time would fire ttl-after-the-stale-
+        row and evict a conversation that was active more recently."""
+        src = str(tmp_path / "late_stream")
+        batches = [
+            # a's max event time: T0+9_000 -> global wm = T0+8_400
+            [("a", 0, "search", T0 + 7_000), ("a", 1, None, T0 + 9_000)],
+            [("b", 0, None, T0 + 7_800)],
+            # out-of-order a row: inside the wm window, behind a's max.
+            # buggy basis T0+8_500 -> timeout T0+12_100;
+            # fixed basis T0+9_000 -> timeout T0+12_600
+            [("a", 2, None, T0 + 8_500)],
+            [("b", 1, None, T0 + 12_800)],   # wm after batch: T0+12_200
+            # a absent while T0+12_100 < wm < T0+12_600: the buggy arm
+            # fires here and evicts a; the max-basis arm does not
+            [("b", 2, None, T0 + 13_000)],
+            [("a", 3, None, T0 + 13_200)],   # a returns, within ttl
+        ]
+        for s, rows in enumerate(batches):
+            _write_turn_file(spark, src, f"{s:02d}", rows)
+        got = self._returning_rows(spark, src, ttl=3600.0, name="tf_late")
+        assert got["turn_idx"].tolist() == [0, 1, 2, 3]
+        # state survived: dt computed against the out-of-order row's ts
+        # (the ordering contract), sessions accumulated, tool backfill
+        # carried — none of the fresh-restart signature (dt NULL, sid 0)
+        row3 = got[got["turn_idx"] == 3]
+        assert row3["dt_prev_sec"].item() == 13_200.0 - 8_500.0
+        assert row3["last_tool"].item() == "search"
+        assert row3["session_id"].item() == 2
+
 
 class TestCheckpointRecovery:
     """Stop/restart against one checkpoint: per-conversation state must
     survive the restart (dt/session carried into post-restart turns) and
     committed micro-batches must not be re-emitted (exactly-once)."""
 
-    T0 = 1_700_000_000
-
-    def _write_file(self, spark, path: str, name: str, rows) -> None:
-        pdf = pd.DataFrame(
-            [(c, i, "user", f"t{i}", tool, pd.Timestamp(t, unit="s"))
-             for c, i, tool, t in rows],
-            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
-        schema = ("conv_id string, turn_idx long, role string, "
-                  "text string, tool string, ts timestamp")
-        tmp = f"{path}/_tmp_{name}"
-        spark.createDataFrame(pdf, schema=schema).coalesce(1) \
-            .write.mode("overwrite").parquet(tmp)
-        import glob
-        import shutil
-        f = sorted(glob.glob(f"{tmp}/part-*.parquet"))[0]
-        shutil.move(f, f"{path}/{name}.parquet")
-        shutil.rmtree(tmp)
-
     def test_state_survives_restart_and_no_reemission(self, spark,
                                                       tmp_path):
-        T0 = self.T0
         src = str(tmp_path / "ckpt_src")
         out = str(tmp_path / "ckpt_out")
         ckpt = str(tmp_path / "ckpt")
-        os.makedirs(src, exist_ok=True)
 
         # run 1: two files -> two committed micro-batches
-        self._write_file(spark, src, "00",
+        _write_turn_file(spark, src, "00",
                          [("a", 0, "search", T0), ("a", 1, None, T0 + 120)])
-        self._write_file(spark, src, "01", [("a", 2, None, T0 + 240)])
+        _write_turn_file(spark, src, "01", [("a", 2, None, T0 + 240)])
         run_turn_features_to_sink(spark, src, out, ckpt, max_files=1)
         first = spark.read.parquet(out)
         assert first.count() == 3
@@ -185,8 +212,8 @@ class TestCheckpointRecovery:
         # "crash": the query object is gone; only src/out/ckpt persist.
         # run 2: two new files — one in-gap turn (state must carry) and
         # one past the 1800s gap (session must bump using carried ts)
-        self._write_file(spark, src, "02", [("a", 3, None, T0 + 360)])
-        self._write_file(spark, src, "03", [("a", 4, None, T0 + 9000)])
+        _write_turn_file(spark, src, "02", [("a", 3, None, T0 + 360)])
+        _write_turn_file(spark, src, "03", [("a", 4, None, T0 + 9000)])
         run_turn_features_to_sink(spark, src, out, ckpt, max_files=1)
 
         got = (spark.read.parquet(out)
@@ -206,12 +233,10 @@ class TestCheckpointRecovery:
 
     def test_restart_with_no_new_files_emits_nothing(self, spark,
                                                      tmp_path):
-        T0 = self.T0
         src = str(tmp_path / "ckpt_src2")
         out = str(tmp_path / "ckpt_out2")
         ckpt = str(tmp_path / "ckpt2")
-        os.makedirs(src, exist_ok=True)
-        self._write_file(spark, src, "00",
+        _write_turn_file(spark, src, "00",
                          [("a", 0, None, T0), ("a", 1, None, T0 + 60)])
         run_turn_features_to_sink(spark, src, out, ckpt, max_files=1)
         n1 = spark.read.parquet(out).count()
