@@ -1172,7 +1172,7 @@ def q_doc_curate(spark, sf_dir):
     the minimum doc_id.  Every stage is the exact operator the
     spark-submit job composes, so a green hash here certifies the whole
     curation pipeline's semantics, not just its pieces."""
-    from aloha_spark.operators.dedup import exact_dedup
+    from aloha_spark.operators.dedup import exact_dedup_keep
     from aloha_spark.operators.textstats import (
         with_lang_id, with_pii_scrubbed, with_quality_score)
     did = F.col("doc_id").cast("string")
@@ -1190,10 +1190,8 @@ def q_doc_curate(spark, sf_dir):
     x = with_lang_id(x).where(F.col("lang_guess") == "en")
     x = (with_pii_scrubbed(x).drop("text")
          .withColumnRenamed("text_scrubbed", "text"))
-    keeps = (exact_dedup(x, cols=["text"], id_col="doc_id")
-             .select(F.col("keep_id").alias("doc_id")))
-    return (x.join(keeps, "doc_id", "left_semi")
-             .select("doc_id", "text", "n_redactions", "quality_score"))
+    return (exact_dedup_keep(x, cols=["text"], id_col="doc_id")
+            .select("doc_id", "text", "n_redactions", "quality_score"))
 
 
 # --------------------------------------------------------------------------

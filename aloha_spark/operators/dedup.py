@@ -89,6 +89,27 @@ def exact_dedup(df: DataFrame, cols: Sequence[str] = ("text",),
                    F.count("*").alias("dup_count")))
 
 
+def exact_dedup_keep(df: DataFrame, cols: Sequence[str] = ("text",),
+                     id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct content (the minimum-``id_col`` one),
+    preserving every input column.
+
+    This is the row-filtering counterpart of :func:`exact_dedup` (which
+    returns the digest->keeper SUMMARY): a min window over the content
+    digest, so the plan is ONE shuffle on the 16-byte hash and the
+    upstream is computed exactly once.  The naive
+    ``join(exact_dedup(df), 'left_semi')`` shape computes the upstream
+    twice (once under the aggregate, once as the probe side) and adds a
+    join exchange — at curation scale the upstream is the expensive
+    quality/lang/scrub chain, so this halves the map work and removes
+    two shuffles."""
+    w = Window.partitionBy("content_hash")
+    return (df.withColumn("content_hash", content_digest(cols))
+              .withColumn("__keep", F.min(id_col).over(w))
+              .where(F.col(id_col) == F.col("__keep"))
+              .drop("content_hash", "__keep"))
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH
 

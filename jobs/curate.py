@@ -74,7 +74,7 @@ def curate(spark, args):
     import pyspark.sql.functions as F
 
     from aloha_spark.operators.dedup import (
-        dedup_keep_canonical, exact_dedup, minhash_dedup_pairs)
+        dedup_keep_canonical, exact_dedup_keep, minhash_dedup_pairs)
     from aloha_spark.operators.textstats import (
         with_lang_id, with_pii_scrubbed, with_quality_score)
     from aloha_spark.sources.tables import read_table
@@ -104,9 +104,9 @@ def curate(spark, args):
              .withColumnRenamed("text_scrubbed", text_col))
         checkpoint("pii_scrub")
     if args.exact_dedup:
-        keeps = (exact_dedup(x, cols=[text_col], id_col=id_col)
-                 .select(F.col("keep_id").alias(id_col)))
-        x = x.join(keeps, id_col, "left_semi")
+        # one window over the content digest: upstream quality/lang/
+        # scrub chain computed ONCE, single shuffle (exact_dedup_keep)
+        x = exact_dedup_keep(x, cols=[text_col], id_col=id_col)
         checkpoint("exact_dedup")
     pairs = None
     if args.neardup_threshold is not None:

@@ -59,6 +59,26 @@ class TestExactDedup:
         exp = pdf.groupby("text")["doc_id"].min().sort_values().tolist()
         assert sorted(out["keep_id"].tolist()) == exp
 
+    def test_keep_matches_semi_join_formulation(self, spark, docs):
+        """exact_dedup_keep == join(exact_dedup, left_semi) row-for-row,
+        with all input columns preserved and one shuffle in the plan."""
+        from aloha_spark.operators.dedup import exact_dedup_keep
+
+        kept = exact_dedup_keep(docs, ["text"])
+        assert kept.columns == docs.columns
+        keeps = (exact_dedup(docs, ["text"])
+                 .select(F.col("keep_id").alias("doc_id")))
+        ref = docs.join(keeps, "doc_id", "left_semi")
+        a = kept.orderBy("doc_id").toPandas()
+        b = ref.orderBy("doc_id").toPandas()
+        pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                      b.reset_index(drop=True))
+        # plan: single hash exchange (the digest window), no join
+        plan = kept._sc._jvm.PythonSQLUtils.explainString(
+            kept._jdf.queryExecution(), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Join" not in plan, plan
+
 
 class TestMinhashLsh:
     def test_recall_and_precision_vs_bruteforce(self, spark, docs):
