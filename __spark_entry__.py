@@ -1540,12 +1540,13 @@ s AS (
     CASE WHEN n_chars BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.2 END
       AS length_band
   FROM t)
-SELECT doc_id,
-       ROUND(0.4 * length_band
-             + 0.2 * LEAST(1.0, stop_ratio * 5)
-             + 0.2 * (1.0 - LEAST(1.0, punct_ratio * 10))
-             + 0.2 * (1.0 - rep_ratio), 6) AS quality_score
-FROM s""",
+SELECT s.doc_id,
+       CASE WHEN t.text IS NULL THEN NULL
+            ELSE ROUND(0.4 * length_band
+                       + 0.2 * LEAST(1.0, stop_ratio * 5)
+                       + 0.2 * (1.0 - LEAST(1.0, punct_ratio * 10))
+                       + 0.2 * (1.0 - rep_ratio), 6) END AS quality_score
+FROM s JOIN t ON s.doc_id = t.doc_id""",
         "dedup_components": """
 WITH RECURSIVE sh AS (
   SELECT doc_id,

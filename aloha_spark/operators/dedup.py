@@ -492,7 +492,18 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     scale.  Candidate volume grows linearly in n_tables; the equi-join
     key (table, code) keeps every table's buckets disjoint in one
     shuffle."""
+    # NULL embeddings carry no content: they can never pair, so drop
+    # them up front — this also makes the dim probe robust (the probe
+    # previously read the FIRST row, crashing on an empty corpus or a
+    # leading NULL vector)
+    df = df.where(F.col(vec_col).isNotNull())
     dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None or dim_row["d"] is None:
+        # empty (or all-NULL) corpus: no pairs, correctly typed
+        return (df.select(F.col(id_col).alias("id_a"),
+                          F.col(id_col).alias("id_b"),
+                          F.lit(0.0).alias("cosine"))
+                  .limit(0))
     dim = int(dim_row["d"])
     rng = np.random.default_rng(seed)
     mats = rng.standard_normal((n_tables, dim, planes)).astype(np.float64)
@@ -615,6 +626,7 @@ def connected_components(pairs: DataFrame, nodes: Optional[DataFrame] = None,
     edges = edges.persist()
     labels = labels.persist()
     try:
+        changed = 1
         for _ in range(max_iterations):
             # neighbor labels: for every edge (src,dst) the dst node
             # hears src's current label; keep the min over self + heard
@@ -634,6 +646,17 @@ def connected_components(pairs: DataFrame, nodes: Optional[DataFrame] = None,
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # labels are still moving: returning them would silently
+            # mis-label any node farther than max_iterations hops from
+            # its cluster minimum — in a dedup pass that KEEPS duplicate
+            # documents with no signal.  Fail loudly instead.
+            labels.unpersist(blocking=False)
+            raise RuntimeError(
+                "connected_components did not converge within "
+                f"{max_iterations} iterations — the pair graph has a "
+                "cluster with diameter above that; raise max_iterations "
+                "(cost is one join+groupBy per extra iteration)")
         return labels
     finally:
         edges.unpersist(blocking=False)

@@ -132,7 +132,18 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     restricts candidates, then exact cosine + window rank."""
     from pyspark.sql.pandas.functions import pandas_udf
 
-    dim = int(corpus.select(F.size(c_vec).alias("d")).first()["d"])
+    # NULL vectors can't code or score: drop them, and probe the dim
+    # from a non-NULL row (empty corpus -> empty typed result)
+    corpus = corpus.where(F.col(c_vec).isNotNull())
+    queries = queries.where(F.col(q_vec).isNotNull())
+    dim_row = corpus.select(F.size(c_vec).alias("d")).first()
+    if dim_row is None or dim_row["d"] is None:
+        return (queries.select(F.col(q_id).alias("query_id")).limit(0)
+                .crossJoin(corpus.select(F.col(c_id).alias("neighbor_id"))
+                           .limit(0))
+                .withColumn("cosine", F.lit(0.0))
+                .withColumn("rank", F.lit(1)))
+    dim = int(dim_row["d"])
     rng = np.random.default_rng(seed)
     mat = rng.standard_normal((dim, planes))
 

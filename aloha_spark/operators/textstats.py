@@ -87,7 +87,14 @@ def with_quality_score(df: DataFrame, text: str = "text") -> DataFrame:
              + F.lit(0.2) * F.least(F.lit(1.0), stop_ratio * 5)
              + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 10))
              + F.lit(0.2) * (F.lit(1.0) - rep_ratio))
-    return df.withColumn("quality_score", F.round(score, 6))
+    # NULL text -> NULL score (NOT the 0.28 the otherwise() branches
+    # would compose): missing content has no quality, and a non-NULL
+    # score would let NULL-text rows pass a >= threshold curation gate.
+    # Matches the NULL propagation of with_token_stats/with_bpe_token_count.
+    return df.withColumn(
+        "quality_score",
+        F.when(F.col(text).isNull(), F.lit(None).cast("double"))
+         .otherwise(F.round(score, 6)))
 
 
 def with_lang_id(df: DataFrame, text: str = "text") -> DataFrame:

@@ -78,6 +78,17 @@ class WriteReport:
     groups: int
 
 
+def _delete_bucket_dirs(spark, out_path: str, buckets) -> None:
+    """Remove ``{out_path}/{BUCKET_COL}={b}`` for each bucket (no-op for
+    absent dirs) through the Hadoop FileSystem of ``out_path``, so it
+    works for any scheme the write itself supports."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for x in buckets:
+        p = jvm.org.apache.hadoop.fs.Path(f"{out_path}/{BUCKET_COL}={x}")
+        p.getFileSystem(hconf).delete(p, True)
+
+
 def write_with_lineage(
     df: DataFrame,
     out_path: str,
@@ -106,17 +117,26 @@ def write_with_lineage(
     skipped = sorted(done)
     written: list[int] = []
 
-    # dynamic partition overwrite: re-running a half-written group
-    # replaces exactly those bucket directories
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     groups = 0
     for gi in range(0, len(todo), group_size):
         if fail_after_groups is not None and groups >= fail_after_groups:
             raise RuntimeError("injected failure for resume test")
         group = todo[gi:gi + group_size]
         part = b.where(F.col(BUCKET_COL).isin(group))
-        (part.write.mode("overwrite").partitionBy(BUCKET_COL)
+        # drop the group's bucket dirs first: dynamic overwrite only
+        # replaces partitions PRESENT in the written data, so a bucket
+        # rewritten (post-repair) with zero rows would otherwise keep
+        # its stale files on disk while lineage records row_count=0.
+        # Crash-safe: a group is only recorded in lineage after its
+        # write, so a crash between delete and write just means the
+        # group is rewritten on resume.
+        _delete_bucket_dirs(spark, out_path, group)
+        # dynamic partition overwrite (per-write option — the session
+        # conf must not be mutated for the caller): re-running a
+        # half-written group replaces exactly those bucket directories
+        (part.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy(BUCKET_COL)
              .parquet(out_path))
         # lineage from the WRITTEN files (partition-pruned read): the
         # checksum describes bytes on disk, and the upstream pipeline is

@@ -815,11 +815,16 @@ class FeaturePipeline:
             lines = []
             for i, iv in enumerate(bodies):
                 a, c, p = acts[i], costs[i], probs[i]
-                if a is None or int(a) <= 0 or c is None or p is None \
+                # same validity predicate and rendering as the row
+                # kernel (sinks/vw.cb_vw_line): NO int() coercion — a
+                # fractional action like 0.9 is valid there (> 0) but
+                # int()-truncates to 0 (unlabeled) here, a silent
+                # tier divergence
+                if a is None or a <= 0 or c is None or p is None \
                         or not (0 <= p <= 1):
                     lines.append(iv)
                     continue
-                head = f"{int(a)}:{decimal_format(c, 17)}" \
+                head = f"{a}:{decimal_format(c, 17)}" \
                        f":{decimal_format(p, 17)}"
                 lines.append(head + (" |" if not iv else f" {iv}"))
             return lines

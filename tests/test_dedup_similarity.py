@@ -185,6 +185,17 @@ class TestTextStats:
         assert out["quality_score"].between(0, 1).all()
         assert set(out["lang_guess"]) <= {"en", "de", "es", "und"}
 
+    def test_quality_null_text_is_null(self, spark):
+        """NULL text -> NULL score (a non-NULL score would let empty
+        documents pass a >= threshold curation gate)."""
+        d = spark.createDataFrame(
+            [(1, None), (2, "the cat sat on the mat of the house")],
+            "doc_id long, text string")
+        out = (with_quality_score(d).orderBy("doc_id")
+               .toPandas()["quality_score"])
+        assert pd.isna(out.iloc[0])
+        assert 0 <= out.iloc[1] <= 1
+
     def test_fingerprint_stable_and_content_sensitive(self, spark, docs):
         a = with_fingerprint(docs.limit(30)).toPandas()
         b = with_fingerprint(docs.limit(30)).toPandas()

@@ -45,6 +45,42 @@ def test_kill_and_resume_byte_identical(spark, tmp_path):
     assert verify_lineage(spark, out, lin).count() == 0
 
 
+def test_rewrite_to_empty_bucket_leaves_no_stale_rows(spark, tmp_path):
+    """Dynamic partition overwrite never touches partitions absent from
+    the written data: a bucket rewritten (post-repair) whose NEW content
+    is empty must not keep its old files on disk, and session config
+    must not be left mutated."""
+    from pyspark.sql import functions as F
+
+    from aloha_spark.plans.lineage import BUCKET_COL, repair, with_bucket
+
+    df = make_transcripts(spark, n_convs=40, turns_per_conv=5).cache()
+    out = str(tmp_path / "out")
+    lin = str(tmp_path / "lin")
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    write_with_lineage(df, out, lin, num_buckets=8, group_size=8)
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode") == prior
+
+    # pick a bucket that has rows, evict it, and rewrite from an
+    # upstream WITHOUT that bucket's conversations
+    some = (with_bucket(df, "conv_id", 8)
+            .groupBy(BUCKET_COL).count().orderBy(BUCKET_COL).first())
+    target = some[BUCKET_COL]
+    assert some["count"] > 0
+    repair(spark, lin, [target])
+    drop_convs = (with_bucket(df, "conv_id", 8)
+                  .where(F.col(BUCKET_COL) == target)
+                  .select("conv_id").distinct())
+    shrunk = df.join(drop_convs, "conv_id", "left_anti")
+    write_with_lineage(shrunk, out, lin, num_buckets=8, group_size=8)
+
+    on_disk = (spark.read.parquet(out)
+               .where(F.col(BUCKET_COL) == target).count())
+    assert on_disk == 0, "stale rows survived the empty-bucket rewrite"
+    assert verify_lineage(spark, out, lin).count() == 0
+
+
 def test_lineage_detects_tamper(spark, tmp_path):
     df = make_transcripts(spark, n_convs=10, turns_per_conv=5)
     out = str(tmp_path / "o")
