@@ -216,7 +216,13 @@ def asof_join(
     state_side, turn_side = (0, 1) if allow_exact else (2, 1)
 
     t = turns
-    s = state.select(by, on, *state_cols)
+    # NULL join keys never match (SQL equi-join / pd.merge_asof
+    # semantics): drop NULL-key state rows up front so BOTH modes agree
+    # — without this the window mode's partitionBy groups NULL keys
+    # together and forward-fills state onto NULL-key turns, while the
+    # merge mode's pandas groupby drops NaN keys and leaves them NULL.
+    # NULL-key TURN rows pass through with NULL state columns.
+    s = state.select(by, on, *state_cols).where(F.col(by).isNotNull())
     for c in state_cols:
         t = t.withColumn(c, F.lit(None).cast(s.schema[c].dataType))
     for c in turn_cols:

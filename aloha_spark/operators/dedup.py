@@ -65,6 +65,22 @@ def release_intermediates(result: DataFrame) -> int:
 # ---------------------------------------------------------------------------
 # exact dedup
 
+def _hamming_ball_masks(bits: int, radius: int) -> list:
+    """XOR masks for every non-zero bit pattern of weight <= radius —
+    the probe set for 'code within Hamming <= radius' LSH multi-probe.
+    (Previously only weight-1 masks were generated, silently treating
+    any radius >= 2 as 1.)"""
+    import itertools
+    masks = []
+    for h in range(1, radius + 1):
+        for combo in itertools.combinations(range(bits), h):
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def content_digest(cols: Sequence[str]) -> "F.Column":
     """16-byte md5 content digest, NULL-sentinel encoded.  NULLs encode
     distinctly (concat_ws silently DROPS null columns, which would merge
@@ -220,14 +236,22 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                .agg(F.collect_list("id").alias("ids"))
                .where((F.size("ids") > 1)
                       & (F.size("ids") <= max_bucket_size)))
-    ids = F.array_sort("ids")
-    pair_structs = F.filter(
-        F.flatten(F.transform(
-            ids, lambda x: F.transform(
-                ids, lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))))),
-        lambda p: p["id_a"] < p["id_b"])
-    pairs = (buckets.select(F.explode(pair_structs).alias("p"))
-             .select(F.col("p.id_a"), F.col("p.id_b"))
+    # upper triangle only, streamed: explode the anchor index first so
+    # no row ever holds more than O(n) ids (the nested-transform form
+    # materialized the full n^2 pair array in ONE row before filtering —
+    # ~1M structs at the default cap, tens of MB per near-cap bucket).
+    # array_sort orders ids ascending, so every id in the sliced tail
+    # already satisfies id_a < id_b.
+    arr = F.array_sort("ids")
+    anchored = (buckets
+                .select(arr.alias("arr"))
+                .select("arr",
+                        F.explode(F.sequence(
+                            F.lit(0), F.size("arr") - 2)).alias("i"))
+                .select(F.element_at("arr", F.col("i") + 1).alias("id_a"),
+                        F.slice("arr", F.col("i") + 2,
+                                F.size("arr")).alias("rest")))
+    pairs = (anchored.select("id_a", F.explode("rest").alias("id_b"))
              .distinct())
     return pairs
 
@@ -418,11 +442,17 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
              .bitwiseAND(F.lit(0xFFFF)).alias("blk"))
         for i in range(4)
     ])
+    # persisted: consumed by the sizes agg, the ex2 join probe, and
+    # (through ex2) the small/big branches and anchors — without a
+    # materialization point every consumer re-evaluates the upstream
+    # simhash pandas-UDF subtree over the full corpus (the same measured
+    # failure mode minhash_dedup_pairs fixes by persisting candidates)
     exploded = (df.select(F.col(id_col).alias("id"),
                           F.col(simhash_col).alias("sh"),
                           F.explode(bands).alias("b"))
                   .select("id", "sh", F.col("b.band").alias("band"),
-                          F.col("b.blk").alias("blk")))
+                          F.col("b.blk").alias("blk"))
+                  .persist())
     sizes = exploded.groupBy("band", "blk").agg(F.count("*").alias("n"))
     ex2 = exploded.join(sizes, ["band", "blk"])
 
@@ -463,9 +493,11 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     pairs = pairs_small.unionByName(pairs_big) \
         .dropDuplicates(["id_a", "id_b"])
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (pairs.withColumn("hamming", hamming)
-                 .where(F.col("hamming") <= max_hamming)
-                 .select("id_a", "id_b", "hamming"))
+    return _track_intermediates(
+        (pairs.withColumn("hamming", hamming)
+              .where(F.col("hamming") <= max_hamming)
+              .select("id_a", "id_b", "hamming")),
+        exploded)
 
 
 # ---------------------------------------------------------------------------
@@ -541,11 +573,14 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     # AFTER the candidate pairs are deduped, from the persisted coded
     # table.
     tbl = coded.select("id", F.posexplode("codes").alias("tbl", "code"))
-    # multi-probe: also join on the code with one bit flipped
-    probes = [F.col("code")]
-    if probe_hamming >= 1:
-        probes += [F.col("code").bitwiseXOR(F.lit(1 << b))
-                   for b in range(planes)]
+    # multi-probe: also join on every code within Hamming distance
+    # <= probe_hamming (all k-bit flips for k = 1..probe_hamming; probe
+    # count is sum C(planes, k) — linear in planes at the default 1,
+    # quadratic at 2 — and the explode replicates int keys only, never
+    # the vectors)
+    probes = [F.col("code")] + [
+        F.col("code").bitwiseXOR(F.lit(m))
+        for m in _hamming_ball_masks(planes, probe_hamming)]
     exploded = tbl.select(
         "id", "tbl",
         F.explode(F.array(*[p.alias("p") for p in probes])).alias("probe"))

@@ -162,9 +162,10 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                       code_udf(F.col(c_vec)).alias("code"))
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"),
                        code_udf(F.col(q_vec)).alias("qcode"))
-    probes = [F.col("qcode")]
-    if probe_hamming >= 1:
-        probes += [F.col("qcode").bitwiseXOR(F.lit(1 << b)) for b in range(planes)]
+    from .dedup import _hamming_ball_masks
+    probes = [F.col("qcode")] + [
+        F.col("qcode").bitwiseXOR(F.lit(m))
+        for m in _hamming_ball_masks(planes, probe_hamming)]
     qx = q.select("query_id", "qv",
                   F.explode(F.array(*probes)).alias("probe"))
     cands = (c.join(F.broadcast(qx), F.col("code") == F.col("probe"))

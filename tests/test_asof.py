@@ -51,6 +51,27 @@ def small(spark):
 
 class TestAsofJoin:
     @pytest.mark.parametrize("mode", ["window", "merge"])
+    def test_null_keys_never_match(self, spark, mode):
+        """NULL join keys follow SQL equi-join / pd.merge_asof
+        semantics in BOTH modes: NULL-key state rows match nothing and
+        NULL-key turns keep NULL state (the window mode's partitionBy
+        would otherwise group NULLs together and forward-fill)."""
+        turns = spark.createDataFrame(
+            [("a", 0, 100.0), (None, 0, 100.0), (None, 1, 200.0)],
+            "conv_id string, turn_idx long, ts double")
+        state = spark.createDataFrame(
+            [("a", 50.0, 1.5), (None, 50.0, 9.9)],
+            "conv_id string, ts double, state_score double")
+        got = _collect_sorted(
+            asof_join(turns, state, state_cols=["state_score"], mode=mode))
+        by_key = {(r["conv_id"] if pd.notna(r["conv_id"]) else None,
+                   r["turn_idx"]):
+                  r["state_score"] for _, r in got.iterrows()}
+        assert by_key[("a", 0)] == 1.5
+        assert pd.isna(by_key[(None, 0)])
+        assert pd.isna(by_key[(None, 1)])
+
+    @pytest.mark.parametrize("mode", ["window", "merge"])
     def test_matches_pandas_merge_asof(self, spark, small, mode):
         turns, state, tp, sp = small
         got = _collect_sorted(

@@ -185,6 +185,35 @@ class TestTextStats:
         assert out["quality_score"].between(0, 1).all()
         assert set(out["lang_guess"]) <= {"en", "de", "es", "und"}
 
+    def test_hamming_ball_masks(self):
+        from aloha_spark.operators.dedup import _hamming_ball_masks
+        m1 = _hamming_ball_masks(8, 1)
+        assert sorted(m1) == [1 << b for b in range(8)]
+        m2 = _hamming_ball_masks(8, 2)
+        assert len(m2) == 8 + 28 and len(set(m2)) == len(m2)
+        assert all(bin(m).count("1") <= 2 for m in m2)
+
+    def test_probe_hamming_2_recall_not_below_1(self, spark):
+        """radius-2 probes must be a superset of radius-1's candidates
+        (the old code silently generated only 1-bit flips for any
+        radius)."""
+        import numpy as np
+        from aloha_spark.operators.dedup import embedding_neardup_pairs
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((12, 16))
+        rows = []
+        for i in range(12):
+            rows.append((2 * i, base[i].tolist()))
+            rows.append((2 * i + 1,
+                         (base[i] + rng.standard_normal(16) * 0.05).tolist()))
+        d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        kw = dict(threshold=0.9, planes=8, n_tables=2, seed=7)
+        p1 = {(r.id_a, r.id_b) for r in
+              embedding_neardup_pairs(d, probe_hamming=1, **kw).collect()}
+        p2 = {(r.id_a, r.id_b) for r in
+              embedding_neardup_pairs(d, probe_hamming=2, **kw).collect()}
+        assert p1 <= p2
+
     def test_quality_null_text_is_null(self, spark):
         """NULL text -> NULL score (a non-NULL score would let empty
         documents pass a >= threshold curation gate)."""
