@@ -34,9 +34,12 @@ def ind_batch(values: pd.Series) -> list:
     for i, v in enumerate(vals):
         if _is_missing(v):
             continue
-        if isinstance(v, (list, tuple, np.ndarray)):
-            out[i] = {f"={_ind_value_str(e)}": 1.0
-                      for e in v if not _is_missing(e)}
+        if isinstance(v, (list, tuple, set, frozenset, np.ndarray)):
+            elems = [e for e in v if not _is_missing(e)]
+            if isinstance(v, (set, frozenset)):
+                # deterministic expansion order (scalars.ind parity)
+                elems.sort(key=_ind_value_str)
+            out[i] = {f"={_ind_value_str(e)}": 1.0 for e in elems}
         else:
             out[i] = {f"={_ind_value_str(v)}": 1.0}
     return out
@@ -93,10 +96,13 @@ def sos2_batch(values: pd.Series, vmin: int, vmax: int, delta: int,
             out[i] = {f"={underflow}": 1.0}
             continue
         f = frac[i]
-        if f == 0.0:
+        one_minus = 1.0 - f
+        # dict-tier gate (scalars._sos2_pairs): single entry iff
+        # one_minus == 1.0 (covers frac == 0 AND frac < ~2^-53)
+        if one_minus == 1.0:
             out[i] = {f"={int(lo_name[i])}": 1.0}
         else:
-            out[i] = {f"={int(lo_name[i])}": 1.0 - f,
+            out[i] = {f"={int(lo_name[i])}": one_minus,
                       f"={int(hi_name[i])}": f}
     return out
 
@@ -482,13 +488,11 @@ def gramgrams_flat(cache: TokenCache, col: str, name: str, hash_fn,
 
 
 def _ind_value_str(v) -> str:
-    """Mirror of ind_batch's value rendering (Scala toString parity)."""
-    from .formatting import java_double_to_string
-    if isinstance(v, (bool, np.bool_)):
-        return "true" if v else "false"
-    if isinstance(v, (float, np.floating)):
-        return java_double_to_string(float(v))
-    return str(v)
+    """Scala toString parity rendering — ONE implementation
+    (scalars._render); a second copy here had already started to drift
+    risk between the scalar and batch/flat tiers."""
+    from .scalars import _render
+    return _render(v)
 
 
 def ind_flat(cache: TokenCache, col: str, name: str, hash_fn):
@@ -501,7 +505,7 @@ def ind_flat(cache: TokenCache, col: str, name: str, hash_fn):
     duplicate elements collapse to one entry (dict-tier set semantics)."""
     s = cache.pdf[col]
     vals_list = s.tolist()
-    listy = any(isinstance(v, (list, tuple, np.ndarray))
+    listy = any(isinstance(v, (list, tuple, set, frozenset, np.ndarray))
                 for v in vals_list if v is not None)
     if not listy:
         try:
@@ -517,11 +521,12 @@ def ind_flat(cache: TokenCache, col: str, name: str, hash_fn):
             if _is_missing(v):
                 isna[i] = True
                 continue
-            if isinstance(v, (list, tuple, np.ndarray)):
+            if isinstance(v, (list, tuple, set, frozenset, np.ndarray)):
+                elems = [e for e in v if not _is_missing(e)]
+                if isinstance(v, (set, frozenset)):
+                    elems.sort(key=_ind_value_str)
                 seen = set()
-                for e in v:
-                    if _is_missing(e):
-                        continue
+                for e in elems:
                     k = f"{name}={_ind_value_str(e)}"
                     if k not in seen:
                         seen.add(k)
@@ -601,13 +606,18 @@ def sos2_flat(cache: TokenCache, col: str, name: str, hash_fn,
     extra = hash_fn([f"{name}={underflow}"])[0] if underflow is not None \
         else None
 
+    # single-entry gate must be the dict tier's: one_minus == 1.0, NOT
+    # frac == 0.0 — for 0 < frac < ~2^-53, 1-frac rounds to exactly 1.0
+    # and the dict tier (scalars._sos2_pairs) emits ONE entry, while a
+    # frac-based gate would emit a spurious denormal hi entry
+    one_minus = 1.0 - frac
     normal = ~isnan & ~under
     # lo entry for every normal row
     rows_lo = np.nonzero(normal)[0]
     idx_lo = bin_table[b[normal]]
-    vals_lo = np.where(frac[normal] == 0.0, 1.0, 1.0 - frac[normal])
+    vals_lo = one_minus[normal]
     # hi entry when interpolating
-    hi_m = normal & (frac > 0.0)
+    hi_m = normal & (one_minus != 1.0)
     rows_hi = np.nonzero(hi_m)[0]
     idx_hi = bin_table[b[hi_m] + 1]
     vals_hi = frac[hi_m]

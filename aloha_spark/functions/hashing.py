@@ -115,10 +115,42 @@ def string_hash_array(strings: Sequence[str], seed: int = STRING_SEED) -> np.nda
     return _string_hash_uncached(strings, seed)
 
 
+#: pad-matrix element budget for one hashing block (uint32 elements;
+#: 1<<26 = 256 MB).  The matrix pads every row to the batch's LONGEST
+#: string, so one multi-MB unbroken token (base64 blob, minified JS —
+#: routine in corpus curation) times a large unique-token table would
+#: otherwise allocate n_uniques x max_len x 4 bytes in one shot.
+_PAD_BUDGET = 1 << 26
+
+
 def _string_hash_uncached(strings: Sequence[str], seed: int) -> np.ndarray:
     n = len(strings)
     if n == 0:
         return np.empty(0, dtype=np.int32)
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    # fast path (virtually always): the whole batch fits one pad matrix.
+    # (len(s) undercounts surrogate pairs by at most 2x — the budget is
+    # an order-of-magnitude guard, not an exact accountant.)
+    if n * int(lens.max()) * 2 <= _PAD_BUDGET:
+        return _hash_block(strings, seed)
+    # length-bucketed: hash in ascending-length blocks, each within
+    # budget, so no block pads short strings to a pathological max
+    order = np.argsort(lens, kind="stable")
+    out = np.empty(n, dtype=np.int32)
+    start = 0
+    while start < n:
+        end = start + 1
+        while end < n and \
+                (end - start + 1) * int(lens[order[end]]) * 2 <= _PAD_BUDGET:
+            end += 1
+        idxs = order[start:end]
+        out[idxs] = _hash_block([strings[i] for i in idxs], seed)
+        start = end
+    return out
+
+
+def _hash_block(strings: Sequence[str], seed: int) -> np.ndarray:
+    n = len(strings)
     chars, lens = _utf16_matrix(strings)
     max_len = chars.shape[1]
     h = np.full(n, np.uint32(seed & 0xFFFFFFFF), dtype=np.uint32)

@@ -36,9 +36,16 @@ def ind(value) -> dict[str, float]:
     if value is None:
         return dict(UNK_BAG)
     if isinstance(value, (list, tuple, set, np.ndarray)):
-        return {f"={_render(v)}": 1.0 for v in value
-                if not (v is None or (isinstance(v, (float, np.floating))
-                                      and v != v))}
+        items = [v for v in value
+                 if not (v is None or (isinstance(v, (float, np.floating))
+                                       and v != v))]
+        if isinstance(value, (set, frozenset)):
+            # sets have no stable iteration order across processes /
+            # hash seeds; sort by rendered key so the emitted entry
+            # order (which reaches VW lines) is deterministic and
+            # matches the batch/flat tiers
+            items.sort(key=_render)
+        return {f"={_render(v)}": 1.0 for v in items}
     return {f"={_render(value)}": 1.0}
 
 
@@ -142,12 +149,6 @@ def densify_fn(domain: Iterable, fn, when_missing) -> list:
 
 # Interval predicates (Comparisons.scala:14-47). Null-propagating: any
 # None operand -> None (matches OptionMath / SQL NULL semantics).
-def _cmp(lhs, rhs, fn):
-    if lhs is None or rhs is None:
-        return None
-    return fn(lhs, rhs)
-
-
 def gt_lt(x, lb, ub):
     return None if None in (x, lb, ub) else (lb < x) and (x < ub)
 

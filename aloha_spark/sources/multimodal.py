@@ -117,7 +117,15 @@ def extract_media_features(df: DataFrame, fake: bool = True,
                            decoder=None) -> DataFrame:
     """Feature-extract stage: mapInPandas over (payload, metadata) ->
     per-item numeric features.  Runs the decoder batch-wise; pass
-    ``decoder`` to plug a real codec through the seam."""
+    ``decoder`` to plug a real codec through the seam.
+
+    ``mean_intensity`` is an IMAGE feature: the image decoder runs only
+    on ``kind == 'image'`` rows and audio/video rows carry NULL — a real
+    codec plugged through the seam would otherwise crash on the first
+    non-image payload (and in fake mode the number was meaningless).
+    Byte-level stats (n_bytes, crc) and metadata aspect apply to every
+    kind.  Video frame features live in :func:`extract_frame_features`.
+    """
     schema = ("media_id long, kind string, n_bytes long, crc long, "
               "mean_intensity double, aspect double")
 
@@ -126,12 +134,15 @@ def extract_media_features(df: DataFrame, fake: bool = True,
             if pdf.empty:
                 continue
             n_bytes, crcs, means = [], [], []
-            for p in pdf["payload"]:
+            for p, kind in zip(pdf["payload"], pdf["kind"]):
                 b = bytes(p) if p is not None else b""
                 n_bytes.append(len(b))
                 crcs.append(zlib.crc32(b))
-                img = decode_image(b, fake=fake, decoder=decoder)
-                means.append(float(img.mean()))
+                if kind == "image":
+                    img = decode_image(b, fake=fake, decoder=decoder)
+                    means.append(float(img.mean()))
+                else:
+                    means.append(None)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],

@@ -137,6 +137,14 @@ def parse_message(buf: bytes, schema: ProtoSchema) -> dict:
                    else struct.unpack("<q", chunk)[0])
         elif wire == 2:
             ln, i = _read_varint(buf, i)
+            if i + ln > n:
+                # a declared length past the buffer is corruption; a
+                # silent short slice would decode a TRUNCATED string/
+                # bytes/message with no proto_error, while the fixed
+                # wire types already raise on the same damage
+                raise ValueError(
+                    f"length-delimited field {fnum} declares {ln} bytes "
+                    f"with only {n - i} remaining")
             chunk = buf[i:i + ln]
             i += ln
             if f is None:

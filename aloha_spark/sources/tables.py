@@ -138,7 +138,15 @@ def read_aloha_csv(spark: SparkSession, path: str,
                         F.when(x == missing, None).otherwise(x),
                         strict_enums))
             else:
-                cast = F.transform(items, lambda x: x.cast(t))
+                # per-element missing-marker -> NULL, same as the enum
+                # branch (CsvLineImpl.scala:78 maps each element through
+                # the missing handler before conversion); without it an
+                # empty element in a string vector stays '' instead of
+                # NULL, and a numeric cast of '' aborts under ANSI
+                cast = F.transform(
+                    items,
+                    lambda x: F.when(x == missing, None)
+                               .otherwise(x).cast(t))
             col = F.when(col.isNull(), None).otherwise(cast)
         elif enum is not None:
             col = enum.decode(col, strict_enums)

@@ -40,16 +40,26 @@ def streaming_feature_vectors(
     keep = keep_cols or ["conv_id", "turn_idx", "session_id"]
     feats = streaming_turn_features(stream, gap_seconds=gap_seconds)
 
-    def start(sink_fn: Callable, **writer_kwargs):
+    def start(sink_fn: Callable,
+              checkpoint: Optional[str] = None,
+              query_name: Optional[str] = None,
+              trigger: Optional[dict] = None):
+        """Start the foreachBatch query.  ``checkpoint`` is the
+        checkpointLocation (REQUIRED for restartable production runs —
+        without it every restart reprocesses the source); ``trigger``
+        is the DataStreamWriter.trigger kwargs (default
+        availableNow=True)."""
         def process(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
             sink_fn(pipe.to_sparse_vectors(batch_df, keep_cols=keep),
                     batch_id)
 
-        return (feats.writeStream.foreachBatch(process)
-                .outputMode("append")
-                .trigger(**(writer_kwargs or {"availableNow": True}))
-                .start())
+        w = feats.writeStream.foreachBatch(process).outputMode("append")
+        if checkpoint is not None:
+            w = w.option("checkpointLocation", checkpoint)
+        if query_name is not None:
+            w = w.queryName(query_name)
+        return w.trigger(**(trigger or {"availableNow": True})).start()
 
     return start, pipe

@@ -129,39 +129,38 @@ def _make_update_fn(gap_seconds: float,
             return
         whole = (chunks[0] if len(chunks) == 1
                  else pd.concat(chunks, ignore_index=True))
-        for pdf in (whole,):
-            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
-            # normalize to ns regardless of the Arrow batch's unit
-            ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
-            out_dt, out_tool, out_sid = [], [], []
-            for t_ns, tool in zip(ts_ns.tolist(), pdf["tool"].tolist()):
-                if last_ts_ns is None:
-                    dt = None
-                else:
-                    dt = (t_ns - last_ts_ns) / 1e9
-                    if t_ns - last_ts_ns > gap_ns:
-                        session_id += 1
-                if tool is not None and tool == tool:  # non-null, non-NaN
-                    last_tool = tool
-                last_ts_ns = t_ns
-                out_dt.append(dt)
-                out_tool.append(last_tool)
-                out_sid.append(session_id)
-            yield pd.DataFrame({
-                "conv_id": conv_id,
-                "turn_idx": pdf["turn_idx"].astype("int64"),
-                "role": pdf["role"],
-                "text": pdf["text"],
-                "tool": pdf["tool"],
-                # fractional seconds kept (trimmed) so sub-second rows
-                # byte-match the batch recompute; '.' guards the seconds
-                # digits from the zero-strip
-                "ts": (pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
-                       .str.rstrip("0").str.rstrip(".")),
-                "dt_prev_sec": out_dt,
-                "last_tool": out_tool,
-                "session_id": out_sid,
-            })
+        pdf = whole.sort_values(["ts", "turn_idx"], kind="mergesort")
+        # normalize to ns regardless of the Arrow batch's unit
+        ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
+        out_dt, out_tool, out_sid = [], [], []
+        for t_ns, tool in zip(ts_ns.tolist(), pdf["tool"].tolist()):
+            if last_ts_ns is None:
+                dt = None
+            else:
+                dt = (t_ns - last_ts_ns) / 1e9
+                if t_ns - last_ts_ns > gap_ns:
+                    session_id += 1
+            if tool is not None and tool == tool:  # non-null, non-NaN
+                last_tool = tool
+            last_ts_ns = t_ns
+            out_dt.append(dt)
+            out_tool.append(last_tool)
+            out_sid.append(session_id)
+        yield pd.DataFrame({
+            "conv_id": conv_id,
+            "turn_idx": pdf["turn_idx"].astype("int64"),
+            "role": pdf["role"],
+            "text": pdf["text"],
+            "tool": pdf["tool"],
+            # fractional seconds kept (trimmed) so sub-second rows
+            # byte-match the batch recompute; '.' guards the seconds
+            # digits from the zero-strip
+            "ts": (pdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+                   .str.rstrip("0").str.rstrip(".")),
+            "dt_prev_sec": out_dt,
+            "last_tool": out_tool,
+            "session_id": out_sid,
+        })
         # within-batch rows are sorted, so last_ts_ns is this batch's
         # max; the all-time max only ever ratchets up
         if last_ts_ns is not None:

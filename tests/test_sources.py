@@ -39,7 +39,13 @@ def test_multimodal_stub_and_plumbing(spark, sf_dir):
     feats = extract_media_features(media, fake=True).toPandas()
     assert len(feats) == 20
     assert (feats["n_bytes"] > 0).all()
-    assert feats["mean_intensity"].between(0, 255).all()
+    # mean_intensity is an image feature: decoded for images, NULL for
+    # audio/video (the image decoder must never run on those payloads)
+    img = feats[feats["kind"] == "image"]
+    assert len(img) > 0
+    assert img["mean_intensity"].between(0, 255).all()
+    assert feats.loc[feats["kind"] != "image", "mean_intensity"] \
+        .isna().all()
     # real decode is stubbed
     with pytest.raises(NotImplementedError):
         decode_image(b"bytes", fake=False)
