@@ -1194,6 +1194,64 @@ def q_doc_curate(spark, sf_dir):
             .select("doc_id", "text", "n_redactions", "quality_score"))
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic content-hash train/val/test split (98/1/1) — the
+    md5-bucket assignment is replayed verbatim in the oracle SQL, so a
+    green hash certifies engine-independent split membership."""
+    from aloha_spark.operators.corpus import deterministic_split
+
+    return deterministic_split(_docs(spark, sf_dir), "doc_id") \
+        .select("doc_id", "split")
+
+
+def q_strat_sample(spark, sf_dir):
+    """Deterministic stratified sampling: 40% of sources src0-src3,
+    10% of everything else, reproducible row-for-row."""
+    from aloha_spark.operators.corpus import stratified_sample
+
+    frac = {f"src{i}": 0.4 for i in range(4)}
+    return stratified_sample(_docs(spark, sf_dir), "source", frac,
+                             default_fraction=0.1) \
+        .select("doc_id", "source")
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination: trigram overlap of every document
+    against a benchmark set (every 20th doc), broadcast-probed."""
+    from aloha_spark.operators.corpus import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return decontaminate(docs, bench, n=3, threshold=0.2).select(
+        "doc_id", "total_grams", "hit_grams", "contam_frac", "contaminated")
+
+
+def q_top_tokens(spark, sf_dir):
+    """Corpus vocabulary top-50 by token count, deterministic
+    tie-break (count desc, token asc)."""
+    from aloha_spark.operators.corpus import top_tokens
+
+    return top_tokens(_docs(spark, sf_dir), "text", k=50)
+
+
+def q_pack_stats(spark, sf_dir):
+    """Sequence packing (BFD, budget 256 tokens, 8 partitions) rolled
+    up per pack.  Rows-only: pack membership depends on Spark's hash
+    partitioning; the budget/coverage invariants are pytest-gated
+    (tests/test_corpus.py)."""
+    from aloha_spark.operators.corpus import pack_sequences
+    from aloha_spark.operators.textstats import with_token_stats
+
+    d = with_token_stats(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("token_count").cast("long").alias("n_tokens"))
+    packed = pack_sequences(d, budget=256, num_partitions=8)
+    return (packed.groupBy("pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("tokens_total"),
+                 F.max("oversized").alias("has_oversized"))
+            .orderBy("pack_id"))
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1258,7 +1316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text features (§2.3)
         "doc_tokens": q_doc_tokens,
         "doc_bigrams": q_doc_bigrams,
-        "doc_skipgrams": q_doc_skipgrams,
+        # decontamination is the corpus family's only oracle row — keep
+        # it inside the driver's 50-query window; doc_skipgrams (flat
+        # A/B-gated + golden-pinned + selfcheck) moves past the cap
+        "decontam": q_decontam,
         "csv_lines": q_csv_lines,
         "doc_stats": q_doc_stats,
         "lang_guess": q_lang_guess,
@@ -1306,6 +1367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_tool_count": q_rolling_tool_count,
         "doc_curate": q_doc_curate,
         "pricing_summary": q_pricing_summary,
+        "doc_skipgrams": q_doc_skipgrams,
+        "split_assign": q_split_assign,
+        "strat_sample": q_strat_sample,
+        "top_tokens": q_top_tokens,
         # rows-only (hash parity / formats / approx)
         "feature_vectors": q_feature_vectors,
         "vw_lines": q_vw_lines,
@@ -1315,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "media_features": q_media_features,
+        "pack_stats": q_pack_stats,
     }
 
 
@@ -1998,6 +2064,53 @@ WITH pairs AS (
   FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
 SELECT id_a, id_b, ROUND(c, 6) AS cosine
 FROM pairs WHERE c >= 0.35""",
+        "split_assign": """
+SELECT doc_id,
+       CASE WHEN b < 9800 THEN 'train'
+            WHEN b < 9900 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 10000 AS b
+      FROM documents) t""",
+        "strat_sample": """
+SELECT doc_id, source
+FROM (SELECT doc_id, source,
+             ('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT % 10000 AS b
+      FROM documents) t
+WHERE b < CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+              THEN 4000 ELSE 1000 END""",
+        "decontam": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(range(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS gram
+  FROM toks),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+agg AS (
+  SELECT g.doc_id, COUNT(*) AS total,
+         SUM(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS hits
+  FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+  GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.total, 0) AS BIGINT) AS total_grams,
+       CAST(COALESCE(a.hits, 0) AS BIGINT) AS hit_grams,
+       COALESCE(CAST(a.hits AS DOUBLE) / a.total, 0.0) AS contam_frac,
+       COALESCE(CAST(a.hits AS DOUBLE) / a.total, 0.0) >= 0.2
+           AS contaminated
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+        "top_tokens": """
+WITH toks AS (
+  SELECT string_split_regex(TRIM(text), '\\s+') AS ts FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT UNNEST(ts) AS token FROM toks) t
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 50""",
     }
 
 

@@ -1,0 +1,280 @@
+"""Corpus-level dataset operations for training-data pipelines:
+deterministic splits, stratified sampling, benchmark decontamination,
+sequence packing, vocabulary extraction.
+
+These are the dataset-side companions to the dedup/textstats family:
+the steps between "curated documents" and "training shards".
+
+Spark-first design notes (the 100 TB story):
+* split / sample assignment is a pure function of row content
+  (md5-derived bucket, no RNG, no ``randomSplit``): zero shuffle, zero
+  state, and re-running on a grown corpus never reassigns an existing
+  row — the property eval-set stability depends on.  The same bucket
+  is computable in any engine (one line of ANSI-ish SQL), so split
+  membership is auditable outside Spark.
+* decontamination broadcasts the benchmark's distinct n-gram set (eval
+  suites are MBs against a 100 TB corpus); the corpus is scanned once,
+  each document's distinct n-grams probe the broadcast relation
+  map-side, and per-doc counts partially aggregate before the single
+  doc_id-keyed shuffle (~1 row per document after map-side combine).
+* sequence packing is partition-local best-fit-decreasing: exact bin
+  packing is NP-hard and a global packer would serialize the corpus;
+  per-partition BFD is embarrassingly parallel, deterministic given
+  the partitioning, and each partition's result is independently
+  resumable.  The per-partition greedy loop is the one intentionally
+  sequential piece (O(n log n) over int64 arrays inside an Arrow
+  batch) — packing order is inherently a scan.
+* vocabulary top-k is a partial-aggregated count followed by Spark's
+  TakeOrderedAndProject — no global sort materialization.
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Iterator, Mapping, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .textstats import tokens_col
+
+# bucket resolution for hash-derived assignment: weights are exact to
+# 1/N_BUCKETS (0.01%), plenty for split/sampling rates
+N_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, salt: str = "",
+                n_buckets: int = N_BUCKETS) -> Column:
+    """Deterministic content-derived bucket in ``[0, n_buckets)``.
+
+    ``md5(salt || value)`` -> first 15 hex digits (60 bits, sign-safe in
+    int64) -> ``mod n_buckets``.  The identical expression exists in
+    other engines (DuckDB/Postgres: ``('0x' || substr(md5(s), 1, 15))
+    ::BIGINT % n``), so assignments can be audited off-cluster.
+    NULL value -> NULL bucket.
+    """
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % n_buckets
+
+
+def deterministic_split(df: DataFrame, id_col: str = "doc_id",
+                        weights: Sequence[Tuple[str, float]] = (
+                            ("train", 0.98), ("val", 0.01), ("test", 0.01)),
+                        salt: str = "split",
+                        out_col: str = "split") -> DataFrame:
+    """Stable train/val/test assignment by content hash of the id.
+
+    No RNG and no ``randomSplit()``: assignment depends only on
+    (salt, id), so re-running after the corpus grows keeps every
+    previously assigned row in its split — required for eval-set
+    stability and decontamination audits across corpus refreshes.
+    Thresholds are cumulative integer bucket counts (weights normalized,
+    exact to 1/N_BUCKETS).  NULL id -> NULL split.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(w for _, w in weights))
+    if total <= 0 or any(w < 0 for _, w in weights):
+        raise ValueError(f"weights must be >= 0 with a positive sum: "
+                         f"{list(weights)}")
+    b = hash_bucket(F.col(id_col), salt=salt)
+    chain = None
+    acc = 0.0
+    for name, w in weights:
+        acc += w / total
+        hi = min(int(round(acc * N_BUCKETS)), N_BUCKETS)
+        cond = b < F.lit(hi)
+        chain = F.when(cond, name) if chain is None else chain.when(cond, name)
+    # no .otherwise(): every non-NULL bucket < N_BUCKETS matches the
+    # last arm, and a NULL bucket (NULL id) stays NULL
+    return df.withColumn(out_col, chain)
+
+
+def stratified_sample(df: DataFrame, strata_col: str = "source",
+                      fractions: Mapping[str, float] = None, *,
+                      default_fraction: float = 0.0,
+                      id_col: str = "doc_id",
+                      salt: str = "sample") -> DataFrame:
+    """Deterministic per-stratum sampling at exact target rates.
+
+    Keeps a row iff ``hash_bucket(id) < fraction(stratum) * N_BUCKETS``
+    — a pure filter (no shuffle, no sampling state), reproducible
+    row-for-row across runs and engines, unlike ``df.sampleBy`` whose
+    output depends on partitioning and seed plumbing.  Strata missing
+    from ``fractions`` use ``default_fraction``; NULL stratum uses
+    ``default_fraction``; NULL id rows are dropped (no stable identity
+    to sample on).
+    """
+    fractions = dict(fractions or {})
+    for k, v in list(fractions.items()) + [("default", default_fraction)]:
+        if not (0.0 <= v <= 1.0):
+            raise ValueError(f"fraction for {k!r} must be in [0, 1]: {v}")
+    b = hash_bucket(F.col(id_col), salt=salt)
+    thr = None
+    for k, v in fractions.items():
+        hi = F.lit(int(round(v * N_BUCKETS)))
+        cond = F.col(strata_col) == F.lit(k)
+        thr = F.when(cond, hi) if thr is None else thr.when(cond, hi)
+    default_hi = F.lit(int(round(default_fraction * N_BUCKETS)))
+    thr = default_hi if thr is None else thr.otherwise(default_hi)
+    return df.where(b < thr)
+
+
+def ngrams_col(text: str = "text", n: int = 3, sep: str = " ") -> Column:
+    """Whitespace-token n-grams as ``array<string>`` — pure JVM
+    (split / sequence / transform / slice / array_join), no Python.
+
+    Shorter-than-n documents yield an empty array (the ``when`` guard
+    matters: ``sequence(1, m)`` with m < 1 would count DOWN).  NULL
+    text -> NULL.
+    """
+    toks = tokens_col(text)
+    m = F.size(toks) - (n - 1)
+    return (F.when(toks.isNull(), F.lit(None).cast("array<string>"))
+             .when(m >= 1,
+                   F.transform(F.sequence(F.lit(1), m),
+                               lambda i: F.array_join(F.slice(toks, i, n),
+                                                      sep)))
+             .otherwise(F.array().cast("array<string>")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
+                  id_col: str = "doc_id", text: str = "text",
+                  bench_text: str = None, n: int = 8,
+                  threshold: float = 0.5, sep: str = " ") -> DataFrame:
+    """Train/test contamination guard: per-document n-gram overlap with
+    an evaluation benchmark.
+
+    Returns one row per input document: ``(id, total_grams, hit_grams,
+    contam_frac, contaminated)`` where ``contam_frac`` is the fraction
+    of the document's DISTINCT n-grams that appear anywhere in the
+    benchmark (the standard n-gram-overlap decontamination rule; n=8..13
+    word-grams in published pipelines).
+
+    Plan shape at 100 TB: the benchmark n-gram set is broadcast (eval
+    suites are tiny relative to the corpus), each document's distinct
+    n-grams probe it map-side, and counts partially aggregate before
+    the single doc_id-keyed shuffle.  Documents with no n-grams (shorter
+    than n tokens, or NULL text) report frac 0.0 / not contaminated.
+    """
+    bench_text = bench_text or text
+    bgrams = (benchmark
+              .select(F.explode(ngrams_col(bench_text, n, sep)).alias("gram"))
+              .distinct()
+              .withColumn("_hit", F.lit(1)))
+    grams = docs.select(
+        id_col,
+        F.explode_outer(F.array_distinct(ngrams_col(text, n, sep)))
+         .alias("gram"))
+    joined = grams.join(F.broadcast(bgrams), "gram", "left")
+    agg = (joined.groupBy(id_col)
+           .agg(F.count("gram").alias("total_grams"),
+                F.count("_hit").alias("hit_grams")))
+    frac = (F.when(F.col("total_grams") > 0,
+                   F.col("hit_grams") / F.col("total_grams"))
+             .otherwise(F.lit(0.0)))
+    return (agg
+            .withColumn("contam_frac", frac)
+            .withColumn("contaminated", F.col("contam_frac") >= threshold))
+
+
+def top_tokens(df: DataFrame, text: str = "text", k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k whitespace tokens by count.
+
+    Deterministic tie-break (count desc, token asc) so the boundary of
+    the top-k is stable across runs and engines.  Partial-aggregated
+    count + TakeOrderedAndProject — no global sort materialization.
+    """
+    return (df.select(F.explode(tokens_col(text)).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("token"))
+            .limit(k))
+
+
+def pack_sequences(df: DataFrame, *, id_col: str = "doc_id",
+                   count_col: str = "n_tokens", budget: int = 2048,
+                   num_partitions: int = None) -> DataFrame:
+    """Greedy best-fit-decreasing packing of documents into fixed
+    token-budget training sequences, partition-local.
+
+    Output: one row per input document — ``(id, n_tokens, pack_id,
+    pack_slot, oversized)``.  Every pack's token total is <= budget
+    except single oversized documents (count > budget), which get a
+    pack of their own with ``oversized = true`` (callers typically
+    truncate or re-chunk those upstream).  NULL or negative counts
+    raise — packing garbage silently would corrupt shard budgets.
+
+    Partition-local by design: global bin packing serializes; BFD per
+    partition parallelizes embarrassingly, is deterministic given the
+    partitioning (ties broken by id), and keeps each partition's packs
+    independently writable/resumable.  Per-partition utilization is
+    >= 50% of optimal in the worst case (classic BFD bound) and >90%
+    in practice when budget >> median doc length.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    if num_partitions:
+        df = df.repartition(num_partitions, id_col)
+    id_type = dict(df.dtypes)[id_col]
+    src = df.select(
+        F.col(id_col),
+        F.col(count_col).cast("long").alias("_cnt"),
+        F.spark_partition_id().alias("_pid"))
+    out_schema = (f"{id_col} {id_type}, n_tokens long, pack_id string, "
+                  f"pack_slot int, oversized boolean")
+    budget_ = int(budget)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        if pdf["_cnt"].isna().any() or (pdf["_cnt"] < 0).any():
+            bad = pdf.loc[pdf["_cnt"].isna() | (pdf["_cnt"] < 0), id_col]
+            raise ValueError(
+                f"pack_sequences: NULL/negative token counts for ids "
+                f"{bad.head(5).tolist()}")
+        pid = int(pdf["_pid"].iloc[0])
+        pdf = pdf.sort_values(["_cnt", id_col],
+                              ascending=[False, True], kind="mergesort")
+        cnts = pdf["_cnt"].to_numpy()
+        # best-fit-decreasing over a sorted list of (remaining, pack_idx):
+        # bisect for the tightest pack that still fits.  Capacities below
+        # the smallest document can never fit anything (counts scan in
+        # decreasing order), so they are never inserted — this keeps the
+        # open-pack list near-empty for realistic doc/budget ratios
+        # instead of O(total_tokens/budget).
+        min_cnt = int(cnts[-1])
+        caps: list = []          # sorted remaining capacities
+        cap_pack: list = []      # pack index parallel to caps
+        fill_slots: list = []    # next slot per pack
+        pack_idx = []
+        slot_idx = []
+        n_packs = 0
+        for c in cnts:
+            c = int(c)
+            i = bisect.bisect_left(caps, c)
+            if i < len(caps):
+                p = cap_pack.pop(i)
+                rem = caps.pop(i) - c
+            else:
+                p = n_packs
+                n_packs += 1
+                fill_slots.append(0)
+                rem = budget_ - c        # negative iff oversized singleton
+            pack_idx.append(p)
+            slot_idx.append(fill_slots[p])
+            fill_slots[p] += 1
+            if rem >= min_cnt:
+                j = bisect.bisect_left(caps, rem)
+                caps.insert(j, rem)
+                cap_pack.insert(j, p)
+        out = pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(),
+            "n_tokens": cnts,
+            "pack_id": [f"{pid:05d}-{p:06d}" for p in pack_idx],
+            "pack_slot": pd.array(slot_idx, dtype="int32"),
+            "oversized": cnts > budget_,
+        })
+        yield out
+
+    return src.mapInPandas(pack, schema=out_schema)

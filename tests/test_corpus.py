@@ -1,0 +1,199 @@
+"""Corpus dataset ops: deterministic split / stratified sample /
+decontamination / top-k vocabulary / sequence packing."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row, functions as F
+
+from aloha_spark.operators.corpus import (
+    N_BUCKETS, decontaminate, deterministic_split, hash_bucket, ngrams_col,
+    pack_sequences, stratified_sample, top_tokens)
+
+
+def _docs(spark, n=400):
+    return spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i % 4}",
+             text=" ".join(f"w{(i * 7 + j) % 50}" for j in range(12)))
+         for i in range(n)])
+
+
+# ---------------------------------------------------------------- split
+
+def test_split_covers_every_row_and_is_stable(spark):
+    df = _docs(spark)
+    out = deterministic_split(df, "doc_id",
+                              weights=(("train", 0.8), ("val", 0.1),
+                                       ("test", 0.1)))
+    pdf = out.select("doc_id", "split").toPandas()
+    assert pdf["split"].notna().all()
+    assert set(pdf["split"]) == {"train", "val", "test"}
+    # proportions in the right ballpark at n=400
+    frac = (pdf["split"] == "train").mean()
+    assert 0.7 < frac < 0.9
+    # subset invariance: assignment is per-id, not per-dataset
+    half = deterministic_split(df.where(F.col("doc_id") < 200), "doc_id",
+                               weights=(("train", 0.8), ("val", 0.1),
+                                        ("test", 0.1)))
+    merged = pdf.merge(half.select("doc_id", "split").toPandas(),
+                       on="doc_id", suffixes=("", "_half"))
+    assert (merged["split"] == merged["split_half"]).all()
+
+
+def test_split_null_id_stays_null_and_salt_changes_assignment(spark):
+    df = spark.createDataFrame([Row(doc_id=None), Row(doc_id=7)],
+                               "doc_id int")
+    out = deterministic_split(df, "doc_id").toPandas()
+    assert out.loc[out["doc_id"].isna(), "split"].isna().all()
+    a = deterministic_split(_docs(spark), "doc_id", salt="a") \
+        .select("split").toPandas()["split"]
+    b = deterministic_split(_docs(spark), "doc_id", salt="b") \
+        .select("split").toPandas()["split"]
+    assert not (a == b).all()
+
+
+def test_split_rejects_bad_weights(spark):
+    with pytest.raises(ValueError):
+        deterministic_split(_docs(spark), weights=())
+    with pytest.raises(ValueError):
+        deterministic_split(_docs(spark), weights=(("a", -0.1), ("b", 1.1)))
+
+
+# --------------------------------------------------------------- sample
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = _docs(spark, 800)
+    out = stratified_sample(df, "source", {"s0": 1.0, "s1": 0.0},
+                            default_fraction=0.5)
+    pdf = out.toPandas()
+    per = pdf.groupby("source").size()
+    assert per.get("s0", 0) == 200          # fraction 1.0 keeps all
+    assert per.get("s1", 0) == 0            # fraction 0.0 drops all
+    assert 60 < per.get("s2", 0) < 140      # ~50% of 200
+    again = stratified_sample(df, "source", {"s0": 1.0, "s1": 0.0},
+                              default_fraction=0.5).toPandas()
+    assert sorted(again["doc_id"]) == sorted(pdf["doc_id"])
+
+
+def test_stratified_sample_null_stratum_uses_default(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=None) for i in range(100)],
+        "doc_id int, source string")
+    kept = stratified_sample(df, "source", {"x": 1.0},
+                             default_fraction=1.0).count()
+    assert kept == 100
+    none_kept = stratified_sample(df, "source", {"x": 1.0},
+                                  default_fraction=0.0).count()
+    assert none_kept == 0
+    with pytest.raises(ValueError):
+        stratified_sample(df, "source", {"x": 1.5})
+
+
+# --------------------------------------------------------------- ngrams
+
+def test_ngrams_col_basic_short_and_null(spark):
+    df = spark.createDataFrame(
+        [Row(text="a b c d"), Row(text="a b"), Row(text=None)])
+    out = df.select(ngrams_col("text", 3).alias("g")).toPandas()["g"]
+    assert list(out[0]) == ["a b c", "b c d"]
+    assert list(out[1]) == []
+    assert out[2] is None
+
+
+# -------------------------------------------------------------- decontam
+
+def test_decontaminate_exact_fracs(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e"),      # grams: abc bcd cde
+        Row(doc_id=2, text="a b c x y"),      # grams: abc bcx cxy -> 1/3
+        Row(doc_id=3, text="p q r s t"),      # no overlap
+        Row(doc_id=4, text="a b"),            # too short: 0 grams
+        Row(doc_id=5, text=None),             # NULL text: 0 grams
+    ])
+    bench = spark.createDataFrame([Row(text="a b c d e")])
+    out = decontaminate(docs, bench, n=3, threshold=0.5) \
+        .toPandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "contam_frac"] == 1.0 and out.loc[1, "contaminated"]
+    assert abs(out.loc[2, "contam_frac"] - 1 / 3) < 1e-12
+    assert not out.loc[2, "contaminated"]
+    assert out.loc[3, "contam_frac"] == 0.0
+    assert out.loc[4, "total_grams"] == 0 and out.loc[4, "contam_frac"] == 0.0
+    assert out.loc[5, "total_grams"] == 0 and not out.loc[5, "contaminated"]
+    assert len(out) == 5                      # every input doc has a row
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b a b a b")])
+    bench = spark.createDataFrame([Row(text="a b a")])
+    out = decontaminate(docs, bench, n=2, threshold=0.9).toPandas()
+    # doc grams: {a b, b a} (distinct), bench: {a b, b a} -> frac 1.0
+    assert out.loc[0, "total_grams"] == 2
+    assert out.loc[0, "hit_grams"] == 2
+
+
+# ------------------------------------------------------------ top tokens
+
+def test_top_tokens_counts_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [Row(text="b a"), Row(text="a b"), Row(text="c c z")])
+    out = top_tokens(df, "text", k=3).toPandas()
+    assert list(out["token"]) == ["a", "b", "c"]   # 2,2,2 -> token asc
+    assert list(out["cnt"]) == [2, 2, 2]
+
+
+# ---------------------------------------------------------------- packing
+
+def _pack_df(spark, counts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, n_tokens=c) for i, c in enumerate(counts)])
+
+
+def test_pack_exactly_once_and_budget(spark):
+    counts = [700, 600, 500, 400, 300, 200, 100, 50, 2100]
+    out = pack_sequences(_pack_df(spark, counts), budget=1000,
+                         num_partitions=1).toPandas()
+    assert sorted(out["doc_id"]) == list(range(len(counts)))   # exactly once
+    sums = out.groupby("pack_id")["n_tokens"].sum()
+    n_docs = out.groupby("pack_id").size()
+    for pid, s in sums.items():
+        assert s <= 1000 or n_docs[pid] == 1
+    big = out[out["doc_id"] == 8]
+    assert bool(big["oversized"].iloc[0]) and n_docs[big["pack_id"].iloc[0]] == 1
+    assert not out[out["doc_id"] != 8]["oversized"].any()
+    # BFD actually packs: 2850 non-oversized tokens / 1000 -> 3 packs
+    assert len(sums) == 4
+
+
+def test_pack_deterministic_and_partition_local(spark):
+    counts = [97 * (i % 17) + 3 for i in range(500)]   # max 1555 < budget
+    a = pack_sequences(_pack_df(spark, counts), budget=2048,
+                       num_partitions=4).toPandas()
+    b = pack_sequences(_pack_df(spark, counts), budget=2048,
+                       num_partitions=4).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True))
+    assert not a["oversized"].any()
+    sums = a.groupby("pack_id")["n_tokens"].sum()
+    assert (sums <= 2048).all()
+    # utilization sanity: far fewer packs than docs
+    assert len(sums) < len(counts) / 2
+
+
+def test_pack_rejects_null_and_negative_counts(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, n_tokens=None), Row(doc_id=2, n_tokens=10)],
+        "doc_id int, n_tokens int")
+    with pytest.raises(Exception, match="NULL/negative"):
+        pack_sequences(df, budget=100, num_partitions=1).count()
+
+
+def test_hash_bucket_matches_duckdb(spark):
+    import duckdb
+    ids = [f"id{i}" for i in range(50)]
+    df = spark.createDataFrame([Row(k=s) for s in ids])
+    got = dict(df.select("k", hash_bucket(F.col("k"), salt="z")
+                         .alias("b")).collect())
+    want = dict(duckdb.sql(
+        "SELECT k, ('0x' || substr(md5('z' || k), 1, 15))::BIGINT % "
+        f"{N_BUCKETS} FROM (SELECT UNNEST({ids!r}) AS k)").fetchall())
+    assert got == want

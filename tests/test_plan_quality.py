@@ -149,3 +149,39 @@ def test_first_order_regression_is_jvm_only(spark, sf_dir):
     # exactly one Python stage: the featurize mapInPandas; scoring adds none
     assert plan.count("MapInPandas") == 1
     assert n_python == 0
+
+
+def test_split_and_sample_are_shuffle_free(spark, sf_dir):
+    """Hash-bucket split/sample assignment is a pure projection/filter:
+    no exchange, no Python stage — free at any scale."""
+    from aloha_spark.operators.corpus import deterministic_split, \
+        stratified_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for q in (deterministic_split(docs, "doc_id"),
+              stratified_sample(docs, "source", {"src0": 0.4},
+                                default_fraction=0.1)):
+        plan = _plan(q, "simple")
+        assert "Exchange" not in plan, plan
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram set must broadcast (eval suites are tiny
+    against a 100 TB corpus): no sort-merge join, exactly one shuffle
+    (the doc_id-keyed partial-aggregated count)."""
+    from aloha_spark.operators.corpus import decontaminate
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    plan = _plan(decontaminate(docs, bench, n=3), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_tokens_takes_ordered_no_global_sort(spark, sf_dir):
+    """Vocabulary top-k must use TakeOrderedAndProject (partial top-k
+    per partition), not a full Sort of the vocabulary."""
+    from aloha_spark.operators.corpus import top_tokens
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(top_tokens(docs, "text", k=50), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
