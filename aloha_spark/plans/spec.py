@@ -253,8 +253,10 @@ def try_compile_flat(parsed: ParsedSpec):
 
     Returns ``(fn, src_col)`` where
     ``fn(cache, feature_name, hash_fn) -> (idx, vals, row_ids, isna)``,
-    or None when the spec doesn't fit (maxElements, n != 2, non-const
-    args, non-string default) — those run on the dict tiers instead.
+    or None when the spec doesn't fit (maxElements, non-const args,
+    non-string default) — those run on the dict tiers instead.  n == 2
+    grams use the packed-int64 pair kernel; any other n uses the
+    general tuple-unique kernel (gramgrams_flat).
     """
     from ..functions.batch import (
         bag_flat, csos2_flat, ind_flat, pairgrams_flat, sos2_flat)

@@ -154,6 +154,9 @@ BENCH_QUERIES = [
     # round 3: the full curation composition (quality -> lang -> scrub
     # -> exact dedup), all-JVM except nothing — zero Python workers
     "doc_curate",
+    # round 3: corpus family — broadcast-probe decontamination and
+    # vocabulary top-k (both all-JVM)
+    "decontam", "top_tokens",
 ]
 
 
