@@ -7,14 +7,25 @@ wants them):
     quality filter  ->  language filter  ->  PII scrub  ->
     exact dedup (content digest)  ->
     near-dup dedup (MinHash+LSH pairs -> connected components ->
-    keep canonical)  ->  bucketed write with per-bucket lineage
+    keep canonical)  ->  benchmark decontamination  ->
+    stratified sampling  ->  train/val/test split assignment  ->
+    bucketed write with per-bucket lineage
 
 Usage:
     spark-submit --py-files aloha_spark.zip jobs/curate.py \
         --docs <path> --out <path> --lineage <path> \
         [--min-quality 0.5] [--langs en,de] [--scrub-pii] \
         [--exact-dedup] [--neardup-threshold 0.7] \
-        [--num-hashes 64 --bands 16] [--num-buckets 256]
+        [--num-hashes 64 --bands 16] [--num-buckets 256] \
+        [--decontam-docs <path> --decontam-n 8 --decontam-threshold 0.5] \
+        [--sample-col source --sample-fracs src0=0.4 --sample-default 1] \
+        [--split train=0.98,val=0.01,test=0.01]
+
+Decontamination runs AFTER dedup (the deduped corpus is the cheapest
+frame to n-gram) and drops documents whose distinct n-gram overlap with
+the benchmark set meets the threshold.  Sampling and split assignment
+are hash-derived (operators/corpus.py): no RNG, stable row-for-row
+under corpus growth, auditable outside Spark.
 
 Resume is implicit: buckets already recorded in the lineage table are
 skipped on re-run.  The curated frame is persisted before the bucketed
@@ -61,6 +72,24 @@ def parse_args(argv):
     p.add_argument("--num-hashes", type=int, default=64)
     p.add_argument("--bands", type=int, default=16)
     p.add_argument("--shingle-n", type=int, default=3)
+    p.add_argument("--decontam-docs", default=None,
+                   help="benchmark table path: drop documents whose "
+                        "n-gram overlap with it meets the threshold")
+    p.add_argument("--decontam-n", type=int, default=8)
+    p.add_argument("--decontam-threshold", type=float, default=0.5)
+    p.add_argument("--decontam-text-col", default=None,
+                   help="benchmark text column (default: --text-col)")
+    p.add_argument("--sample-col", default=None,
+                   help="stratify sampling on this column")
+    p.add_argument("--sample-fracs", default=None,
+                   help="comma list stratum=fraction, e.g. src0=0.4")
+    p.add_argument("--sample-default", type=float, default=1.0,
+                   help="fraction for strata not in --sample-fracs")
+    p.add_argument("--split", default=None,
+                   help="comma list name=weight, e.g. "
+                        "train=0.98,val=0.01,test=0.01 — appends a "
+                        "'split' column")
+    p.add_argument("--split-salt", default="split")
     p.add_argument("--num-buckets", type=int, default=256)
     p.add_argument("--group-size", type=int, default=32)
     p.add_argument("--stage-counts", action="store_true",
@@ -116,6 +145,40 @@ def curate(spark, args):
             bands=args.bands, shingle_n=args.shingle_n)
         x = dedup_keep_canonical(x, pairs, id_col=id_col)
         checkpoint("neardup_dedup")
+    if args.decontam_docs:
+        from aloha_spark.operators.corpus import decontaminate
+        bench = read_table(spark, args.decontam_docs, args.format)
+        flags = decontaminate(
+            x, bench, id_col=id_col, text=text_col,
+            bench_text=args.decontam_text_col or text_col,
+            n=args.decontam_n, threshold=args.decontam_threshold)
+        x = x.join(flags.where(F.col("contaminated"))
+                        .select(id_col), id_col, "left_anti")
+        checkpoint("decontam")
+    if args.sample_fracs or args.sample_default < 1.0:
+        from aloha_spark.operators.corpus import stratified_sample
+        if not args.sample_col:
+            raise SystemExit("--sample-fracs/--sample-default < 1 "
+                             "require --sample-col")
+        fracs = {}
+        for part in (args.sample_fracs or "").split(","):
+            if part:
+                k, _, v = part.partition("=")
+                fracs[k] = float(v)
+        x = stratified_sample(x, args.sample_col, fracs,
+                              default_fraction=args.sample_default,
+                              id_col=id_col)
+        checkpoint("stratified_sample")
+    if args.split:
+        from aloha_spark.operators.corpus import deterministic_split
+        weights = []
+        for part in args.split.split(","):
+            if part:
+                k, _, v = part.partition("=")
+                weights.append((k, float(v)))
+        x = deterministic_split(x, id_col, weights=weights,
+                                salt=args.split_salt)
+        checkpoint("split_assign")
     return x, pairs, report
 
 

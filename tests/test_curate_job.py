@@ -95,3 +95,54 @@ def test_curate_write_resume(spark, tmp_path):
                             group_size=args.group_size)
     assert not r2.written_buckets and len(r2.skipped_buckets) == 8
     assert completed_buckets(spark, lin) == set(range(8))
+
+def test_curate_decontam_sample_split(spark, tmp_path):
+    """The post-dedup stages: benchmark decontamination drops the
+    overlapping doc, stratified sampling filters per stratum, split
+    assignment appends a stable column."""
+    docs = str(tmp_path / "docs")
+    bench = str(tmp_path / "bench")
+    rows = [(i, f"src{i % 2}",
+             f"unique document number {i} about topic {i} with enough "
+             f"words to form plenty of distinct three grams here")
+            for i in range(20)]
+    # doc 19 is a verbatim copy of the benchmark text
+    bench_text = ("the held out evaluation question that must never "
+                  "appear inside the training corpus at all")
+    rows[19] = (19, "src1", bench_text)
+    spark.createDataFrame(rows, "doc_id long, source string, text string") \
+         .write.mode("overwrite").parquet(docs)
+    spark.createDataFrame([(0, bench_text)], "doc_id long, text string") \
+         .write.mode("overwrite").parquet(bench)
+
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o"),
+        "--lineage", str(tmp_path / "l"),
+        "--decontam-docs", bench, "--decontam-n", "3",
+        "--decontam-threshold", "0.5",
+        "--sample-col", "source", "--sample-fracs", "src0=1.0",
+        "--sample-default", "0.5",
+        "--split", "train=0.8,val=0.1,test=0.1", "--stage-counts"])
+    x, _, report = curate_job.curate(spark, args)
+    out = x.collect()
+    ids = {r["doc_id"] for r in out}
+    assert 19 not in ids                      # decontaminated
+    assert {i for i in ids if i % 2 == 0} == set(range(0, 19, 2))  # src0 kept
+    assert all(r["split"] in ("train", "val", "test") for r in out)
+    stages = [s["stage"] for s in report["stages"]]
+    assert stages == ["decontam", "stratified_sample", "split_assign"]
+    # split assignment is a pure function of (salt, id): re-running
+    # curate yields identical assignments
+    y, _, _ = curate_job.curate(spark, args)
+    assert sorted((r["doc_id"], r["split"]) for r in y.collect()) \
+        == sorted((r["doc_id"], r["split"]) for r in out)
+
+
+def test_curate_sample_requires_col(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs)
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o"),
+        "--lineage", str(tmp_path / "l"), "--sample-default", "0.5"])
+    with pytest.raises(SystemExit):
+        curate_job.curate(spark, args)
