@@ -191,6 +191,46 @@ def top_tokens(df: DataFrame, text: str = "text", k: int = 100) -> DataFrame:
             .limit(k))
 
 
+def bfd_pack(cnts, budget: int):
+    """Pure best-fit-decreasing kernel: ``cnts`` must be sorted
+    descending; returns ``(pack_idx, slot_idx)`` lists.
+
+    Open packs live in a bisect-sorted remaining-capacity list; each
+    item takes the tightest pack that fits, else opens a new one.
+    Capacities below the smallest remaining document are never
+    re-inserted (counts scan in decreasing order, so nothing later can
+    fit them) — the open list stays near-empty for realistic
+    doc/budget ratios instead of O(total_tokens/budget).
+    """
+    budget_ = int(budget)
+    min_cnt = int(cnts[-1]) if len(cnts) else 0
+    caps: list = []          # sorted remaining capacities
+    cap_pack: list = []      # pack index parallel to caps
+    fill_slots: list = []    # next slot per pack
+    pack_idx = []
+    slot_idx = []
+    n_packs = 0
+    for c in cnts:
+        c = int(c)
+        i = bisect.bisect_left(caps, c)
+        if i < len(caps):
+            p = cap_pack.pop(i)
+            rem = caps.pop(i) - c
+        else:
+            p = n_packs
+            n_packs += 1
+            fill_slots.append(0)
+            rem = budget_ - c        # negative iff oversized singleton
+        pack_idx.append(p)
+        slot_idx.append(fill_slots[p])
+        fill_slots[p] += 1
+        if rem >= min_cnt:
+            j = bisect.bisect_left(caps, rem)
+            caps.insert(j, rem)
+            cap_pack.insert(j, p)
+    return pack_idx, slot_idx
+
+
 def pack_sequences(df: DataFrame, *, id_col: str = "doc_id",
                    count_col: str = "n_tokens", budget: int = 2048,
                    num_partitions: int = None) -> DataFrame:
@@ -237,37 +277,7 @@ def pack_sequences(df: DataFrame, *, id_col: str = "doc_id",
         pdf = pdf.sort_values(["_cnt", id_col],
                               ascending=[False, True], kind="mergesort")
         cnts = pdf["_cnt"].to_numpy()
-        # best-fit-decreasing over a sorted list of (remaining, pack_idx):
-        # bisect for the tightest pack that still fits.  Capacities below
-        # the smallest document can never fit anything (counts scan in
-        # decreasing order), so they are never inserted — this keeps the
-        # open-pack list near-empty for realistic doc/budget ratios
-        # instead of O(total_tokens/budget).
-        min_cnt = int(cnts[-1])
-        caps: list = []          # sorted remaining capacities
-        cap_pack: list = []      # pack index parallel to caps
-        fill_slots: list = []    # next slot per pack
-        pack_idx = []
-        slot_idx = []
-        n_packs = 0
-        for c in cnts:
-            c = int(c)
-            i = bisect.bisect_left(caps, c)
-            if i < len(caps):
-                p = cap_pack.pop(i)
-                rem = caps.pop(i) - c
-            else:
-                p = n_packs
-                n_packs += 1
-                fill_slots.append(0)
-                rem = budget_ - c        # negative iff oversized singleton
-            pack_idx.append(p)
-            slot_idx.append(fill_slots[p])
-            fill_slots[p] += 1
-            if rem >= min_cnt:
-                j = bisect.bisect_left(caps, rem)
-                caps.insert(j, rem)
-                cap_pack.insert(j, p)
+        pack_idx, slot_idx = bfd_pack(cnts, budget_)
         out = pd.DataFrame({
             id_col: pdf[id_col].to_numpy(),
             "n_tokens": cnts,

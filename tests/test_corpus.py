@@ -197,3 +197,75 @@ def test_hash_bucket_matches_duckdb(spark):
         "SELECT k, ('0x' || substr(md5('z' || k), 1, 15))::BIGINT % "
         f"{N_BUCKETS} FROM (SELECT UNNEST({ids!r}) AS k)").fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz of the pure BFD kernel (no Spark): invariants + exact
+# equivalence with an independent O(n^2) best-fit reference
+
+from hypothesis import given, settings, strategies as st
+
+
+def _bfd_reference(cnts, budget):
+    """Naive best-fit-decreasing: linear scan for the tightest open
+    pack that fits: the SMALLEST remaining >= c, and among equal
+    capacities the MOST RECENTLY inserted one — mirroring the kernel's
+    bisect_left discipline, which inserts new capacities at the left
+    end of an equal run and pops from the left (LIFO among ties)."""
+    rem = []     # remaining capacity per open pack, insertion-ordered
+    order = []   # (capacity, seq) as the sorted list would hold them
+    seq = 0
+    min_cnt = int(cnts[-1]) if len(cnts) else 0
+    pack_idx, slot_idx, fills = [], [], []
+    for c in cnts:
+        c = int(c)
+        # candidates: packs whose tracked capacity fits c
+        fitting = [(cap, s, p) for (cap, s, p) in order if cap >= c]
+        if fitting:
+            cap, s, p = min(fitting, key=lambda t: (t[0], -t[1]))
+            order.remove((cap, s, p))
+            r = cap - c
+        else:
+            p = len(fills)
+            fills.append(0)
+            r = budget - c
+        pack_idx.append(p)
+        slot_idx.append(fills[p])
+        fills[p] += 1
+        if r >= min_cnt:
+            order.append((r, seq, p))
+            seq += 1
+    return pack_idx, slot_idx
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=5000), min_size=0,
+                max_size=120),
+       st.integers(min_value=1, max_value=4096))
+def test_bfd_pack_invariants_and_reference_parity(cnts, budget):
+    from aloha_spark.operators.corpus import bfd_pack
+    cnts = sorted(cnts, reverse=True)
+    pack_idx, slot_idx = bfd_pack(cnts, budget)
+    assert len(pack_idx) == len(cnts) and len(slot_idx) == len(cnts)
+    if not cnts:
+        return
+    # packs are numbered contiguously from 0
+    n_packs = max(pack_idx) + 1
+    assert set(pack_idx) == set(range(n_packs))
+    # slots are contiguous 0..k-1 within each pack, in scan order
+    seen = {}
+    totals = {}
+    sizes = {}
+    for c, p, s in zip(cnts, pack_idx, slot_idx):
+        assert s == seen.get(p, 0)
+        seen[p] = s + 1
+        totals[p] = totals.get(p, 0) + c
+        sizes[p] = sizes.get(p, 0) + 1
+    for p, tot in totals.items():
+        # budget respected, except oversized singletons
+        if tot > budget:
+            assert sizes[p] == 1
+    # exact assignment parity with the independent reference
+    ref_pack, ref_slot = _bfd_reference(cnts, budget)
+    assert pack_idx == ref_pack
+    assert slot_idx == ref_slot
