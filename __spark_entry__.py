@@ -1234,6 +1234,17 @@ def q_top_tokens(spark, sf_dir):
     return top_tokens(_docs(spark, sf_dir), "text", k=50)
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Token-budget document chunking (budget 32, overlap 8): the
+    upstream re-chunker for pack_sequences' oversized documents.  Pure
+    JVM map-only pass; the oracle replays the identical window
+    arithmetic over DuckDB list slices."""
+    from aloha_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), budget=32, overlap=8) \
+        .select("doc_id", "chunk_idx", "chunk_text", "n_tokens")
+
+
 def q_pack_stats(spark, sf_dir):
     """Sequence packing (BFD, budget 256 tokens, 8 partitions) rolled
     up per pack.  Rows-only: pack membership depends on Spark's hash
@@ -1371,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "strat_sample": q_strat_sample,
         "top_tokens": q_top_tokens,
+        "doc_chunks": q_doc_chunks,
         # rows-only (hash parity / formats / approx)
         "feature_vectors": q_feature_vectors,
         "vw_lines": q_vw_lines,
@@ -2103,6 +2115,25 @@ SELECT d.doc_id,
        COALESCE(CAST(a.hits AS DOUBLE) / a.total, 0.0) >= 0.2
            AS contaminated
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+        "doc_chunks": """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(TRIM(text), '\\s+') END AS ts
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT doc_id, ts,
+         CASE WHEN len(ts) <= 0 THEN 0
+              WHEN len(ts) <= 32 THEN 1
+              ELSE 1 + CAST(CEIL((len(ts) - 32) / 24.0) AS INT) END AS k
+  FROM toks),
+idx AS (SELECT doc_id, ts, UNNEST(range(0, k)) AS i FROM c)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(ts[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)],
+                       ' ') AS chunk_text,
+       CAST(len(ts[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)]) AS INT)
+           AS n_tokens
+FROM idx""",
         "top_tokens": """
 WITH toks AS (
   SELECT string_split_regex(TRIM(text), '\\s+') AS ts FROM documents)

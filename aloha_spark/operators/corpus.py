@@ -191,6 +191,58 @@ def top_tokens(df: DataFrame, text: str = "text", k: int = 100) -> DataFrame:
             .limit(k))
 
 
+def chunk_documents(df: DataFrame, *, text: str = "text",
+                    budget: int = 2048, overlap: int = 0,
+                    sep: str = " ") -> DataFrame:
+    """Split documents into consecutive token-window chunks of at most
+    ``budget`` whitespace tokens, with ``overlap`` tokens carried
+    between neighbours — the upstream companion of ``pack_sequences``
+    (oversized documents get re-chunked here, then packed).
+
+    Output: one row per chunk — every input column except ``text``
+    passes through, plus ``(chunk_idx, chunk_text, n_tokens)`` — so
+    split/source/metadata columns survive chunking.  Chunk i covers
+    tokens ``[i*stride, i*stride+budget)``
+    with ``stride = budget - overlap``; the final chunk may be shorter
+    but always starts before the previous chunk's end (no chunk is
+    fully contained in another).  ``chunk_text`` re-joins tokens with
+    ``sep`` (whitespace runs are normalized — token content, not byte
+    spacing, is the preserved contract).  NULL or token-free text
+    yields zero chunks.
+
+    Pure JVM (split / sequence / transform / slice / posexplode): a
+    map-only pass with no shuffle and no Python workers, so it runs at
+    scan speed on any corpus size.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    if not (0 <= overlap < budget):
+        raise ValueError(
+            f"overlap must be in [0, budget): {overlap} vs {budget}")
+    stride = budget - overlap
+    toks = tokens_col(text)
+    n = F.size(toks)
+    # number of chunks: 1 + ceil((n - budget) / stride) when n > budget
+    extra = F.ceil((n - F.lit(budget)) / F.lit(stride)).cast("int")
+    n_chunks = F.when(n <= 0, F.lit(0)) \
+                .when(n <= budget, F.lit(1)) \
+                .otherwise(F.lit(1) + extra)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, budget))
+    keep = [c for c in df.columns if c != text]
+    out = df.select(
+        *keep,
+        F.posexplode(
+            F.when(n_chunks > 0, chunks)
+             .otherwise(F.array().cast("array<array<string>>"))
+        ).alias("chunk_idx", "_toks"))
+    return out.select(
+        *keep, "chunk_idx",
+        F.array_join("_toks", sep).alias("chunk_text"),
+        F.size("_toks").alias("n_tokens"))
+
+
 def bfd_pack(cnts, budget: int):
     """Pure best-fit-decreasing kernel: ``cnts`` must be sorted
     descending; returns ``(pack_idx, slot_idx)`` lists.

@@ -269,3 +269,63 @@ def test_bfd_pack_invariants_and_reference_parity(cnts, budget):
     ref_pack, ref_slot = _bfd_reference(cnts, budget)
     assert pack_idx == ref_pack
     assert slot_idx == ref_slot
+
+
+# -------------------------------------------------------------- chunking
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from aloha_spark.operators.corpus import chunk_documents
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=" ".join(f"t{i}" for i in range(10))),
+        Row(doc_id=2, text="a b c"),
+        Row(doc_id=3, text=""),
+        Row(doc_id=4, text=None),
+    ])
+    out = chunk_documents(docs, budget=4, overlap=1) \
+        .toPandas().sort_values(["doc_id", "chunk_idx"])
+    d1 = out[out["doc_id"] == 1]
+    # stride 3 over 10 tokens -> starts 0,3,6 cover everything: 3 chunks
+    assert list(d1["chunk_idx"]) == [0, 1, 2]
+    assert list(d1["chunk_text"]) == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    assert list(d1["n_tokens"]) == [4, 4, 4]
+    d2 = out[out["doc_id"] == 2]
+    assert list(d2["chunk_text"]) == ["a b c"]    # fits in one chunk
+    assert not (out["doc_id"] > 2).any()          # empty/NULL -> no chunks
+
+
+def test_chunk_documents_reassembles_and_packs(spark):
+    """Round-trip with pack_sequences: chunk the oversized docs, then
+    no pack is oversized and the non-overlap token stream re-assembles
+    the original document."""
+    from aloha_spark.operators.corpus import chunk_documents
+    long_text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame([Row(doc_id=1, text=long_text)])
+    chunks = chunk_documents(docs, budget=32, overlap=0)
+    pdf = chunks.toPandas().sort_values("chunk_idx")
+    assert " ".join(pdf["chunk_text"]) == long_text
+    packed = pack_sequences(
+        chunks.select(F.col("chunk_idx").alias("doc_id"), "n_tokens"),
+        budget=32, num_partitions=1).toPandas()
+    assert not packed["oversized"].any()
+
+
+def test_chunk_documents_validates_args(spark):
+    from aloha_spark.operators.corpus import chunk_documents
+    docs = _docs(spark, 5)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, budget=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, budget=8, overlap=8)
+
+
+def test_chunk_documents_passes_through_metadata(spark):
+    from aloha_spark.operators.corpus import chunk_documents
+    docs = spark.createDataFrame([
+        Row(doc_id=1, source="s0", split="train",
+            text=" ".join(f"w{i}" for i in range(10)))])
+    out = chunk_documents(docs, budget=4, overlap=0).toPandas()
+    assert list(out.columns) == ["doc_id", "source", "split",
+                                 "chunk_idx", "chunk_text", "n_tokens"]
+    assert (out["source"] == "s0").all() and (out["split"] == "train").all()
+    assert len(out) == 3

@@ -185,3 +185,13 @@ def test_top_tokens_takes_ordered_no_global_sort(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(top_tokens(docs, "text", k=50), "simple")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_chunk_documents_is_map_only(spark, sf_dir):
+    """Token chunking must be a pure map pass: no exchange, no Python
+    workers — it runs at scan speed on any corpus size."""
+    from aloha_spark.operators.corpus import chunk_documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(chunk_documents(docs, budget=32, overlap=8), "simple")
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
