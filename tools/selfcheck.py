@@ -195,6 +195,30 @@ def property_gates(spark, sf_dir) -> dict:
            f"fp-per-content={fp_per_md5} content-per-fp={md5_per_fp} "
            f"on {len(joined)} docs (DuckDB md5 partition == fp partition)")
 
+    # --- sequence packing: exactly-once + budget safety + determinism
+    # (pack membership is partitioning-dependent, so pack_stats is
+    # rows-only — but these invariants must hold for ANY partitioning) ---
+    import pyspark.sql.functions as sf
+    from aloha_spark.operators.corpus import pack_sequences
+    from aloha_spark.operators.textstats import with_token_stats
+    pk_in = with_token_stats(docs_df).select(
+        "doc_id", sf.col("token_count").cast("long").alias("n_tokens"))
+    p1 = pack_sequences(pk_in, budget=256, num_partitions=8).toPandas()
+    p2 = pack_sequences(pk_in, budget=256, num_partitions=8).toPandas()
+    once = sorted(p1["doc_id"]) == sorted(docs["doc_id"])
+    sums = p1.groupby("pack_id").agg(
+        tot=("n_tokens", "sum"), n=("n_tokens", "size"),
+        over=("oversized", "max"))
+    budget_ok = bool(((sums["tot"] <= 256) | (sums["n"] == 1)).all())
+    over_ok = bool((sums.loc[sums["over"], "n"] == 1).all()) and \
+        bool((p1["oversized"] == (p1["n_tokens"] > 256)).all())
+    det = p1.sort_values("doc_id").reset_index(drop=True) \
+        .equals(p2.sort_values("doc_id").reset_index(drop=True))
+    record("pack_stats", once and budget_ok and over_ok and det,
+           f"exactly_once={once} budget_safe={budget_ok} "
+           f"oversized_singletons={over_ok} deterministic={det} "
+           f"({len(p1)} docs, {len(sums)} packs)")
+
     return gates
 
 
