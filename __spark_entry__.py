@@ -2136,7 +2136,9 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
 FROM idx""",
         "top_tokens": """
 WITH toks AS (
-  SELECT string_split_regex(TRIM(text), '\\s+') AS ts FROM documents)
+  SELECT CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(TRIM(text), '\\s+') END AS ts
+  FROM documents WHERE text IS NOT NULL)
 SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (SELECT UNNEST(ts) AS token FROM toks) t
 GROUP BY token

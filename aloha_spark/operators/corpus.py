@@ -230,7 +230,12 @@ def chunk_documents(df: DataFrame, *, text: str = "text",
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.slice(toks, i * stride + 1, budget))
-    keep = [c for c in df.columns if c != text]
+    # output names shadow any same-named input columns (so chunking its
+    # own output re-chunks cleanly — rename beforehand to keep a parent
+    # chunk_idx); ``text`` itself is replaced by chunk_text
+    keep = [c for c in df.columns
+            if c not in (text, "chunk_idx", "chunk_text", "n_tokens",
+                         "_toks")]
     out = df.select(
         *keep,
         F.posexplode(
@@ -317,7 +322,10 @@ def pack_sequences(df: DataFrame, *, id_col: str = "doc_id",
     budget_ = int(budget)
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(batches), ignore_index=True)
+        dfs = list(batches)
+        if not dfs:            # empty partition: zero batches, not an
+            return             # empty frame — concat([]) would raise
+        pdf = pd.concat(dfs, ignore_index=True)
         if pdf.empty:
             return
         if pdf["_cnt"].isna().any() or (pdf["_cnt"] < 0).any():

@@ -147,6 +147,12 @@ def curate(spark, args):
         checkpoint("neardup_dedup")
     if args.decontam_docs:
         from aloha_spark.operators.corpus import decontaminate
+        # x feeds BOTH the flags aggregation and the left side of the
+        # anti-join below — without a persist the whole upstream
+        # curation chain (quality/lang/scrub/dedup) would evaluate
+        # twice in the write action.  MEMORY_AND_DISK (default) spills;
+        # the cache lives until job end (storage is LRU-evictable).
+        x = x.persist()
         bench = read_table(spark, args.decontam_docs, args.format)
         flags = decontaminate(
             x, bench, id_col=id_col, text=text_col,

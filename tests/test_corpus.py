@@ -329,3 +329,33 @@ def test_chunk_documents_passes_through_metadata(spark):
                                  "chunk_idx", "chunk_text", "n_tokens"]
     assert (out["source"] == "s0").all() and (out["split"] == "train").all()
     assert len(out) == 3
+
+
+def test_pack_survives_empty_partitions(spark):
+    """num_partitions > distinct ids leaves empty partitions: the
+    mapInPandas closure must yield nothing for them, not crash on
+    pd.concat of zero batches."""
+    out = pack_sequences(_pack_df(spark, [10, 20]), budget=100,
+                         num_partitions=8).toPandas()
+    assert sorted(out["doc_id"]) == [0, 1]
+    empty = pack_sequences(
+        _pack_df(spark, [10]).where(F.col("doc_id") < 0),
+        budget=100, num_partitions=4)
+    assert empty.count() == 0
+
+
+def test_chunk_documents_rechunks_own_output(spark):
+    """The advertised re-chunk flow: chunk_documents output (which
+    carries chunk_idx/chunk_text/n_tokens) must chunk again without
+    column-reference ambiguity — output names shadow input ones."""
+    from aloha_spark.operators.corpus import chunk_documents
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(f"w{i}" for i in range(40)))])
+    first = chunk_documents(docs, budget=16, overlap=0)
+    second = chunk_documents(first, text="chunk_text", budget=4,
+                             overlap=0).toPandas()
+    assert list(second.columns) == ["doc_id", "chunk_idx", "chunk_text",
+                                    "n_tokens"]
+    # 40 tokens -> 3 chunks of <=16 -> re-chunked at 4: 10 chunks total
+    assert second["n_tokens"].sum() == 40
+    assert (second["n_tokens"] <= 4).all()
