@@ -31,6 +31,7 @@ Spark-first design notes (the 100 TB story):
 from __future__ import annotations
 
 import bisect
+from fractions import Fraction
 from typing import Iterator, Mapping, Sequence, Tuple
 
 import pandas as pd
@@ -73,16 +74,22 @@ def deterministic_split(df: DataFrame, id_col: str = "doc_id",
     """
     if not weights:
         raise ValueError("weights must be non-empty")
-    total = float(sum(w for _, w in weights))
-    if total <= 0 or any(w < 0 for _, w in weights):
+    if any(w < 0 for _, w in weights) or sum(w for _, w in weights) <= 0:
         raise ValueError(f"weights must be >= 0 with a positive sum: "
                          f"{list(weights)}")
     b = hash_bucket(F.col(id_col), salt=salt)
     chain = None
-    acc = 0.0
+    # exact threshold arithmetic: Fraction(float) is the float's exact
+    # rational value, so cumulative sums never drift and the rounding
+    # rule is explicit round-half-UP (floor(x + 1/2)) — not Python
+    # round()'s round-half-to-even, whose behavior on a weight landing
+    # exactly on a half-bucket boundary surprised no one but would
+    # silently disagree with a hand-written oracle threshold
+    total = sum((Fraction(w) for _, w in weights), Fraction(0))
+    acc = Fraction(0)
     for name, w in weights:
-        acc += w / total
-        hi = min(int(round(acc * N_BUCKETS)), N_BUCKETS)
+        acc += Fraction(w)
+        hi = min(int(acc / total * N_BUCKETS + Fraction(1, 2)), N_BUCKETS)
         cond = b < F.lit(hi)
         chain = F.when(cond, name) if chain is None else chain.when(cond, name)
     # no .otherwise(): every non-NULL bucket < N_BUCKETS matches the
@@ -141,7 +148,8 @@ def ngrams_col(text: str = "text", n: int = 3, sep: str = " ") -> Column:
 def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
                   id_col: str = "doc_id", text: str = "text",
                   bench_text: str = None, n: int = 8,
-                  threshold: float = 0.5, sep: str = " ") -> DataFrame:
+                  threshold: float = 0.5, sep: str = " ",
+                  broadcast_bench: bool = True) -> DataFrame:
     """Train/test contamination guard: per-document n-gram overlap with
     an evaluation benchmark.
 
@@ -156,6 +164,13 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
     n-grams probe it map-side, and counts partially aggregate before
     the single doc_id-keyed shuffle.  Documents with no n-grams (shorter
     than n tokens, or NULL text) report frac 0.0 / not contaminated.
+
+    ``broadcast_bench``: the default hard-broadcasts the benchmark gram
+    set, which assumes it fits comfortably in driver + executor memory
+    (true for eval suites — MBs against a 100 TB corpus).  Pass False
+    when the "benchmark" side is itself corpus-sized (e.g. cross-corpus
+    overlap audits) to let AQE pick the join strategy instead of forcing
+    an OOM-prone broadcast.
     """
     bench_text = bench_text or text
     bgrams = (benchmark
@@ -166,7 +181,8 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
         id_col,
         F.explode_outer(F.array_distinct(ngrams_col(text, n, sep)))
          .alias("gram"))
-    joined = grams.join(F.broadcast(bgrams), "gram", "left")
+    probe = F.broadcast(bgrams) if broadcast_bench else bgrams
+    joined = grams.join(probe, "gram", "left")
     agg = (joined.groupBy(id_col)
            .agg(F.count("gram").alias("total_grams"),
                 F.count("_hit").alias("hit_grams")))

@@ -98,12 +98,35 @@ def parse_args(argv):
     return p.parse_args(argv)
 
 
+def parse_kv_list(s, flag, *, cast=float):
+    """Parse ``name=value,name=value`` into an ordered list of tuples,
+    failing with an actionable message (not a bare float('') ValueError)
+    on malformed entries like ``src0`` or ``src0=``."""
+    out = []
+    for tok in (s or "").split(","):
+        if not tok:
+            continue
+        k, sep, v = tok.partition("=")
+        if not sep or not k or not v:
+            raise SystemExit(
+                f"{flag}: malformed entry {tok!r} — expected name=value "
+                f"(e.g. train=0.98,val=0.01)")
+        try:
+            out.append((k, cast(v)))
+        except ValueError:
+            raise SystemExit(
+                f"{flag}: non-numeric value in {tok!r} — expected "
+                f"name=value with a numeric value")
+    return out
+
+
 def curate(spark, args):
     """Build the curated DataFrame + a report dict (no write)."""
     import pyspark.sql.functions as F
 
     from aloha_spark.operators.dedup import (
-        dedup_keep_canonical, exact_dedup_keep, minhash_dedup_pairs)
+        _track_intermediates, dedup_keep_canonical, exact_dedup_keep,
+        minhash_dedup_pairs)
     from aloha_spark.operators.textstats import (
         with_lang_id, with_pii_scrubbed, with_quality_score)
     from aloha_spark.sources.tables import read_table
@@ -112,6 +135,7 @@ def curate(spark, args):
     docs = read_table(spark, args.docs, args.format)
     report = {"input_rows": docs.count(), "stages": []}
     x = docs
+    decontam_cache = None
 
     def checkpoint(stage):
         report["stages"].append(
@@ -150,41 +174,42 @@ def curate(spark, args):
         # x feeds BOTH the flags aggregation and the left side of the
         # anti-join below — without a persist the whole upstream
         # curation chain (quality/lang/scrub/dedup) would evaluate
-        # twice in the write action.  MEMORY_AND_DISK (default) spills;
-        # the cache lives until job end (storage is LRU-evictable).
-        x = x.persist()
+        # twice in the write action.  MEMORY_AND_DISK (default) spills.
+        # The persisted handle is tracked on the result frame so
+        # release_intermediates(x) in main (or the finalizer in a
+        # long-lived session) frees the cache instead of pinning it
+        # until session end.
+        persisted = x.persist()
         bench = read_table(spark, args.decontam_docs, args.format)
         flags = decontaminate(
-            x, bench, id_col=id_col, text=text_col,
+            persisted, bench, id_col=id_col, text=text_col,
             bench_text=args.decontam_text_col or text_col,
             n=args.decontam_n, threshold=args.decontam_threshold)
-        x = x.join(flags.where(F.col("contaminated"))
-                        .select(id_col), id_col, "left_anti")
+        x = persisted.join(flags.where(F.col("contaminated"))
+                           .select(id_col), id_col, "left_anti")
+        decontam_cache = persisted
         checkpoint("decontam")
     if args.sample_fracs or args.sample_default < 1.0:
         from aloha_spark.operators.corpus import stratified_sample
         if not args.sample_col:
             raise SystemExit("--sample-fracs/--sample-default < 1 "
                              "require --sample-col")
-        fracs = {}
-        for part in (args.sample_fracs or "").split(","):
-            if part:
-                k, _, v = part.partition("=")
-                fracs[k] = float(v)
+        fracs = dict(parse_kv_list(args.sample_fracs, "--sample-fracs"))
         x = stratified_sample(x, args.sample_col, fracs,
                               default_fraction=args.sample_default,
                               id_col=id_col)
         checkpoint("stratified_sample")
     if args.split:
         from aloha_spark.operators.corpus import deterministic_split
-        weights = []
-        for part in args.split.split(","):
-            if part:
-                k, _, v = part.partition("=")
-                weights.append((k, float(v)))
+        weights = parse_kv_list(args.split, "--split")
         x = deterministic_split(x, id_col, weights=weights,
                                 salt=args.split_salt)
         checkpoint("split_assign")
+    if decontam_cache is not None:
+        # attach the decontam-stage cache to the FINAL frame so
+        # release_intermediates(x) after the write (or the GC finalizer
+        # in a long-lived session) frees it eagerly
+        x = _track_intermediates(x, decontam_cache)
     return x, pairs, report
 
 
