@@ -618,21 +618,32 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
 
 def connected_components(pairs: DataFrame, nodes: Optional[DataFrame] = None,
                          id_a: str = "id_a", id_b: str = "id_b",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20,
+                         algorithm: str = "star") -> DataFrame:
     """Connected components over an undirected pair list: returns
     ``(id, component)`` where component = the minimum id reachable from
     the node (so each cluster is labeled by its canonical member, and
     ``id == component`` marks the document to KEEP in a dedup pass).
 
-    Spark-first shape: min-label propagation — per iteration ONE join
-    (edges x labels) + ONE groupBy-min, both plain shuffles on the edge
-    set, which for near-dup dedup is orders of magnitude smaller than
-    the corpus.  Converges in O(cluster diameter) iterations with a
-    per-iteration convergence check (a count, not a collect of rows);
-    near-dup clusters are shallow in practice (dup families, not long
-    chains), so the loop typically ends after 2-4 rounds.  For
-    adversarially long chains swap in the alternating large-star/
-    small-star formulation — same building blocks, fewer rounds.
+    ``algorithm="star"`` (default): alternating large-star/small-star
+    (the MapReduce CC formulation of Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — per round two window-min
+    passes over the edge set, converging in O(log n) rounds regardless
+    of cluster diameter.  This is the 100 TB default: boilerplate
+    dup-chains at corpus scale routinely exceed 20 hops, which the
+    propagation loop below refuses (by design — see the raise).
+
+    ``algorithm="label"``: min-label propagation — per iteration ONE
+    join (edges x labels) + ONE groupBy-min.  Converges in O(cluster
+    diameter) iterations; cheaper per round on shallow dup-family
+    graphs, kept as the reference implementation and for graphs known
+    to be star-shaped already.
+
+    Both run only over the PAIR set, which for near-dup dedup is orders
+    of magnitude smaller than the corpus, with a per-round convergence
+    check (a count, not a collect of rows) and a loud RuntimeError if
+    ``max_iterations`` is hit — returning moving labels would silently
+    KEEP duplicate documents.
 
     ``nodes`` (optional, single ``id`` column): isolated documents to
     carry through with ``component = id`` (pairs alone cannot mention
@@ -644,6 +655,8 @@ def connected_components(pairs: DataFrame, nodes: Optional[DataFrame] = None,
     :func:`dedup_keep_canonical`, which transfers the cache to the
     result's auto-release tracking.
     """
+    if algorithm not in ("star", "label"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     # both orientations in ONE scan of the pair subtree (a union of two
     # selects would evaluate the — possibly expensive — candidate/verify
     # lineage twice before the persist below caches anything)
@@ -652,14 +665,36 @@ def connected_components(pairs: DataFrame, nodes: Optional[DataFrame] = None,
                  F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
              )).alias("e"))
              .select("e.src", "e.dst")
+             .where(F.col("src") != F.col("dst"))
              .distinct())
     members = edges.select(F.col("src").alias("id")).distinct()
     if nodes is not None:
         members = members.unionByName(
             nodes.selectExpr(f"{nodes.columns[0]} as id")).distinct()
-    labels = members.withColumn("component", F.col("id"))
+    if algorithm == "star":
+        return _cc_star(edges, members, max_iterations)
+    return _cc_label(edges, members, max_iterations)
+
+
+def _cc_fail(max_iterations: int, algorithm: str) -> RuntimeError:
+    return RuntimeError(
+        "connected_components did not converge within "
+        f"{max_iterations} iterations ({algorithm}) — raise "
+        "max_iterations (cost is a bounded number of edge-set shuffles "
+        "per extra iteration)")
+
+
+def _cc_label(edges: DataFrame, members: DataFrame,
+              max_iterations: int) -> DataFrame:
+    # iterated frames are localCheckpoint(eager=True)-ed, NOT persist()ed:
+    # the new labels reference the old ones TWICE (union + join), so
+    # without lineage truncation the logical plan doubles per round and
+    # a long chain OOMs the driver building plan trees before the loop
+    # even hits its iteration cap.  Checkpointed RDDs are reclaimed by
+    # Spark's ContextCleaner once the loop drops its references.
+    labels = (members.withColumn("component", F.col("id"))
+              .localCheckpoint(eager=True))
     edges = edges.persist()
-    labels = labels.persist()
     try:
         changed = 1
         for _ in range(max_iterations):
@@ -672,29 +707,104 @@ def connected_components(pairs: DataFrame, nodes: Optional[DataFrame] = None,
                           .unionByName(heard)
                           .groupBy("id")
                           .agg(F.min("component").alias("component"))
-                          .persist())
+                          .localCheckpoint(eager=True))
             changed = (new_labels.alias("n")
                        .join(labels.alias("o"), "id")
                        .where(F.col("n.component") != F.col("o.component"))
                        .limit(1).count())
-            labels.unpersist(blocking=False)
             labels = new_labels
             if changed == 0:
                 break
         if changed != 0:
-            # labels are still moving: returning them would silently
-            # mis-label any node farther than max_iterations hops from
-            # its cluster minimum — in a dedup pass that KEEPS duplicate
-            # documents with no signal.  Fail loudly instead.
-            labels.unpersist(blocking=False)
-            raise RuntimeError(
-                "connected_components did not converge within "
-                f"{max_iterations} iterations — the pair graph has a "
-                "cluster with diameter above that; raise max_iterations "
-                "(cost is one join+groupBy per extra iteration)")
+            raise _cc_fail(max_iterations, "label")
         return labels
     finally:
         edges.unpersist(blocking=False)
+
+
+def _cc_star(edges: DataFrame, members: DataFrame,
+             max_iterations: int) -> DataFrame:
+    """Alternating large-star / small-star over a canonical (big, small)
+    edge list.  Each operator is ONE window-min shuffle over the edges;
+    at the fixpoint the edge set is a union of stars (node -> component
+    minimum), from which labels read off directly.
+
+    large-star: every node connects its LARGER neighbors to the minimum
+    of its neighborhood (self included) — halves long chains.
+    small-star: every node connects its smaller-or-equal neighborhood
+    to its minimum — flattens local stars.  Alternating the two
+    converges in O(log n) rounds (Kiveris et al.), each round a fixed
+    number of edge-set shuffles, so a 10^6-hop dup chain costs ~20
+    rounds instead of 10^6 label-propagation iterations.
+    """
+    from pyspark.sql import Window
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # bidirectional view: for node src, m = min(src, min over dst)
+        bidir = e.select(F.explode(F.array(
+            F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )).alias("x")).select("x.src", "x.dst")
+        m = F.least(F.col("src"), F.min("dst").over(Window.partitionBy("src")))
+        return (bidir.withColumn("m", m)
+                .where(F.col("dst") > F.col("src"))
+                .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+                .where(F.col("a") != F.col("b"))
+                .distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # canonical (a=big, b=small); m = min of a's smaller neighborhood
+        m = F.min("b").over(Window.partitionBy("a"))
+        withm = e.withColumn("m", m)
+        out = withm.select(F.explode(F.array(
+            F.struct(F.col("a").alias("u"), F.col("m").alias("v")),
+            F.struct(F.col("b").alias("u"), F.col("m").alias("v"))
+        )).alias("x")).select(F.col("x.u").alias("a"),
+                              F.col("x.v").alias("b"))
+        return out.where(F.col("a") != F.col("b")).distinct()
+
+    # canonicalize: a = greatest, b = least (src != dst already filtered).
+    # Iterated frames are lineage-truncated via localCheckpoint (see
+    # _cc_label): each round's plan references the previous round's
+    # frame several times (star op + both fixpoint subtracts), so an
+    # un-truncated plan tree grows multiplicatively with rounds.
+    cur = (edges.select(F.greatest("src", "dst").alias("a"),
+                        F.least("src", "dst").alias("b"))
+           .distinct().localCheckpoint(eager=True))
+
+    def same_set(x: DataFrame, y: DataFrame) -> bool:
+        # set equality via both subtract directions, each an edge-set-
+        # sized job with limit(1) short-circuit
+        return (x.subtract(y).limit(1).count() == 0
+                and y.subtract(x).limit(1).count() == 0)
+
+    converged = False
+    for _ in range(max_iterations):
+        ls = large_star(cur).localCheckpoint(eager=True)
+        nxt = small_star(ls).localCheckpoint(eager=True)
+        # the paper's termination condition: BOTH operators at a
+        # fixpoint (which provably implies the edge set is a union
+        # of stars) — a fixpoint of the composition alone would not
+        # guarantee star shape
+        same = same_set(ls, cur) and same_set(nxt, ls)
+        cur = nxt
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise _cc_fail(max_iterations, "star")
+    # at the fixpoint every edge is (node, component-min); roots and
+    # isolated members label themselves.  The groupBy-min is a
+    # safety net (a node listed with two roots would violate the
+    # fixpoint) and deduplicates the union.
+    labels = (cur.select(F.col("a").alias("id"),
+                         F.col("b").alias("component"))
+              .unionByName(members.withColumn("component", F.col("id")))
+              .groupBy("id")
+              .agg(F.min("component").alias("component"))
+              .persist())
+    labels.count()          # materialize; the loop's checkpoint caches
+    return labels           # are reclaimed by the ContextCleaner
 
 
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,

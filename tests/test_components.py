@@ -66,6 +66,69 @@ def test_shared_shingle_blocking_lossless(spark):
     assert verified == brute35 and (2, 3) in verified
 
 
+def test_star_handles_100_hop_chain_where_label_refuses(spark):
+    # a 100-hop path exceeds the label-propagation budget (O(diameter)
+    # rounds vs max_iterations=20) but star-CC converges in O(log n)
+    edges = [(i, i + 1) for i in range(100)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    import pytest
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, algorithm="label")
+    labs = {r["id"]: r["component"]
+            for r in connected_components(pairs, algorithm="star").collect()}
+    assert labs == {i: 0 for i in range(101)}
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min labeling
+    return {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+
+def test_star_matches_union_find_on_random_graphs(spark):
+    import random
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(30)]
+        edges = [e for e in edges if e[0] != e[1]]
+        nodes = list(range(n))
+        want = _union_find(edges, nodes)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        nd = spark.createDataFrame([(x,) for x in nodes], "id long")
+        got = {r["id"]: r["component"]
+               for r in connected_components(
+                   pairs, nodes=nd, algorithm="star").collect()}
+        assert got == want, f"seed {seed}"
+        got_label = {r["id"]: r["component"]
+                     for r in connected_components(
+                         pairs, nodes=nd, algorithm="label").collect()}
+        assert got_label == want, f"seed {seed} (label)"
+
+
+def test_star_string_ids(spark):
+    # doc ids are strings in real corpora; ordering comparisons must
+    # work lexically
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-c", "doc-b"), ("zz", "yy")],
+        "id_a string, id_b string")
+    labs = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert labs == {"doc-a": "doc-a", "doc-b": "doc-a",
+                    "doc-c": "doc-a", "yy": "yy", "zz": "yy"}
+
+
 def test_keep_canonical(spark):
     docs = spark.createDataFrame(
         [(i, f"t{i}") for i in range(6)], "doc_id long, text string")
