@@ -1263,6 +1263,43 @@ def q_pack_stats(spark, sf_dir):
             .orderBy("pack_id"))
 
 
+def q_shard_stats(spark, sf_dir):
+    """The curate job's shard output stage (jobs/curate.py: chunk ->
+    pack -> shard write) rolled up to ONE deterministic invariant row:
+    chunk budget 64 / overlap 16, pack budget 256.  The chunk-side
+    columns (n_chunks, total_tokens, max_chunk_tokens) are pure
+    functions of the corpus — the oracle replays the window arithmetic
+    in DuckDB list slices; the pack-side columns (over_budget_packs,
+    oversized_chunks) must be literally ZERO for ANY partitioning — the
+    oracle pins them as constants, so a packing bug breaks the driver
+    row."""
+    from aloha_spark.operators.corpus import chunk_documents, pack_sequences
+
+    ch = chunk_documents(_docs(spark, sf_dir).select("doc_id", "text"),
+                         budget=64, overlap=16)
+    ch = ch.withColumn(
+        "chunk_id",
+        F.concat_ws("#", F.col("doc_id").cast("string"),
+                    F.col("chunk_idx").cast("string")))
+    asg = pack_sequences(ch.select("chunk_id", "n_tokens"),
+                         id_col="chunk_id", budget=256, num_partitions=8)
+    per_pack = asg.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("oversized").alias("over"))
+    chunk_agg = ch.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_tokens").alias("max_chunk_tokens"))
+    pack_agg = per_pack.agg(
+        F.coalesce(F.sum(F.when((F.col("tot") > 256) & (F.col("n") > 1),
+                                1).otherwise(0)), F.lit(0))
+         .alias("over_budget_packs"),
+        F.coalesce(F.sum(F.when(F.col("over"), 1).otherwise(0)), F.lit(0))
+         .alias("oversized_chunks"))
+    return chunk_agg.crossJoin(pack_agg)
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1300,15 +1337,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Round-4 driver-window ROTATION: the driver records oracle rows for
+    # the FIRST 50 entries only.  Rows driver-green for three straight
+    # rounds (lag/lead, sessionize, backfill, doc token/bigram counts,
+    # csv scan, interval filter, text stats, sos2/csos2, minhash-trunc,
+    # vw-normalize, hashed-cat, epsilon/bootstrap pins) rotate PAST the
+    # window — they stay verified by the same oracle protocol in
+    # tools/selfcheck.py — and the 16 queries that had only ever had
+    # selfcheck rows (turn_delta .. doc_chunks) plus the new shard_stats
+    # rotate IN, so every oracle-checked query has a DRIVER row on file
+    # across rounds 3+4.
     return {
-        # windows / sessionization / as-of (SURVEY §2.4, §2.6)
-        "window_lag_lead": q_window_lag_lead,
-        "backfill_last_tool": q_backfill_last_tool,
-        "sessionize": q_sessionize,
-        # PII scrub: the one round-3 family whose only oracle row this
-        # is — keep it inside the driver's 50-query window (the 4th
-        # window variant it displaced, rolling_tool_count, stays
-        # selfcheck-covered below)
+        # never-driver-checked until this round (selfcheck-green in r3)
+        "turn_delta": q_turn_delta,
+        "turn_reindex": q_turn_reindex,
+        "session_stats": q_session_stats,
+        "rolling_tool_count": q_rolling_tool_count,
+        "asof_strict": q_asof_strict,
+        "asof_merge": q_asof_merge,
+        "ann_topk": q_ann_topk,
+        "constant_model": q_constant_model,
+        "error_model": q_error_model,
+        "doc_curate": q_doc_curate,
+        "pricing_summary": q_pricing_summary,
+        "doc_skipgrams": q_doc_skipgrams,
+        "split_assign": q_split_assign,
+        "strat_sample": q_strat_sample,
+        "top_tokens": q_top_tokens,
+        "doc_chunks": q_doc_chunks,
+        # new this round: curate-job shard output stage invariants
+        "shard_stats": q_shard_stats,
+        # windows / as-of (SURVEY §2.4, §2.6) — core families keep a
+        # driver row every round
         "doc_scrub": q_doc_scrub,
         "asof_state": q_asof_state,
         "asof_salted": q_asof_salted,
@@ -1316,7 +1376,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational / aggregation
         "dedup_components": q_dedup_components,
         "broadcast_join": q_broadcast_join,
-        "interval_filter": q_interval_filter,
         "linear_score": q_linear_score,
         "proto_roundtrip": q_proto_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
@@ -1324,33 +1383,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tree_risk": q_tree_risk,
         "order_segment": q_order_segment,
         "price_bucket": q_price_bucket,
-        # text features (§2.3)
-        "doc_tokens": q_doc_tokens,
-        "doc_bigrams": q_doc_bigrams,
-        # decontamination is the corpus family's only oracle row — keep
-        # it inside the driver's 50-query window; doc_skipgrams (flat
-        # A/B-gated + golden-pinned + selfcheck) moves past the cap
+        # corpus curation family
         "decontam": q_decontam,
-        "csv_lines": q_csv_lines,
-        "doc_stats": q_doc_stats,
-        "lang_guess": q_lang_guess,
-        "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "media_meta": q_media_meta,
         # embeddings
         "ann_topk_ivf": q_ann_topk_ivf,
         "embed_neardup": q_embed_neardup,
-        # round-2 coverage (formerly pytest-only operators)
+        # featurization / sinks
         "indexed_paths": q_indexed_paths,
         "vw_labeled": q_vw_labeled,
         "cb_lines": q_cb_lines,
         "multilabel_blocks": q_multilabel_blocks,
         "multilabel_downsampled": q_multilabel_downsampled,
-        "sos2_weights": q_sos2_weights,
-        "csos2_weights": q_csos2_weights,
-        "minhash_trunc": q_minhash_trunc,
-        "vw_normalize": q_vw_normalize,
-        "hashed_cat": q_hashed_cat,
         "libsvm_labeled": q_libsvm_labeled,
         "regression_spline": q_regression_spline,
         "feature_vectors_jvm": q_feature_vectors_jvm,
@@ -1362,27 +1407,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "featurize_bookkeeping": q_featurize_bookkeeping,
         "bpe_tokens": q_bpe_tokens,
         "jaccard_pairs": q_jaccard_pairs,
+        # ---- past the driver's 50-query window (oracle-checked by
+        # tools/selfcheck.py every round; driver-green r1-r3) ----
+        "window_lag_lead": q_window_lag_lead,
+        "backfill_last_tool": q_backfill_last_tool,
+        "sessionize": q_sessionize,
+        "interval_filter": q_interval_filter,
+        "doc_tokens": q_doc_tokens,
+        "doc_bigrams": q_doc_bigrams,
+        "csv_lines": q_csv_lines,
+        "doc_stats": q_doc_stats,
+        "lang_guess": q_lang_guess,
+        "doc_quality": q_doc_quality,
+        "sos2_weights": q_sos2_weights,
+        "csos2_weights": q_csos2_weights,
+        "minhash_trunc": q_minhash_trunc,
+        "vw_normalize": q_vw_normalize,
+        "hashed_cat": q_hashed_cat,
         "epsilon_pin": q_epsilon_pin,
         "bootstrap_pin": q_bootstrap_pin,
-        # past the driver's 50-query window: selfcheck-covered variants of
-        # families already driver-green above (lag/lead, sessionization,
-        # as-of strict ties, brute-force ANN baseline, trivial models)
-        "turn_delta": q_turn_delta,
-        "turn_reindex": q_turn_reindex,
-        "session_stats": q_session_stats,
-        "asof_strict": q_asof_strict,
-        "asof_merge": q_asof_merge,
-        "ann_topk": q_ann_topk,
-        "constant_model": q_constant_model,
-        "error_model": q_error_model,
-        "rolling_tool_count": q_rolling_tool_count,
-        "doc_curate": q_doc_curate,
-        "pricing_summary": q_pricing_summary,
-        "doc_skipgrams": q_doc_skipgrams,
-        "split_assign": q_split_assign,
-        "strat_sample": q_strat_sample,
-        "top_tokens": q_top_tokens,
-        "doc_chunks": q_doc_chunks,
         # rows-only (hash parity / formats / approx)
         "feature_vectors": q_feature_vectors,
         "vw_lines": q_vw_lines,
@@ -2144,6 +2187,32 @@ FROM (SELECT UNNEST(ts) AS token FROM toks) t
 GROUP BY token
 ORDER BY cnt DESC, token
 LIMIT 50""",
+        # chunk arithmetic replayed for budget 64 / stride 48; the two
+        # pack invariant columns are pinned 0 — the Spark side computes
+        # them from the ACTUAL pack assignment, so any BFD budget
+        # violation or spurious oversized flag breaks this row
+        "shard_stats": """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(TRIM(text), '\\s+') END AS ts
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT doc_id, ts,
+         CASE WHEN len(ts) <= 0 THEN 0
+              WHEN len(ts) <= 64 THEN 1
+              ELSE 1 + CAST(CEIL((len(ts) - 64) / 48.0) AS INT) END AS k
+  FROM toks),
+idx AS (SELECT doc_id, ts, UNNEST(range(0, k)) AS i FROM c),
+ch AS (
+  SELECT len(ts[CAST(i*48+1 AS INT) : CAST(i*48+64 AS INT)]) AS n_tokens
+  FROM idx)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(n_tokens) AS INT) AS max_chunk_tokens,
+       CAST(0 AS BIGINT) AS over_budget_packs,
+       CAST(0 AS BIGINT) AS oversized_chunks
+FROM ch""",
     }
 
 

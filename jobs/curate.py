@@ -90,6 +90,18 @@ def parse_args(argv):
                         "train=0.98,val=0.01,test=0.01 — appends a "
                         "'split' column")
     p.add_argument("--split-salt", default="split")
+    p.add_argument("--chunk-budget", type=int, default=None,
+                   help="chunk documents into token windows of at most "
+                        "this many tokens (one output row per chunk)")
+    p.add_argument("--chunk-overlap", type=int, default=0,
+                   help="tokens carried between neighbouring chunks")
+    p.add_argument("--pack-budget", type=int, default=None,
+                   help="pack chunks into fixed token-budget training "
+                        "sequences (partition-local BFD); implies "
+                        "chunking at this budget unless --chunk-budget "
+                        "is given, and shards are written keyed on "
+                        "pack_id so a pack never splits across buckets")
+    p.add_argument("--pack-partitions", type=int, default=None)
     p.add_argument("--num-buckets", type=int, default=256)
     p.add_argument("--group-size", type=int, default=32)
     p.add_argument("--stage-counts", action="store_true",
@@ -205,6 +217,33 @@ def curate(spark, args):
         x = deterministic_split(x, id_col, weights=weights,
                                 salt=args.split_salt)
         checkpoint("split_assign")
+    if args.chunk_budget or args.pack_budget:
+        # ---- output stage: curated corpus -> training shards ----
+        # chunk (map-only JVM pass) -> pack (ids-only BFD + ONE join to
+        # re-attach assignments) so the full text never rides through
+        # Python and the corpus shuffles exactly once, on chunk_id.
+        from aloha_spark.operators.corpus import (
+            chunk_documents, pack_sequences)
+        budget = args.chunk_budget or args.pack_budget
+        if args.pack_budget and budget > args.pack_budget:
+            raise SystemExit(
+                f"--chunk-budget {budget} exceeds --pack-budget "
+                f"{args.pack_budget}: chunks could never fit a pack")
+        x = chunk_documents(x, text=text_col, budget=budget,
+                            overlap=args.chunk_overlap)
+        x = x.withColumn(
+            "chunk_id",
+            F.concat_ws("#", F.col(id_col).cast("string"),
+                        F.col("chunk_idx").cast("string")))
+        checkpoint("chunk")
+        if args.pack_budget:
+            asg = pack_sequences(
+                x.select("chunk_id", "n_tokens"), id_col="chunk_id",
+                budget=args.pack_budget,
+                num_partitions=args.pack_partitions)
+            x = x.join(asg.select("chunk_id", "pack_id", "pack_slot",
+                                  "oversized"), "chunk_id")
+            checkpoint("pack")
     if decontam_cache is not None:
         # attach the decontam-stage cache to the FINAL frame so
         # release_intermediates(x) after the write (or the GC finalizer
@@ -250,9 +289,27 @@ def main(argv=None):
             x.agg(F.sum("n_redactions")).first()[0] or 0)
     if pairs is not None:
         report["neardup_pairs"] = pairs.count()
+    if args.pack_budget:
+        # shard invariants over the cached frame: every multi-chunk pack
+        # within budget, oversized only as singletons
+        per_pack = x.groupBy("pack_id").agg(
+            F.sum("n_tokens").alias("tot"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("oversized").alias("over"))
+        report["shards"] = {
+            "n_packs": per_pack.count(),
+            "over_budget_packs": per_pack.where(
+                (F.col("tot") > args.pack_budget)
+                & (F.col("n") > 1)).count(),
+            "oversized_singletons": per_pack.where("over").count(),
+        }
 
+    # packed shards are keyed on pack_id: the stable bucket is then a
+    # pure function of the pack, so a pack's chunks always land (and
+    # resume) together in one shard directory
+    shard_key = "pack_id" if args.pack_budget else args.id_col
     wr = write_with_lineage(
-        x, args.out, args.lineage, key=args.id_col, ts_col=args.id_col,
+        x, args.out, args.lineage, key=shard_key, ts_col=shard_key,
         num_buckets=args.num_buckets, group_size=args.group_size)
     x.unpersist()
     release_intermediates(x)      # the components label cache

@@ -186,3 +186,107 @@ class TestAsofJoin:
         pdf = out.toPandas()
         key = list(zip(pdf["conv_id"], pdf["turn_idx"]))
         assert key == sorted(key)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: the streaming merge kernel vs a brute-force oracle
+
+class TestMergeKernelFuzz:
+    """Property-fuzz `_make_merge_fn` — the partition-local streaming
+    merge behind mode="merge" — against a brute-force backward-as-of
+    oracle.  The kernel's one hard invariant is the O(1) carry between
+    Arrow batches (only the last key's latest state may span a batch
+    boundary), so the fuzz slices the sorted union frame at ARBITRARY
+    batch boundaries: every cut point is a chance for the carry splice
+    (operators/asof.py:104-147) to leak, drop, or mis-key state.
+
+    Pure pandas (no Spark jobs), so 300 examples run in seconds; the
+    Spark-side integration of the same kernel is covered by
+    test_tiny_batches_carry / test_matches_pandas_merge_asof above.
+    """
+
+    @staticmethod
+    def _run_kernel(turns, states, allow_exact, cuts):
+        from aloha_spark.operators.asof import _SALT, _SIDE, _make_merge_fn
+
+        turn_cols = ["conv_id", "turn_idx", "ts"]
+        state_cols = ["state_score", "state_tag"]
+        state_side, turn_side = (0, 1) if allow_exact else (2, 1)
+        rows = []
+        for i, (k, ts) in enumerate(turns):
+            rows.append({"conv_id": k, "turn_idx": i, "ts": ts,
+                         "state_score": None, "state_tag": None,
+                         _SIDE: turn_side, _SALT: 0})
+        for k, ts, score, tag in states:
+            rows.append({"conv_id": k, "turn_idx": None, "ts": ts,
+                         "state_score": score, "state_tag": tag,
+                         _SIDE: state_side, _SALT: 0})
+        pdf = pd.DataFrame(rows, columns=turn_cols + state_cols
+                           + [_SIDE, _SALT])
+        if pdf.empty:
+            return pd.DataFrame(columns=turn_cols + state_cols)
+        # the production sort: (key, salt, ts, side), stable
+        pdf = pdf.sort_values(["conv_id", _SALT, "ts", _SIDE],
+                              na_position="first",
+                              kind="mergesort").reset_index(drop=True)
+        bounds = sorted({c for c in cuts if 0 < c < len(pdf)})
+        edges = [0] + bounds + [len(pdf)]
+        pieces = [pdf.iloc[a:b] for a, b in zip(edges, edges[1:])]
+        merge = _make_merge_fn(turn_cols, state_cols,
+                               by_cols=["conv_id", _SALT], on="ts")
+        outs = list(merge(iter([p.reset_index(drop=True)
+                                for p in pieces if len(p)])))
+        if not outs:
+            return pd.DataFrame(columns=turn_cols + state_cols)
+        return pd.concat(outs, ignore_index=True)
+
+    @staticmethod
+    def _brute(turns, states, allow_exact):
+        want = {}
+        for i, (k, ts) in enumerate(turns):
+            best = None
+            for k2, ts2, score, tag in states:
+                if k is None or k2 != k:
+                    continue
+                if ts2 < ts or (allow_exact and ts2 == ts):
+                    if best is None or ts2 > best[0]:
+                        best = (ts2, score, tag)
+            want[i] = (None, None) if best is None else (best[1], best[2])
+        return want
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = st.sampled_from(["a", "b", "c"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        turns=st.lists(st.tuples(st.one_of(st.none(), keys),
+                                 st.integers(0, 8)), max_size=16),
+        # unique (key, ts) per state row: with duplicates the winner
+        # among equal-ts states is an explicit tiebreaker's job (covered
+        # by test_strict_mode_excludes_equal_ts), not the kernel's
+        states=st.lists(
+            st.tuples(keys, st.integers(0, 8),
+                      st.one_of(st.none(), st.floats(-5, 5, width=32)),
+                      st.one_of(st.none(), st.text("xy", max_size=2))),
+            max_size=12, unique_by=lambda s: (s[0], s[1])),
+        allow_exact=st.booleans(),
+        cuts=st.sets(st.integers(0, 27), max_size=12),
+    )
+    def test_kernel_matches_brute_force(self, turns, states, allow_exact,
+                                        cuts):
+        got = self._run_kernel(turns, states, allow_exact, cuts)
+        want = self._brute(turns, states, allow_exact)
+        assert len(got) == len(turns)
+        got_map = {}
+        for _, r in got.iterrows():
+            score = r["state_score"]
+            tag = r["state_tag"]
+            got_map[int(r["turn_idx"])] = (
+                None if pd.isna(score) else float(score),
+                None if tag is None or (isinstance(tag, float)
+                                        and pd.isna(tag)) else tag)
+        want_norm = {i: (None if s is None else float(s), t)
+                     for i, (s, t) in want.items()}
+        assert got_map == want_norm

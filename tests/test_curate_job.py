@@ -138,6 +138,70 @@ def test_curate_decontam_sample_split(spark, tmp_path):
         == sorted((r["doc_id"], r["split"]) for r in out)
 
 
+def test_curate_shard_stage_and_resume(spark, tmp_path):
+    """Output stage: chunk -> pack -> shard write.  Chunk budget 8 /
+    overlap 2 / pack budget 16 over small docs; the write keys on
+    pack_id (a pack never splits across shard buckets), and a crash
+    after the first bucket group resumes to a complete, duplicate-free
+    shard set."""
+    docs = str(tmp_path / "docs")
+    rows = [(i, " ".join(f"w{i}t{j}" for j in range(3 + (i * 7) % 20)))
+            for i in range(30)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+         .write.mode("overwrite").parquet(docs)
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lin")
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", out, "--lineage", lin,
+        "--chunk-budget", "8", "--chunk-overlap", "2",
+        "--pack-budget", "16", "--pack-partitions", "4",
+        "--num-buckets", "8", "--group-size", "4",
+        "--split", "train=0.9,val=0.1"])
+    x, _, report = curate_job.curate(spark, args)
+    pdf = x.toPandas()
+
+    # every chunk within the chunk budget, every multi-chunk pack
+    # within the pack budget, chunking never drops a document
+    assert (pdf["n_tokens"] <= 8).all()
+    assert set(pdf["doc_id"]) == set(range(30))
+    per_pack = pdf.groupby("pack_id").agg(
+        tot=("n_tokens", "sum"), n=("n_tokens", "size"))
+    assert ((per_pack["tot"] <= 16) | (per_pack["n"] == 1)).all()
+    assert not pdf["oversized"].any()
+    # chunks carry the document-level split through the stage
+    assert set(pdf["split"]) <= {"train", "val"}
+    assert (pdf.groupby("doc_id")["split"].nunique() == 1).all()
+    stages = [s["stage"] for s in report["stages"]]
+    assert stages[-2:] == ["chunk", "pack"]
+
+    from aloha_spark.plans.lineage import write_with_lineage
+
+    # crash after the first bucket group, then resume
+    with pytest.raises(RuntimeError, match="injected failure"):
+        write_with_lineage(x, out, lin, key="pack_id", ts_col="pack_id",
+                           num_buckets=8, group_size=4,
+                           fail_after_groups=1)
+    r2 = write_with_lineage(x, out, lin, key="pack_id", ts_col="pack_id",
+                           num_buckets=8, group_size=4)
+    assert len(r2.written_buckets) + len(r2.skipped_buckets) == 8
+    assert r2.skipped_buckets == [0, 1, 2, 3]
+    back = spark.read.parquet(out).toPandas()
+    # complete and duplicate-free after the resume
+    assert sorted(back["chunk_id"]) == sorted(pdf["chunk_id"])
+    # pack integrity on disk: all chunks of a pack share one bucket
+    assert (back.groupby("pack_id")["bucket"].nunique() == 1).all()
+
+
+def test_curate_chunk_budget_exceeds_pack_budget(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs)
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o"),
+        "--lineage", str(tmp_path / "l"),
+        "--chunk-budget", "64", "--pack-budget", "32"])
+    with pytest.raises(SystemExit, match="exceeds"):
+        curate_job.curate(spark, args)
+
+
 def test_curate_sample_requires_col(spark, tmp_path):
     docs = str(tmp_path / "docs")
     _write_docs(spark, docs)

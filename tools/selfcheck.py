@@ -219,6 +219,45 @@ def property_gates(spark, sf_dir) -> dict:
            f"oversized_singletons={over_ok} deterministic={det} "
            f"({len(p1)} docs, {len(sums)} packs)")
 
+    # --- streaming <-> batch dedup parity: the SAME corpus streamed
+    # (dropDuplicatesWithinWatermark over content_digest) and batched
+    # (exact_dedup) must agree on the keeper digest set — the two share
+    # one digest definition by construction; this gate pins that it
+    # stays shared ---
+    import shutil
+    import tempfile
+
+    from aloha_spark.operators.dedup import exact_dedup
+    from aloha_spark.streaming.dedup import streaming_exact_dedup
+    tmpd = tempfile.mkdtemp(prefix="sc_stream_dedup_")
+    try:
+        src = (docs_df
+               .select("doc_id", "text",
+                       sf.timestamp_seconds(
+                           sf.lit(1700000000) + sf.col("doc_id"))
+                       .alias("ts")))
+        src.write.mode("overwrite").parquet(tmpd + "/in")
+        stream = (spark.readStream
+                  .schema("doc_id long, text string, ts timestamp")
+                  .parquet(tmpd + "/in"))
+        q = (streaming_exact_dedup(stream, cols=["text"], ts_col="ts")
+             .writeStream.format("memory").queryName("sc_sdedup")
+             .outputMode("append")
+             .option("checkpointLocation", tmpd + "/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = sorted(spark.sql(
+            "select content_hash from sc_sdedup").toPandas()["content_hash"])
+        batch = exact_dedup(spark.read.parquet(tmpd + "/in"), ["text"],
+                            id_col="doc_id").toPandas()
+        want = sorted(batch["content_hash"])
+        uniq = len(got) == len(set(got))
+        record("stream_batch_dedup", got == want and uniq,
+               f"streamed keepers == batch digest set "
+               f"({len(got)} vs {len(want)}, unique={uniq})")
+    finally:
+        shutil.rmtree(tmpd, ignore_errors=True)
+
     return gates
 
 
@@ -312,7 +351,8 @@ def main():
             "results": results,
         }
         out = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "SELFCHECK_r3.json")
+            os.path.abspath(__file__))),
+            os.environ.get("SELFCHECK_OUT", "SELFCHECK_r4.json"))
         with open(out, "w") as f:
             json.dump(report, f, indent=1)
     spark.stop()
