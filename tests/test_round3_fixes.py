@@ -205,18 +205,23 @@ def test_media_decoder_seam(spark):
 
 
 def test_media_real_codec_golden():
-    """Activates only when a codec lib is installed: decode a 1x1 red
-    PNG through the auto-detected decoder."""
+    """Decode a 1x1 red PNG through the auto-detected decoder.  No
+    longer environment-gated: the built-in pure-numpy PNG/BMP/PPM
+    decoder (sources/multimodal.py::numpy_image_decoder) makes the
+    autodetect chain always resolve — PIL/opencv merely take precedence
+    when installed."""
     import numpy as np
 
     from aloha_spark.sources import multimodal as M
 
-    if M._autodetect_image_decoder() is None:
-        import pytest as _pytest
-        _pytest.skip("no codec library in this environment")
+    assert M._autodetect_image_decoder() is not None
+    # (the round-3 fixture bytes were malformed — wrong IDAT length +
+    # CRC — which went unnoticed while this test was environment-
+    # skipped; these are a spec-valid replacement, chunk CRCs verified)
     png_1x1_red = bytes.fromhex(
-        "89504e470d0a1a0a0000000d49484452000000010000000108020000009077"
-        "53de0000000c49444154789c62f80f0400000500012718e8ae0000000049454e44ae426082")
+        "89504e470d0a1a0a0000000d4948445200000001000000010802000000"
+        "907753de0000000c49444154789c63f8cfc0000003010100c9fe92ef"
+        "0000000049454e44ae426082")
     img = M.decode_image(png_1x1_red)
     assert img.shape == (1, 1, 3)
     assert np.array_equal(img[0, 0], [255, 0, 0])
