@@ -339,17 +339,21 @@ def factorize_strings(arr):
 
 
 def _count_packed(codes: np.ndarray, row_ids: np.ndarray, n_codes: int):
-    """Count (row, code) pairs: one np.unique over packed int64 keys.
-    Returns (rows, codes, counts) ordered by FIRST OCCURRENCE in the
-    row-major entry stream — i.e. per row, insertion order.  The hashed
-    sinks re-sort anyway, but the VW line sink needs within-row
-    insertion order to byte-match the dict tier (Counter order)."""
+    """Count (row, code) pairs over packed int64 keys.  Returns
+    (rows, codes, counts) ordered by FIRST OCCURRENCE in the row-major
+    entry stream — i.e. per row, insertion order.  The hashed sinks
+    re-sort anyway, but the VW line sink needs within-row insertion
+    order to byte-match the dict tier (Counter order).
+
+    ``pd.factorize`` (khash) replaces the earlier sort-based
+    ``np.unique(return_index)``: O(E) instead of O(E log E) over the
+    entry stream, its uniques already COME in first-occurrence order
+    (no argsort-by-first-index pass), and the hash probe touches far
+    less memory bandwidth than a 2M-entry argsort — the per-batch
+    numbers behind the swap are in BENCH/BASELINE.md."""
     packed = row_ids * np.int64(n_codes) + codes
-    uniq, first_idx, counts = np.unique(
-        packed, return_index=True, return_counts=True)
-    order = np.argsort(first_idx, kind="stable")
-    uniq = uniq[order]
-    counts = counts[order]
+    pcodes, uniq = pd.factorize(packed)
+    counts = np.bincount(pcodes, minlength=len(uniq))
     return uniq // n_codes, uniq % n_codes, counts.astype(np.float64)
 
 
@@ -504,15 +508,19 @@ def ind_flat(cache: TokenCache, col: str, name: str, hash_fn):
     crashing the job: one indicator per element, None elements dropped,
     duplicate elements collapse to one entry (dict-tier set semantics)."""
     s = cache.pdf[col]
-    vals_list = s.tolist()
-    listy = any(isinstance(v, (list, tuple, set, frozenset, np.ndarray))
-                for v in vals_list if v is not None)
-    if not listy:
-        try:
-            codes, uniques = factorize_strings(s)
-        except TypeError:
-            listy = True
+    listy = False
+    try:
+        codes, uniques = factorize_strings(s)
+        # sequence detection on the vocab-sized uniques, not an O(n)
+        # isinstance scan of the column: unhashable sequences (list,
+        # ndarray, set) already raised TypeError out of factorize, and
+        # hashable ones (tuples) surface in the unique table
+        listy = any(isinstance(u, (list, tuple, set, frozenset, np.ndarray))
+                    for u in uniques.tolist()) if len(uniques) else False
+    except TypeError:
+        listy = True
     if listy:
+        vals_list = s.tolist()
         n = len(vals_list)
         isna = np.zeros(n, dtype=bool)
         keys: list = []

@@ -218,7 +218,11 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn, rb=None):
     val_chunks: list[np.ndarray] = []
     row_id_chunks: list[np.ndarray] = []
     fid_chunks: list[np.ndarray] = []
-    missing = [[] for _ in range(n)]
+    # missing marks accumulate as (rows, feature-name) chunks in
+    # feature-declaration order; the per-row lists materialize once at
+    # the end (rows with no missing share ONE immutable empty tuple —
+    # n per-row list allocations per batch were ~5% of kernel time)
+    miss_marks: list = []
     arange = np.arange(n, dtype=np.int64)
     cache = TokenCache(pdf, rb=rb)
 
@@ -249,32 +253,45 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn, rb=None):
                 val_chunks.append(np.ones(len(miss_rows), dtype=np.float64))
                 row_id_chunks.append(miss_rows.astype(np.int64))
                 fid_chunks.append(np.full(len(miss_rows), fi, dtype=np.int64))
-                for i in miss_rows:
-                    missing[i].append(name)
+                miss_marks.append((miss_rows, name))
             continue
 
         if fp.kind in ("column", "string_column"):
             colv = pdf[_PREFIX + name]
             isna = colv.isna().to_numpy()
-            keys: list = []
-            vals_: list = []
+            any_na = bool(isna.any())
             if fp.kind == "string_column":
-                vs = colv.tolist()
-                keys.extend(
-                    unk if isna[i] else f"{name}={vs[i]}" for i in range(n))
-                vals_ = [1.0] * n
+                # hash only the vocab-sized unique-key table, not one
+                # key string per row (factorize_strings is NUL-safe)
+                from ..functions.batch import factorize_strings
+                codes, uniques = factorize_strings(colv)
+                h_unk = hash_fn([unk])
+                if len(uniques):
+                    table = hash_fn(
+                        [f"{name}={u}" for u in uniques])
+                    safe = np.where(codes < 0, 0, codes)
+                    idx = np.where(isna, h_unk[0], table[safe]) \
+                        .astype(table.dtype, copy=False)
+                else:
+                    idx = np.full(n, h_unk[0], dtype=h_unk.dtype)
+                vals_np = np.ones(n, dtype=np.float64)
             else:
                 v = colv.to_numpy(dtype=np.float64, na_value=np.nan)
-                if isna.any():
-                    keys.extend(unk if m else name for m in isna)
-                    vals_ = np.where(isna, 1.0, np.nan_to_num(v)).tolist()
+                h_name = hash_fn([name])
+                if any_na:
+                    h_unk = hash_fn([unk])
+                    idx = np.where(isna, h_unk[0], h_name[0]) \
+                        .astype(h_name.dtype, copy=False)
+                    vals_np = np.where(isna, 1.0, np.nan_to_num(v))
                 else:
-                    keys.extend([name] * n)
-                    vals_ = v.tolist()
-            emit(keys, vals_, arange)
-            if isna.any():
-                for i in np.nonzero(isna)[0]:
-                    missing[i].append(name)
+                    idx = np.full(n, h_name[0], dtype=h_name.dtype)
+                    vals_np = v
+            idx_chunks.append(idx)
+            val_chunks.append(vals_np)
+            row_id_chunks.append(arange)
+            fid_chunks.append(np.full(n, fi, dtype=np.int64))
+            if any_na:
+                miss_marks.append((np.nonzero(isna)[0], name))
             continue
 
         if fp.kind == "vbatch":
@@ -283,10 +300,11 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn, rb=None):
             isna_arr = series.isna().to_numpy()
             outs = fp.fn(series)
             keys, vals_, rids = [], [], []
+            f_miss: list = []
             for i in range(n):
                 b = outs[i]
                 if b is None or isna_arr[i]:
-                    missing[i].append(name)
+                    f_miss.append(i)
                 if b is None:
                     keys.append(unk)
                     vals_.append(1.0)
@@ -297,12 +315,15 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn, rb=None):
                         vals_.append(v)
                         rids.append(i)
             emit(keys, vals_, rids)
+            if f_miss:
+                miss_marks.append((np.asarray(f_miss, dtype=np.int64), name))
             continue
 
         # generic tier
         var_items = [(v, pdf[_src(fp, v)].tolist())
                      for v in fp.variables]
         keys, vals_, rids = [], [], []
+        f_miss = []
         for i in range(n):
             kwargs = {}
             var_missing = False
@@ -322,7 +343,7 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn, rb=None):
                 bag = None
                 errored = True
             if (bag is None and not errored) or (var_missing and not errored):
-                missing[i].append(name)
+                f_miss.append(i)
             if bag is None:
                 keys.append(unk)
                 vals_.append(1.0)
@@ -333,6 +354,17 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn, rb=None):
                     vals_.append(v)
                     rids.append(i)
         emit(keys, vals_, rids)
+        if f_miss:
+            miss_marks.append((np.asarray(f_miss, dtype=np.int64), name))
+
+    missing: list = [_EMPTY_MISS] * n
+    for rows_arr, mname in miss_marks:
+        for i in rows_arr.tolist():
+            cur = missing[i]
+            if cur is _EMPTY_MISS:
+                missing[i] = [mname]
+            else:
+                cur.append(mname)
 
     if row_id_chunks:
         idx = np.concatenate(idx_chunks)
@@ -348,6 +380,11 @@ def _batch_eval_flat(plan: _ExecPlan, pdf: pd.DataFrame, hash_fn, rb=None):
 
 
 _IDENTITY_KEYS = lambda keys: np.asarray(keys, dtype=object)  # noqa: E731
+
+#: shared immutable "no missing features" row — consumers only len() it,
+#: iterate it, or hand it to pa.array(list_(string())), all of which
+#: accept a tuple; rows that DO have missing marks get a private list
+_EMPTY_MISS: tuple = ()
 
 
 def _fmt_values(vals: np.ndarray, fmt_fn, int_suffix: str = "",

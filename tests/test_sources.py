@@ -46,8 +46,9 @@ def test_multimodal_stub_and_plumbing(spark, sf_dir):
     assert img["mean_intensity"].between(0, 255).all()
     assert feats.loc[feats["kind"] != "image", "mean_intensity"] \
         .isna().all()
-    # real decode is stubbed
-    with pytest.raises(NotImplementedError):
+    # real decode: the built-in numpy decoder rejects unrecognized
+    # magic bytes loudly (PNG/BMP/PPM are the formats it handles)
+    with pytest.raises(ValueError, match="unrecognized image payload"):
         decode_image(b"bytes", fake=False)
     # deterministic fake decode
     assert (decode_image(b"abc", fake=True) == decode_image(b"abc", fake=True)).all()
