@@ -74,6 +74,83 @@ RUNNER = textwrap.dedent("""
     spark.stop()
 """)
 
+CORPUS_GENERATOR = textwrap.dedent("""
+    import sys
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession
+    from aloha_spark.data.documents import make_benchmark, make_documents
+
+    docs_n = int(sys.argv[1]); out = sys.argv[2]
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "64")
+             .config("spark.driver.memory", "24g")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    d = make_documents(spark, docs_n, partitions=64)
+    d.write.mode("overwrite").parquet(f"{{out}}/docs")
+    make_benchmark(spark.read.parquet(f"{{out}}/docs")) \\
+        .write.mode("overwrite").parquet(f"{{out}}/bench")
+    spark.stop()
+""")
+
+# The corpus-curation counterpart of RUNNER: drives the REAL
+# jobs/curate.py composition (quality -> lang -> PII scrub -> exact
+# dedup -> decontamination -> split assignment -> chunk -> BFD pack)
+# through the same fresh-JVM / interleaved protocol.  The MinHash
+# near-dup stage is intentionally NOT in this workload: it is
+# benchmarked separately (bench.py `dedup_minhash`) and would dominate
+# the wall at width 2, hiding the scaling signal of the other seven
+# stages — disclosed in BASELINE.md rather than silently capped.
+CORPUS_RUNNER = textwrap.dedent("""
+    import json, sys, time
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession
+    from aloha_spark.tuning import arrow_batch_rows, worker_channel_confs
+
+    cpus = int(sys.argv[1])
+    data_dir = sys.argv[2]
+    spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+             .appName(f"scaling-corpus-{{cpus}}")
+             .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
+             .config("spark.default.parallelism", str(max(2 * cpus, 8)))
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                     str(arrow_batch_rows(cpus)))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory", "24g")
+             .config("spark.ui.enabled", "false")
+             .config(map=worker_channel_confs())
+             .getOrCreate())
+    from jobs.curate import curate, parse_args
+    from aloha_spark.operators.dedup import release_intermediates
+
+    flags = ["--docs", f"{{data_dir}}/docs", "--out", "_", "--lineage",
+             "_", "--min-quality", "0.5", "--langs", "en", "--scrub-pii",
+             "--exact-dedup",
+             "--decontam-docs", f"{{data_dir}}/bench",
+             "--decontam-n", "8", "--decontam-threshold", "0.5",
+             "--split", "train=0.98,val=0.01,test=0.01",
+             "--pack-budget", "512"]
+    args = parse_args(flags)
+    n = spark.read.parquet(f"{{data_dir}}/docs").count()
+
+    # warm-up (JIT, python workers) on a narrow slice of the same plan
+    x, _, _ = curate(spark, args)
+    x.limit(20000).write.format("noop").mode("overwrite").save()
+    release_intermediates(x)
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    x, _, report = curate(spark, args)
+    x.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    release_intermediates(x)
+    print(json.dumps({{"cpus": cpus, "rows": n, "wall_sec": round(wall, 2),
+                       "rows_per_sec": round(n / wall, 1)}}))
+    spark.stop()
+""")
+
 GENERATOR = textwrap.dedent("""
     import sys
     sys.path.insert(0, {repo!r})
@@ -119,6 +196,13 @@ def main():
                          "wall; interleaving + best-per-level "
                          "decorrelates the ratio from one episode)")
     ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--workload", default="flagship",
+                    choices=["flagship", "corpus"],
+                    help="flagship = point-in-time featurize pipeline; "
+                         "corpus = the jobs/curate.py curation "
+                         "composition over --docs-n documents")
+    ap.add_argument("--docs-n", type=int, default=8_000_000,
+                    help="corpus workload size (documents)")
     ap.add_argument("--render-only", action="store_true",
                     help="regenerate BASELINE.md from last_scaling.json "
                          "without re-running any benchmark")
@@ -131,16 +215,28 @@ def main():
         render_md(summary, args.reps)
         return
 
-    data_dir = args.data_dir or os.path.join(
-        tempfile.gettempdir(), f"aloha_scaling_{args.turns}")
-    if not os.path.exists(os.path.join(data_dir, "state")):
-        print(f"generating {args.turns} synthetic turns -> {data_dir} ...",
-              file=sys.stderr)
-        gen = GENERATOR.format(repo=REPO)
-        subprocess.run([sys.executable, "-c", gen, str(args.turns), data_dir],
-                       check=True)
-
-    runner = RUNNER.format(repo=REPO)
+    if args.workload == "corpus":
+        data_dir = args.data_dir or os.path.join(
+            tempfile.gettempdir(), f"aloha_scaling_docs_{args.docs_n}")
+        if not os.path.exists(os.path.join(data_dir, "bench")):
+            print(f"generating {args.docs_n} synthetic docs -> {data_dir}"
+                  " ...", file=sys.stderr)
+            gen = CORPUS_GENERATOR.format(repo=REPO)
+            subprocess.run(
+                [sys.executable, "-c", gen, str(args.docs_n), data_dir],
+                check=True)
+        runner = CORPUS_RUNNER.format(repo=REPO)
+    else:
+        data_dir = args.data_dir or os.path.join(
+            tempfile.gettempdir(), f"aloha_scaling_{args.turns}")
+        if not os.path.exists(os.path.join(data_dir, "state")):
+            print(f"generating {args.turns} synthetic turns -> {data_dir}"
+                  " ...", file=sys.stderr)
+            gen = GENERATOR.format(repo=REPO)
+            subprocess.run(
+                [sys.executable, "-c", gen, str(args.turns), data_dir],
+                check=True)
+        runner = RUNNER.format(repo=REPO)
     results: dict[int, dict] = {}
     raw: dict[int, list] = {c: [] for c in levels}
     for rep in range(args.reps):
@@ -164,7 +260,7 @@ def main():
             (results[b]["rows_per_sec"] / results[a]["rows_per_sec"]) / 4, 3)
     best_pair = (max(effs, key=effs.get) if effs else None)
     headline = effs[best_pair] if best_pair else None
-    summary = {
+    block = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": headline,
         "value_pair": best_pair,   # which N->4N pair the value refers to
@@ -172,8 +268,22 @@ def main():
         "efficiencies": effs,
         "levels": {str(c): results[c] for c in levels},
     }
-    print(json.dumps(summary))
-    with open(os.path.join(REPO, "BENCH", "last_scaling.json"), "w") as f:
+    # both workloads share last_scaling.json (bench.py embeds it):
+    # the flagship block stays at top level (compatibility with every
+    # prior round's artifact), the corpus block nests under "corpus"
+    path = os.path.join(REPO, "BENCH", "last_scaling.json")
+    summary: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            summary = json.load(f)
+    if args.workload == "corpus":
+        block["docs_n"] = args.docs_n
+        summary["corpus"] = block
+    else:
+        block["corpus"] = summary.get("corpus")
+        summary = block
+    print(json.dumps(block))
+    with open(path, "w") as f:
         json.dump(summary, f)
     render_md(summary, args.reps)
 
@@ -306,8 +416,60 @@ reaches {best['rows_per_sec']:,.0f} turns/sec end-to-end — including the
 as-of join, four window features, sessionization, and hashed sparse
 vector assembly, not just featurization.
 """
+    corpus = summary.get("corpus")
+    if corpus:
+        md += _render_corpus_md(corpus)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
+
+
+def _render_corpus_md(corpus) -> str:
+    results = {int(c): v for c, v in corpus["levels"].items()}
+    levels = sorted(results)
+    effs = corpus["efficiencies"]
+    table = "\n".join(
+        f"| local[{c}] | {results[c]['wall_sec']} | "
+        f"{results[c]['rows_per_sec']:,} | "
+        f"{', '.join(str(w) for w in results[c].get('all_walls', []))} |"
+        for c in levels)
+    eff_lines = "\n".join(
+        f"- **N={a} -> 4N={b}: efficiency = {effs[k]:.3f}**"
+        for a in levels for b in levels
+        if (k := f"{a}->{b}") in effs)
+    return f"""
+
+## Corpus-curation workload (same protocol)
+
+The second workload family: the REAL `jobs/curate.py` composition —
+quality filter -> language filter -> PII scrub -> exact content dedup ->
+benchmark decontamination (8-gram overlap vs a {corpus['docs_n'] // 997:,}-row
+benchmark slice) -> deterministic train/val/test split -> token
+chunking -> BFD sequence packing — over {corpus['docs_n']:,} deterministic
+synthetic documents (`aloha_spark/data/documents.py`: seeded exact-dup
+clusters, low-quality rows, non-English rows, PII tokens, verbatim
+benchmark overlap, so every stage does real work).  Fresh JVM per
+level, warm-up pass, noop sink, interleaved reps, best wall per level —
+identical protocol to the flagship table above.  The MinHash near-dup
+stage is NOT in this workload: it is benchmarked separately (bench.py
+`dedup_minhash` and the LSH recall gate) and would dominate the width-2
+wall, hiding the scaling signal of the other seven stages.
+
+| parallelism | best wall sec | docs/sec | all walls (interleaved reps) |
+|---|---|---|---|
+{table}
+
+Throughput-scaling efficiency = throughput_4N / (4 x throughput_N):
+
+{eff_lines}
+
+Qualifying pair: **{corpus.get('value_pair')}** (efficiency
+{corpus.get('value')}).  The curation plan is shuffle-light by design —
+quality/lang/scrub/split/chunk are map-only JVM passes, exact dedup is
+ONE shuffle on a 16-byte digest, decontamination is a broadcast n-gram
+probe plus ONE doc_id shuffle, and BFD packing is partition-local over
+an ids-only frame — so the same single-box DRAM/steal ceiling analysis
+as the flagship applies at width 32.
+"""
 
 
 if __name__ == "__main__":
