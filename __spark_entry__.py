@@ -1215,6 +1215,30 @@ def q_strat_sample(spark, sf_dir):
         .select("doc_id", "source")
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-flattened source mixture (alpha=0.5, target 50%):
+    keep rates ∝ sqrt(stratum size), derived in-plan from one corpus
+    scan; membership is a pure content-hash filter.  The oracle replays
+    the rate arithmetic and the md5-bucket threshold verbatim, so a
+    green hash certifies engine-independent mixture membership."""
+    from aloha_spark.operators.corpus import temperature_sample
+
+    return temperature_sample(_docs(spark, sf_dir), "source",
+                              alpha=0.5, target_frac=0.5) \
+        .select("doc_id", "source")
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document: top-token
+    fraction and duplicate bigram/trigram fractions, all pure-JVM
+    array ops (sorted-run aggregate + n-gram distinct counts)."""
+    from aloha_spark.operators.textstats import with_repetition_stats
+
+    return with_repetition_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "top_token_frac",
+        "dup_bigram_frac", "dup_trigram_frac")
+
+
 def q_decontam(spark, sf_dir):
     """Benchmark decontamination: trigram overlap of every document
     against a benchmark set (every 20th doc), broadcast-probed."""
@@ -1365,8 +1389,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strat_sample": q_strat_sample,
         "top_tokens": q_top_tokens,
         "doc_chunks": q_doc_chunks,
-        # new this round: curate-job shard output stage invariants
+        # new this round: curate-job shard output stage invariants,
+        # temperature mixture sampling, Gopher repetition signals
         "shard_stats": q_shard_stats,
+        "temperature_sample": q_temperature_sample,
+        "repetition_stats": q_repetition_stats,
         # windows / as-of (SURVEY §2.4, §2.6) — core families keep a
         # driver row every round
         "doc_scrub": q_doc_scrub,
@@ -1391,7 +1418,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "embed_neardup": q_embed_neardup,
         # featurization / sinks
-        "indexed_paths": q_indexed_paths,
         "vw_labeled": q_vw_labeled,
         "cb_lines": q_cb_lines,
         "multilabel_blocks": q_multilabel_blocks,
@@ -1403,12 +1429,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_swallow": q_error_swallow,
         "model_tree_leaves": q_model_tree_leaves,
         "audit_tree": q_audit_tree,
-        "densify": q_densify,
         "featurize_bookkeeping": q_featurize_bookkeeping,
         "bpe_tokens": q_bpe_tokens,
         "jaccard_pairs": q_jaccard_pairs,
         # ---- past the driver's 50-query window (oracle-checked by
-        # tools/selfcheck.py every round; driver-green r1-r3) ----
+        # tools/selfcheck.py every round; driver-green r1-r3;
+        # indexed_paths/densify rotated out this round to make room
+        # for temperature_sample/repetition_stats above) ----
+        "indexed_paths": q_indexed_paths,
+        "densify": q_densify,
         "window_lag_lead": q_window_lag_lead,
         "backfill_last_tool": q_backfill_last_tool,
         "sessionize": q_sessionize,
@@ -2136,6 +2165,56 @@ FROM (SELECT doc_id, source,
       FROM documents) t
 WHERE b < CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
               THEN 4000 ELSE 1000 END""",
+        # replays temperature_sample's rate arithmetic verbatim (same
+        # association order, IEEE sqrt) + the md5-bucket filter; the
+        # +1e-9 threshold epsilon matches the operator (absorbs
+        # aggregation-order ulp noise in SUM(SQRT(n_s)))
+        "temperature_sample": """
+WITH counts AS (SELECT source, COUNT(*) AS n_s FROM documents
+                GROUP BY source),
+tot AS (SELECT SUM(n_s) AS n_tot,
+               SUM(SQRT(CAST(n_s AS DOUBLE))) AS sum_pow FROM counts),
+rates AS (SELECT source,
+                 LEAST(1.0, 0.5 * n_tot
+                       * (SQRT(CAST(n_s AS DOUBLE)) / sum_pow)
+                       / n_s) AS kr
+          FROM counts, tot)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
+WHERE ('0x' || substr(md5('temp' || CAST(d.doc_id AS VARCHAR)),
+                      1, 15))::BIGINT % 10000
+      < FLOOR(r.kr * 10000 + 1e-9)""",
+        "repetition_stats": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ts
+  FROM documents),
+tok AS (SELECT doc_id, UNNEST(ts) AS token FROM toks),
+topc AS (
+  SELECT doc_id, MAX(c) AS top_c
+  FROM (SELECT doc_id, token, COUNT(*) AS c FROM tok
+        GROUP BY doc_id, token) t
+  GROUP BY doc_id),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ts)),
+                        i -> ts[i] || ' ' || ts[i+1]) AS g2,
+         list_transform(range(1, len(ts) - 1),
+                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+             AS g3
+  FROM toks)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CASE WHEN len(t.ts) > 0
+            THEN CAST(c.top_c AS DOUBLE) / len(t.ts) END AS top_token_frac,
+       CASE WHEN len(g.g2) > 0
+            THEN CAST(len(g.g2) - len(list_distinct(g.g2)) AS DOUBLE)
+                 / len(g.g2) END AS dup_bigram_frac,
+       CASE WHEN len(g.g3) > 0
+            THEN CAST(len(g.g3) - len(list_distinct(g.g3)) AS DOUBLE)
+                 / len(g.g3) END AS dup_trigram_frac
+FROM toks t
+JOIN topc c ON t.doc_id = c.doc_id
+JOIN grams g ON t.doc_id = g.doc_id""",
         "decontam": """
 WITH toks AS (
   SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ts

@@ -35,7 +35,7 @@ from fractions import Fraction
 from typing import Iterator, Mapping, Sequence, Tuple
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .textstats import tokens_col
 
@@ -125,6 +125,72 @@ def stratified_sample(df: DataFrame, strata_col: str = "source",
     default_hi = F.lit(int(round(default_fraction * N_BUCKETS)))
     thr = default_hi if thr is None else thr.otherwise(default_hi)
     return df.where(b < thr)
+
+
+def temperature_sample(df: DataFrame, strata_col: str = "source", *,
+                       alpha: float = 0.5, target_frac: float = 0.5,
+                       id_col: str = "doc_id",
+                       salt: str = "temp") -> DataFrame:
+    """Temperature-flattened source-mixture sampling.
+
+    Multi-source training corpora are rarely sampled at natural
+    proportions: mixture weights ``w_s ∝ n_s^alpha`` (``alpha=1`` keeps
+    natural proportions, ``alpha -> 0`` approaches uniform-over-sources
+    — the standard temperature trick from multilingual/multi-corpus
+    pretraining).  This materializes a deterministic sample hitting
+    those weights at ``target_frac`` of the corpus:
+
+        ``keep_rate_s = min(1, target_frac * N_total * w_s / n_s)``
+
+    and a row survives iff its content-derived ``hash_bucket`` clears
+    the stratum's rate — the same pure-filter mechanics as
+    ``stratified_sample``, so membership is reproducible row-for-row
+    across runs, partitionings, and engines.
+
+    100 TB story: ONE corpus scan (partial-aggregated count per
+    stratum; S rows cross the wire, not the corpus), the totals
+    derived from the S-row counts relation via a global window (S is
+    the number of sources — trivially single-partition), rates derived
+    IN THE PLAN (no driver collect), broadcast back, then a map-only
+    filter.  Oversized strata cap at rate 1.0 (no upsampling here —
+    repetition factors are a separate concern); tiny strata therefore
+    receive slightly less than ``target_frac * N_total`` total rows
+    rather than silently re-normalizing, keeping every stratum's rate
+    independent of the cap decisions of others.
+
+    Engine portability: the bucket threshold is
+    ``floor(keep_rate * N_BUCKETS + 1e-9)``.  The epsilon absorbs
+    last-ulp differences in the double-precision rate between engines
+    / aggregation orders (sums over per-stratum sqrt terms are
+    order-dependent in the last bit); thresholds are therefore exact
+    to 1e-9 of a bucket, far coarser than ulp noise and far finer than
+    any real rate.
+    """
+    if not alpha > 0.0:
+        raise ValueError(f"alpha must be > 0: {alpha}")
+    if not (0.0 <= target_frac <= 1.0):
+        raise ValueError(f"target_frac must be in [0, 1]: {target_frac}")
+    # pow(n, 0.5) is not guaranteed correctly rounded by every libm;
+    # IEEE sqrt is — use it when it applies so the engine-portability
+    # of the assignment extends to the rate arithmetic
+    def _pw(c: Column) -> Column:
+        return F.sqrt(c) if alpha == 0.5 else F.pow(c, F.lit(alpha))
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    w = Window.partitionBy(F.lit(0))   # counts is S rows, S = #strata
+    rates = counts.select(
+        F.col(strata_col).alias("_stratum"),
+        F.least(F.lit(1.0),
+                F.lit(float(target_frac)) * F.sum("_n_s").over(w)
+                * (_pw(F.col("_n_s")) / F.sum(_pw(F.col("_n_s"))).over(w))
+                / F.col("_n_s")).alias("_keep_rate"))
+    joined = df.join(F.broadcast(rates),
+                     F.col(strata_col).eqNullSafe(F.col("_stratum")), "left")
+    b = hash_bucket(F.col(id_col), salt=salt)
+    return (joined
+            .where(b < F.floor(F.col("_keep_rate") * N_BUCKETS
+                               + F.lit(1e-9)))
+            .drop("_stratum", "_keep_rate"))
 
 
 def ngrams_col(text: str = "text", n: int = 3, sep: str = " ") -> Column:

@@ -67,6 +67,58 @@ def with_token_stats(df: DataFrame, text: str = "text") -> DataFrame:
                        / F.size(toks))))
 
 
+def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Within-document repetition signals, the Gopher-rule family
+    (Rae et al. 2021 §A1.1: "repetitious documents are low quality"):
+
+    - ``n_tokens``        whitespace token count (long)
+    - ``top_token_frac``  occurrences of the most frequent token / n
+    - ``dup_bigram_frac`` fraction of word-bigram occurrences that are
+                          repeats: ``(n_grams - n_distinct) / n_grams``
+    - ``dup_trigram_frac`` same for trigrams
+
+    All pure JVM (array_sort + higher-order aggregate for the top-token
+    run length; transform/slice n-grams + array_distinct for the dup
+    fractions) — no Python workers, map-only, zero shuffle.  The
+    fractions are exact integer ratios, so the DuckDB oracle reproduces
+    them bit-for-bit (IEEE division of identical integers).  NULL text
+    -> NULL stats; a document shorter than n yields 0 n-grams and a
+    NULL dup fraction (no occurrences to be duplicated).
+    """
+    # lazy import: corpus.py imports tokens_col from this module at
+    # load time, so the reverse dependency must resolve at call time
+    from .corpus import ngrams_col
+
+    toks = tokens_col(text)
+    n = F.size(toks)
+    srt = F.array_sort(toks)
+    # longest run of equal adjacent tokens in the sorted array == count
+    # of the most frequent token.  Initial prev=NULL: (x == NULL) is
+    # NULL, so the first element always opens a run of 1.
+    zero = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def _merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    top = F.aggregate(srt, zero, _merge, lambda acc: acc["best"])
+
+    def _dup_frac(ncol: int):
+        g = ngrams_col(text, n=ncol)
+        m = F.size(g)
+        return F.when(m > 0,
+                      (m - F.size(F.array_distinct(g))).cast("double") / m)
+
+    return (df
+            .withColumn("n_tokens", n.cast("long"))
+            .withColumn("top_token_frac",
+                        F.when(n > 0, top.cast("double") / n))
+            .withColumn("dup_bigram_frac", _dup_frac(2))
+            .withColumn("dup_trigram_frac", _dup_frac(3)))
+
+
 def with_quality_score(df: DataFrame, text: str = "text") -> DataFrame:
     """Heuristic quality in [0,1]: length band, punctuation ratio,
     stopword presence, repetition penalty — all JVM-side arithmetic."""

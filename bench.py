@@ -53,6 +53,50 @@ def materialize(df) -> int:
     return 0
 
 
+def host_probe(spark, reps: int = 3) -> dict:
+    """Fixed-size host-health microprobes, recorded alongside every
+    bench artifact so a reader can separate ENGINE capability from HOST
+    phase.  This hypervisor has multi-minute episodes in which guest
+    kernel paths (the JVM<->Python worker channel above all) run up to
+    ~10x slow while pure-userspace compute is barely affected (see
+    _RUNNER_2M's protocol note).  Two probes quantify the phase at
+    artifact time:
+
+    - ``jvm``: pure whole-stage-codegen aggregate over ``range`` — no
+      Python workers, no shuffle reads; tracks raw CPU/DRAM health.
+    - ``channel``: identity ``mapInArrow`` over the same row count —
+      isolates Arrow serialization + the JVM<->Python socket round
+      trip, the path the episodes hit hardest.
+
+    A clean phase measures channel/jvm ≈ 2-3x; a dirty phase ≥ 6x.
+    All raw walls are disclosed, min is reported."""
+    n = 2_000_000
+
+    def _ident(it):
+        for b in it:
+            yield b
+
+    jvm_df = spark.range(n * 50, numPartitions=64) \
+                  .selectExpr("sum(id * 3 + 1) AS s")
+    chan_df = spark.range(n, numPartitions=64).mapInArrow(_ident, "id long")
+    materialize(chan_df)                       # warm Python workers
+    jvm_walls, chan_walls = [], []
+    for _ in range(reps):
+        t0 = time.time()
+        materialize(jvm_df)
+        jvm_walls.append(round(time.time() - t0, 3))
+        t0 = time.time()
+        materialize(chan_df)
+        chan_walls.append(round(time.time() - t0, 3))
+    return {
+        "jvm_sec": min(jvm_walls),
+        "channel_sec": min(chan_walls),
+        "channel_jvm_ratio": round(min(chan_walls) / min(jvm_walls), 2),
+        "jvm_walls": jvm_walls,
+        "channel_walls": chan_walls,
+    }
+
+
 def flagship(spark, sf_dir):
     """entry()-equivalent pipeline at the bench scale factor."""
     import __spark_entry__ as em
@@ -220,6 +264,7 @@ def main():
             t_big = min(t_big, t3)
         t_big = min(t_big, t2)
         timings["featurize_2m_synthetic"] = round(t_big, 3)
+        probe = host_probe(spark)
         total = round(sum(timings.values()), 3)
         scaling = None
         try:
@@ -240,6 +285,11 @@ def main():
             # every raw 2M wall across the spaced windows, disclosed:
             # this host's episodes inflate single walls up to ~10x
             "featurize_2m_walls": walls_2m,
+            # fixed-size host-health probes at artifact time (see
+            # host_probe): channel_jvm_ratio ~2-3 = clean phase,
+            # >= 6 = hypervisor episode inflating every channel-heavy
+            # number above
+            "host_probe": probe,
             "total_sec": total,
             "cpus": cpus,
             "scaling": scaling,

@@ -359,3 +359,65 @@ def test_chunk_documents_rechunks_own_output(spark):
     # 40 tokens -> 3 chunks of <=16 -> re-chunked at 4: 10 chunks total
     assert second["n_tokens"].sum() == 40
     assert (second["n_tokens"] <= 4).all()
+
+
+# -------------------------------------------------- temperature sample
+
+def test_temperature_sample_rates_and_determinism(spark):
+    """alpha=1 keeps natural proportions (rate == target everywhere);
+    alpha->0 flattens toward uniform-over-sources; membership is a
+    pure per-id filter (subset-invariant and repeatable)."""
+    from aloha_spark.operators.corpus import temperature_sample
+    # skewed strata: s0 has 600 rows, s1..s3 have 100 each
+    rows = [Row(doc_id=i, source="s0") for i in range(600)] + \
+           [Row(doc_id=600 + i, source=f"s{1 + i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows)
+
+    nat = temperature_sample(df, "source", alpha=1.0, target_frac=0.5)
+    per = nat.toPandas().groupby("source").size()
+    # alpha=1: every stratum at ~50% of its natural size
+    assert 250 < per["s0"] < 350
+    for s in ("s1", "s2", "s3"):
+        assert 30 < per[s] < 70
+
+    flat = temperature_sample(df, "source", alpha=0.1, target_frac=0.5)
+    perf = flat.toPandas().groupby("source").size()
+    # alpha~0: weights near-uniform over 4 sources -> each stratum
+    # targets ~ 0.5*900/4 = 112.5 rows; small strata cap at 100 (rate 1)
+    assert perf["s1"] == 100 and perf["s2"] == 100 and perf["s3"] == 100
+    assert 80 < perf["s0"] < 150
+
+    again = temperature_sample(df, "source", alpha=1.0, target_frac=0.5)
+    assert sorted(again.toPandas()["doc_id"]) == \
+        sorted(nat.toPandas()["doc_id"])
+
+
+def test_temperature_sample_caps_and_validates(spark):
+    from aloha_spark.operators.corpus import temperature_sample
+    rows = [Row(doc_id=i, source="big") for i in range(900)] + \
+           [Row(doc_id=900 + i, source="tiny") for i in range(10)]
+    df = spark.createDataFrame(rows)
+    # alpha=0.2 pushes the tiny stratum's rate above 1 -> capped: all
+    # 10 tiny rows kept, never upsampled
+    out = temperature_sample(df, "source", alpha=0.2,
+                             target_frac=0.5).toPandas()
+    assert (out["source"] == "tiny").sum() == 10
+    with pytest.raises(ValueError):
+        temperature_sample(df, alpha=0.0)
+    with pytest.raises(ValueError):
+        temperature_sample(df, target_frac=1.5)
+
+
+def test_temperature_sample_null_stratum_and_plan(spark):
+    """NULL strata form their own stratum (null-safe join); the plan
+    stays broadcast + filter — no corpus-wide shuffle."""
+    from aloha_spark.operators.corpus import temperature_sample
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=None if i % 2 else "a") for i in range(200)],
+        "doc_id int, source string")
+    out = temperature_sample(df, "source", alpha=0.5, target_frac=0.5)
+    pdf = out.toPandas()
+    assert (pdf["source"].isna()).sum() > 0      # NULL stratum sampled
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "SortMergeJoin" not in plan

@@ -344,3 +344,61 @@ class TestDegenerateInputs:
             a, b = vecs[r.id_a], vecs[r.id_b]
             exact = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
             assert abs(r.cosine - round(exact, 6)) < 1e-9
+
+
+class TestRepetitionStats:
+    def test_matches_hand_computed(self, spark):
+        from pyspark.sql import Row
+        from aloha_spark.operators.textstats import with_repetition_stats
+        df = spark.createDataFrame([
+            # "a a a b": top token a=3/4; bigrams [a a, a a, a b]:
+            # 3 grams, 2 distinct -> dup 1/3; trigrams [a a a, a a b]:
+            # 2 grams, 2 distinct -> dup 0
+            Row(doc_id=1, text="a a a b"),
+            # all distinct
+            Row(doc_id=2, text="x y z w"),
+            # single token: no bigrams/trigrams -> NULL fracs
+            Row(doc_id=3, text="solo"),
+            Row(doc_id=4, text=None),
+        ])
+        out = with_repetition_stats(df).toPandas().set_index("doc_id")
+        assert out.loc[1, "n_tokens"] == 4
+        assert out.loc[1, "top_token_frac"] == 0.75
+        assert abs(out.loc[1, "dup_bigram_frac"] - 1 / 3) < 1e-12
+        assert out.loc[1, "dup_trigram_frac"] == 0.0
+        assert out.loc[2, "top_token_frac"] == 0.25
+        assert out.loc[2, "dup_bigram_frac"] == 0.0
+        assert out.loc[3, "n_tokens"] == 1
+        assert out.loc[3, "top_token_frac"] == 1.0
+        assert pd.isna(out.loc[3, "dup_bigram_frac"])
+        assert pd.isna(out.loc[3, "dup_trigram_frac"])
+        assert pd.isna(out.loc[4, "top_token_frac"])
+
+    def test_matches_pandas_reference(self, spark, docs):
+        from collections import Counter
+        from aloha_spark.operators.textstats import with_repetition_stats
+        got = (with_repetition_stats(docs.limit(60))
+               .select("doc_id", "text", "n_tokens", "top_token_frac",
+                       "dup_bigram_frac", "dup_trigram_frac").toPandas())
+        for _, r in got.iterrows():
+            ts = (r["text"] or "").split()
+            if not ts:
+                continue
+            assert r["n_tokens"] == len(ts)
+            assert abs(r["top_token_frac"]
+                       - max(Counter(ts).values()) / len(ts)) < 1e-12
+            for n, col in ((2, "dup_bigram_frac"), (3, "dup_trigram_frac")):
+                grams = [" ".join(ts[i:i + n])
+                         for i in range(len(ts) - n + 1)]
+                if not grams:
+                    assert pd.isna(r[col])
+                else:
+                    want = (len(grams) - len(set(grams))) / len(grams)
+                    assert abs(r[col] - want) < 1e-12
+
+    def test_plan_is_pure_jvm_map(self, spark, docs):
+        from aloha_spark.operators.textstats import with_repetition_stats
+        plan = with_repetition_stats(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "PythonUDF" not in plan and "ArrowEval" not in plan
