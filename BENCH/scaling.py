@@ -344,24 +344,36 @@ its own memory bus and OS scheduler.  The full-width pair (8->32)
 instead measures a single-box ceiling, attributed by measurement to TWO
 host artifacts:
 
-1. **Single-box DRAM/steal ceiling, quantified** (`BENCH/
-   stage_probe.py`, results in `BENCH/last_stage_probe.json`, measured
-   clean after the channel fix in #2): the pipeline's ZERO-PYTHON
-   portion (windows + salted as-of, pure Catalyst — no Arrow workers)
-   reaches 740,745 rows/s at local[8] and 1,520,902 rows/s at
-   local[32] — an 8->32 efficiency of **0.51 for a plan with no Python
-   at all**.  That is the host's width-32 ceiling (all 32 virtualized
-   lanes share one DRAM bus for shuffle/sort/hash traffic, under
-   20-30% hypervisor CPU steal), the upper bound for ANY plan.  The
-   full pipeline's 8->32 efficiency lands at ~90% of that ceiling; the
-   residue is the Arrow featurize stage's 32 Python workers sharing
-   the same saturated bus.  Moving that stage JVM-side was prototyped
-   and measured (`tools/jvm_hash_experiment.py`): a bit-exact
-   Catalyst-expression MurmurHash3.stringHash is ~40x SLOWER than the
-   memoized numpy/Arrow kernel (higher-order-function lambdas are not
+1. **Single-box DRAM/steal ceiling + a width-flat Python stage,
+   quantified** (`BENCH/stage_probe.py`, results in
+   `BENCH/last_stage_probe.json`, re-measured the same day as the
+   table above, after the channel fix in #2): the pipeline's
+   ZERO-PYTHON portion (windows + salted as-of, pure Catalyst — no
+   Arrow workers) reaches 1,166,147 rows/s at local[8] and 2,809,562
+   rows/s at local[32] — an 8->32 efficiency of **0.602 for a plan
+   with no Python at all**, the host's width-32 ceiling for any plan
+   (all 32 virtualized lanes share one DRAM bus for shuffle/sort/hash
+   traffic, under 20-30% hypervisor CPU steal).  The full pipeline's
+   probe walls attribute the rest: adding the Arrow featurize stage
+   costs 12.8s of wall at width 8 (13.72 -> 26.53s) and 13.4s at
+   width 32 (5.69 -> 19.14s) — the Python stage's wall is FLAT in
+   width, i.e. 32 memory-bound numpy workers move no more rows/sec
+   than 8 on one shared bus, and that flat stage is the entire
+   full-pipeline 8->32 gap (0.35 measured vs 0.602 ceiling).  On a
+   real N -> 4N executor cluster each executor adds its own memory
+   bus, which is the regime the 2->8 pair evidences.  Moving the
+   stage JVM-side was prototyped and measured
+   (`tools/jvm_hash_experiment.py`): a bit-exact Catalyst-expression
+   MurmurHash3.stringHash is ~40x SLOWER than the memoized
+   numpy/Arrow kernel (higher-order-function lambdas are not
    codegen'd; each UTF-16 unit costs a substring+conv round-trip), so
-   the Arrow tier is the measured optimum for a pure-Python deliverable
-   and the residue is irreducible without a native Scala UDF jar.
+   the Arrow tier is the measured optimum for a pure-Python
+   deliverable and the residue is irreducible without a native Scala
+   UDF jar.  Round-4 currency: the khash-factorize kernel rewrite
+   sped the stage up at EVERY width (width-8 full pipeline 405k ->
+   603k rows/s, width-2 136k -> 180k) — the 8->32 ratio fell from
+   0.40 to 0.35 only because the denominator improved 26% while the
+   width-32 wall sits on the bus ceiling.
 2. **Episodic collapse, diagnosed to packet level**: during a width-32
    run we captured a stalled straggler with `jstack` + `ss -tinm`: the
    Python<->JVM Arrow channel (TCP over loopback on this host) showed
@@ -405,8 +417,8 @@ automatically when the first two disagree by >1.5x.  Worked example of
 a fully gated measurement: an 8M-turn scaling spot-check run during a
 bad phase (`BENCH/verify_8m_r3b.json`, all raw walls disclosed) landed
 130-161s outliers on the width-8/32 levels and a 2->8 ratio of 0.413 —
-the same binary + input that measures 0.975 in the interleaved
-16M-turn table above.  Ratios are only meaningful when the levels being
+the same workload that measures 0.87-0.91 across rounds in the
+interleaved 16M-turn table above.  Ratios are only meaningful when the levels being
 compared ran under one machine state, which is what the interleaved
 protocol above enforces.
 
