@@ -201,6 +201,9 @@ BENCH_QUERIES = [
     # round 3: corpus family — broadcast-probe decontamination and
     # vocabulary top-k (both all-JVM)
     "decontam", "top_tokens",
+    # round 4: Gopher repetition signals (all-JVM map) and
+    # temperature-mixture sampling (S-row count scan + broadcast filter)
+    "repetition_stats", "temperature_sample",
 ]
 
 

@@ -4,12 +4,13 @@ pipelines — the document-side counterpart of jobs/featurize.py.
 Stages (each optional, composed in the order a 100 TB curation run
 wants them):
 
-    quality filter  ->  language filter  ->  PII scrub  ->
-    exact dedup (content digest)  ->
+    repetition/length filter (Gopher rules)  ->  quality filter  ->
+    language filter  ->  PII scrub  ->  exact dedup (content digest) ->
     near-dup dedup (MinHash+LSH pairs -> connected components ->
     keep canonical)  ->  benchmark decontamination  ->
-    stratified sampling  ->  train/val/test split assignment  ->
-    bucketed write with per-bucket lineage
+    stratified OR temperature-mixture sampling  ->
+    train/val/test split assignment  ->  chunk -> pack ->
+    bucketed/sharded write with per-bucket lineage
 
 Usage:
     spark-submit --py-files aloha_spark.zip jobs/curate.py \
@@ -58,6 +59,21 @@ def parse_args(argv):
     p.add_argument("--format", default="parquet")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
+    p.add_argument("--min-tokens", type=int, default=None,
+                   help="drop documents with fewer whitespace tokens "
+                        "(Gopher-style length gate)")
+    p.add_argument("--max-tokens", type=int, default=None,
+                   help="drop documents with more whitespace tokens")
+    p.add_argument("--max-top-token-frac", type=float, default=None,
+                   help="drop documents whose most frequent token "
+                        "exceeds this fraction of all tokens "
+                        "(Gopher repetition rule)")
+    p.add_argument("--max-dup-bigram-frac", type=float, default=None,
+                   help="drop documents whose duplicate word-bigram "
+                        "fraction exceeds this")
+    p.add_argument("--max-dup-trigram-frac", type=float, default=None,
+                   help="drop documents whose duplicate word-trigram "
+                        "fraction exceeds this")
     p.add_argument("--min-quality", type=float, default=None,
                    help="drop documents with quality_score below this")
     p.add_argument("--langs", default=None,
@@ -85,6 +101,14 @@ def parse_args(argv):
                    help="comma list stratum=fraction, e.g. src0=0.4")
     p.add_argument("--sample-default", type=float, default=1.0,
                    help="fraction for strata not in --sample-fracs")
+    p.add_argument("--temperature-alpha", type=float, default=None,
+                   help="temperature-flattened mixture sampling: "
+                        "stratum weights proportional to n^alpha over "
+                        "--sample-col (mutually exclusive with "
+                        "--sample-fracs)")
+    p.add_argument("--temperature-frac", type=float, default=0.5,
+                   help="corpus fraction the temperature mixture "
+                        "targets (default 0.5)")
     p.add_argument("--split", default=None,
                    help="comma list name=weight, e.g. "
                         "train=0.98,val=0.01,test=0.01 — appends a "
@@ -154,6 +178,34 @@ def curate(spark, args):
             {"stage": stage, "rows": x.count()} if args.stage_counts
             else {"stage": stage})
 
+    rep_args = (args.min_tokens, args.max_tokens,
+                args.max_top_token_frac, args.max_dup_bigram_frac,
+                args.max_dup_trigram_frac)
+    if any(a is not None for a in rep_args):
+        # Gopher-style length/repetition gate: cheapest map-only pass,
+        # so it runs FIRST — every later stage sees fewer rows.  The
+        # helper columns are computed, filtered on, and dropped; NULL
+        # stats (empty/NULL text, too-short-for-n-grams docs) never
+        # satisfy a `>` comparison, so those documents pass the
+        # repetition rules and are gated by --min-tokens alone.
+        from aloha_spark.operators.textstats import with_repetition_stats
+        x = with_repetition_stats(x, text_col)
+        keep = F.lit(True)
+        if args.min_tokens is not None:
+            keep &= F.col("n_tokens") >= args.min_tokens
+        if args.max_tokens is not None:
+            keep &= F.col("n_tokens") <= args.max_tokens
+        for col, cap in (("top_token_frac", args.max_top_token_frac),
+                         ("dup_bigram_frac", args.max_dup_bigram_frac),
+                         ("dup_trigram_frac", args.max_dup_trigram_frac)):
+            if cap is not None:
+                # explicit NULL pass-through: a doc too short to have
+                # n-grams has NULL fractions, and NULL > cap is NULL
+                # (which where() would DROP, not keep)
+                keep &= F.col(col).isNull() | (F.col(col) <= cap)
+        x = x.where(keep).drop("n_tokens", "top_token_frac",
+                               "dup_bigram_frac", "dup_trigram_frac")
+        checkpoint("repetition_filter")
     if args.min_quality is not None:
         x = (with_quality_score(x, text_col)
              .where(F.col("quality_score") >= args.min_quality))
@@ -201,6 +253,10 @@ def curate(spark, args):
                            .select(id_col), id_col, "left_anti")
         decontam_cache = persisted
         checkpoint("decontam")
+    if args.temperature_alpha is not None and args.sample_fracs:
+        raise SystemExit("--temperature-alpha and --sample-fracs are "
+                         "mutually exclusive — pick explicit per-stratum "
+                         "fractions OR a temperature mixture")
     if args.sample_fracs or args.sample_default < 1.0:
         from aloha_spark.operators.corpus import stratified_sample
         if not args.sample_col:
@@ -211,6 +267,15 @@ def curate(spark, args):
                               default_fraction=args.sample_default,
                               id_col=id_col)
         checkpoint("stratified_sample")
+    if args.temperature_alpha is not None:
+        from aloha_spark.operators.corpus import temperature_sample
+        if not args.sample_col:
+            raise SystemExit("--temperature-alpha requires --sample-col")
+        x = temperature_sample(x, args.sample_col,
+                               alpha=args.temperature_alpha,
+                               target_frac=args.temperature_frac,
+                               id_col=id_col)
+        checkpoint("temperature_sample")
     if args.split:
         from aloha_spark.operators.corpus import deterministic_split
         weights = parse_kv_list(args.split, "--split")

@@ -210,3 +210,71 @@ def test_curate_sample_requires_col(spark, tmp_path):
         "--lineage", str(tmp_path / "l"), "--sample-default", "0.5"])
     with pytest.raises(SystemExit):
         curate_job.curate(spark, args)
+
+
+def test_curate_repetition_filter(spark, tmp_path):
+    """Gopher length/repetition gate: repetitive and too-short docs
+    drop, short-but-clean docs survive the NULL dup fractions, helper
+    columns never reach the output."""
+    docs = str(tmp_path / "docs")
+    rows = [
+        (0, GOOD),                               # clean keeper
+        (1, "spam " * 40),                       # top_token_frac = 1.0
+        (2, ("the cat sat " * 15) + "done"),     # dup bigrams/trigrams
+        (3, "tiny doc"),                         # below --min-tokens
+        # 6 tokens: above min, has bigrams/trigrams but all distinct
+        (4, "six distinct tokens in this doc"),
+        (5, None),                               # NULL text -> dropped
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+         .write.mode("overwrite").parquet(docs)
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o"),
+        "--lineage", str(tmp_path / "l"), "--stage-counts",
+        "--min-tokens", "5", "--max-top-token-frac", "0.2",
+        "--max-dup-bigram-frac", "0.3", "--max-dup-trigram-frac", "0.3"])
+    x, _, report = curate_job.curate(spark, args)
+    pdf = x.toPandas()
+    assert sorted(pdf["doc_id"]) == [0, 4]
+    for col in ("n_tokens", "top_token_frac", "dup_bigram_frac",
+                "dup_trigram_frac"):
+        assert col not in pdf.columns
+    assert report["stages"][0] == {"stage": "repetition_filter",
+                                   "rows": 2}
+
+
+def test_curate_temperature_sample_stage(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    rows = [(i, "big" if i < 640 else f"s{i % 4}",
+             f"document {i} with several words") for i in range(720)]
+    spark.createDataFrame(rows, "doc_id long, source string, text string") \
+         .write.mode("overwrite").parquet(docs)
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o"),
+        "--lineage", str(tmp_path / "l"), "--stage-counts",
+        "--sample-col", "source",
+        "--temperature-alpha", "0.3", "--temperature-frac", "0.5"])
+    x, _, report = curate_job.curate(spark, args)
+    per = x.toPandas().groupby("source").size()
+    # alpha=0.3 flattens hard: the four 20-row strata keep everything
+    # (rate capped at 1), the 640-row stratum is cut far below 50%
+    for s in ("s0", "s1", "s2", "s3"):
+        assert per[s] == 20
+    assert per["big"] < 320
+    assert report["stages"][0]["stage"] == "temperature_sample"
+
+
+def test_curate_temperature_excludes_sample_fracs(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs)
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o"),
+        "--lineage", str(tmp_path / "l"), "--sample-col", "source",
+        "--sample-fracs", "src0=0.5", "--temperature-alpha", "0.5"])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        curate_job.curate(spark, args)
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o"),
+        "--lineage", str(tmp_path / "l"), "--temperature-alpha", "0.5"])
+    with pytest.raises(SystemExit, match="require"):
+        curate_job.curate(spark, args)
