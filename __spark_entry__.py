@@ -1287,6 +1287,55 @@ def q_pack_stats(spark, sf_dir):
             .orderBy("pack_id"))
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Falcon/RefinedWeb-style paragraph-level exact dedup: documents
+    are paragraphized deterministically (5-token windows joined by
+    newline — the synthetic corpus has no paragraph breaks of its own),
+    then any paragraph repeating an earlier (doc_id, idx) occurrence is
+    dropped and documents are reassembled.  Skew-proof min-struct
+    keeper aggregation; the oracle replays the chunk arithmetic, the
+    first-occurrence window, and the ordered reassembly in DuckDB."""
+    from aloha_spark.operators.dedup import dedup_paragraphs
+
+    # tokens projected before the paragraphizing transform (a free
+    # split inside the lambda re-runs per paragraph; see ngrams_of)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_tk"))
+    toks = F.col("_tk")
+    n = F.size(toks)
+    k = F.when(n <= 5, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - 5) / F.lit(5.0)).cast("int"))
+    para_text = F.array_join(
+        F.transform(F.sequence(F.lit(0), k - 1),
+                    lambda i: F.array_join(F.slice(toks, i * 5 + 1, 5),
+                                           " ")), "\n")
+    return dedup_paragraphs(
+        d.select("doc_id", para_text.alias("text")), delim="\n")
+
+
+def q_dsir_weight(spark, sf_dir):
+    """DSIR importance log-weights (hashed unigram+bigram bag models,
+    add-one smoothing) of every document against the English subset as
+    the target set; md5 bucket hash replayed verbatim by the oracle."""
+    from aloha_spark.operators.corpus import dsir_logweight
+
+    d = _docs(spark, sf_dir)
+    return dsir_logweight(d, d.where(F.col("lang") == "en"),
+                          n_buckets=512).select(
+        "doc_id", "n_grams", "dsir_logweight")
+
+
+def q_unigram_xent(spark, sf_dir):
+    """Corpus-unigram-LM cross-entropy per document (the CCNet-style
+    perplexity filter): hybrid broadcast-head / shuffle-tail token
+    probability join (head_k=40 at this scale so BOTH paths carry
+    rows); the oracle refits the same LM in DuckDB."""
+    from aloha_spark.operators.corpus import with_unigram_logprob
+
+    return with_unigram_logprob(_docs(spark, sf_dir), head_k=40).select(
+        "doc_id", "n_tokens", "xent")
+
+
 def q_shard_stats(spark, sf_dir):
     """The curate job's shard output stage (jobs/curate.py: chunk ->
     pack -> shard write) rolled up to ONE deterministic invariant row:
@@ -1390,10 +1439,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "doc_chunks": q_doc_chunks,
         # new this round: curate-job shard output stage invariants,
-        # temperature mixture sampling, Gopher repetition signals
+        # temperature mixture sampling, Gopher repetition signals,
+        # paragraph dedup, DSIR weighting, unigram-LM cross-entropy
         "shard_stats": q_shard_stats,
         "temperature_sample": q_temperature_sample,
         "repetition_stats": q_repetition_stats,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "dsir_weight": q_dsir_weight,
+        "unigram_xent": q_unigram_xent,
         # windows / as-of (SURVEY §2.4, §2.6) — core families keep a
         # driver row every round
         "doc_scrub": q_doc_scrub,
@@ -1404,12 +1457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "broadcast_join": q_broadcast_join,
         "linear_score": q_linear_score,
-        "proto_roundtrip": q_proto_roundtrip,
-        "avro_roundtrip": q_avro_roundtrip,
         # model dataflow layer (SURVEY §2.8)
         "tree_risk": q_tree_risk,
         "order_segment": q_order_segment,
-        "price_bucket": q_price_bucket,
         # corpus curation family
         "decontam": q_decontam,
         "dedup_exact": q_dedup_exact,
@@ -1434,8 +1484,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         # ---- past the driver's 50-query window (oracle-checked by
         # tools/selfcheck.py every round; driver-green r1-r3;
-        # indexed_paths/densify rotated out this round to make room
-        # for temperature_sample/repetition_stats above) ----
+        # indexed_paths/densify/proto_roundtrip/avro_roundtrip/
+        # price_bucket rotated out this round to make room for
+        # temperature_sample/repetition_stats/dedup_paragraphs/
+        # dsir_weight/unigram_xent above) ----
+        "proto_roundtrip": q_proto_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
+        "price_bucket": q_price_bucket,
         "indexed_paths": q_indexed_paths,
         "densify": q_densify,
         "window_lag_lead": q_window_lag_lead,
@@ -2292,6 +2347,78 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
        CAST(0 AS BIGINT) AS over_budget_packs,
        CAST(0 AS BIGINT) AS oversized_chunks
 FROM ch""",
+        # paragraphize (5-token windows), first occurrence by
+        # (doc_id, pidx) wins, ordered reassembly — the full
+        # RefinedWeb-style paragraph dedup replayed in SQL
+        "dedup_paragraphs": """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(TRIM(text), '\\s+') END AS ts
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT doc_id, ts,
+         CASE WHEN len(ts) <= 5 THEN 1
+              ELSE 1 + CAST(CEIL((len(ts) - 5) / 5.0) AS INT) END AS k
+  FROM toks),
+paras AS (
+  SELECT doc_id, CAST(i AS INT) AS pidx,
+         TRIM(array_to_string(
+             ts[CAST(i*5+1 AS INT) : CAST(i*5+5 AS INT)], ' ')) AS p
+  FROM (SELECT doc_id, ts, UNNEST(range(0, k)) AS i FROM c)),
+kept AS (
+  SELECT doc_id, pidx, p FROM paras WHERE p <> ''
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY p ORDER BY doc_id, pidx) = 1)
+SELECT doc_id, string_agg(p, chr(10) ORDER BY pidx) AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_paras_kept
+FROM kept GROUP BY doc_id""",
+        # DSIR bucket models refit in SQL: same md5 bucket hash, same
+        # add-one smoothing with identical association order, so the
+        # per-document double sums agree to ~1e-13
+        "dsir_weight": """
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(TRIM(text), '\\s+') END AS ts
+  FROM documents WHERE text IS NOT NULL),
+gb AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('dsir' || g), 1, 15))::BIGINT % 512 AS b
+  FROM (SELECT doc_id, lang,
+               UNNEST(list_concat(ts,
+                   list_transform(range(1, len(ts)),
+                                  i -> ts[i] || ' ' || ts[i+1]))) AS g
+        FROM toks)),
+tc AS (SELECT b, COUNT(*) AS ct FROM gb WHERE lang = 'en' GROUP BY b),
+rc AS (SELECT b, COUNT(*) AS cr FROM gb GROUP BY b),
+tt AS (SELECT COALESCE(SUM(ct), 0) AS tt FROM tc),
+tr AS (SELECT SUM(cr) AS tr FROM rc),
+lw AS (SELECT b, LN((COALESCE(ct, 0) + 1.0) / (tt + 512.0))
+              - LN((cr + 1.0) / (tr + 512.0)) AS lw
+       FROM rc LEFT JOIN tc USING (b), tt, tr),
+agg AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(lw) AS w
+        FROM gb JOIN lw USING (b) GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+       COALESCE(a.w, 0.0) AS dsir_logweight
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        # the corpus unigram LM refit in SQL; join strategy (hybrid
+        # broadcast-head vs plain) cannot change the result, so one
+        # plain join oracles both Spark paths
+        "unigram_xent": """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(TRIM(text), '\\s+') END AS ts
+  FROM documents WHERE text IS NOT NULL),
+tok AS (SELECT doc_id, UNNEST(ts) AS t FROM toks),
+vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM vocab),
+lp AS (SELECT t, LN(CAST(c AS DOUBLE) / n) AS lp FROM vocab, tot),
+agg AS (SELECT doc_id, COUNT(*) AS n_tokens, -AVG(lp) AS xent
+        FROM tok JOIN lp USING (t) GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       a.xent AS xent
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
     }
 
 

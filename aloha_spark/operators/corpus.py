@@ -193,15 +193,24 @@ def temperature_sample(df: DataFrame, strata_col: str = "source", *,
             .drop("_stratum", "_keep_rate"))
 
 
-def ngrams_col(text: str = "text", n: int = 3, sep: str = " ") -> Column:
-    """Whitespace-token n-grams as ``array<string>`` — pure JVM
-    (split / sequence / transform / slice / array_join), no Python.
+def ngrams_of(toks: Column, n: int = 3, sep: str = " ") -> Column:
+    """Whitespace-token n-grams over an ALREADY-MATERIALIZED token-array
+    column — pure JVM (sequence / transform / slice / array_join).
+
+    ``toks`` must be a projected attribute (``withColumn`` it first),
+    not an inline ``split()`` expression: Catalyst performs no
+    subexpression elimination inside higher-order-function lambda
+    bodies, so a free-variable split is re-evaluated for EVERY element
+    of the transform — O(tokens²) re-tokenization per document
+    (measured 12s → 0.4s on the 5k-doc bench corpus; the longer the
+    documents, the worse).  Materializing the array is load-bearing,
+    and the multiple ``toks`` references below also keep
+    CollapseProject from inlining the projection back in.
 
     Shorter-than-n documents yield an empty array (the ``when`` guard
     matters: ``sequence(1, m)`` with m < 1 would count DOWN).  NULL
-    text -> NULL.
+    tokens -> NULL.
     """
-    toks = tokens_col(text)
     m = F.size(toks) - (n - 1)
     return (F.when(toks.isNull(), F.lit(None).cast("array<string>"))
              .when(m >= 1,
@@ -209,6 +218,16 @@ def ngrams_col(text: str = "text", n: int = 3, sep: str = " ") -> Column:
                                lambda i: F.array_join(F.slice(toks, i, n),
                                                       sep)))
              .otherwise(F.array().cast("array<string>")))
+
+
+def ngrams_col(text: str = "text", n: int = 3, sep: str = " ") -> Column:
+    """Inline-convenience wrapper: tokenize ``text`` and build n-grams
+    in ONE expression.  Because the split sits inside the transform
+    lambda as a free variable, it re-runs per gram — O(tokens²) — so
+    this form is acceptable only for tiny/one-off fields and tests.
+    Every hot path should project the token array and call
+    :func:`ngrams_of` on the attribute instead."""
+    return ngrams_of(tokens_col(text), n, sep)
 
 
 def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
@@ -239,14 +258,21 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
     an OOM-prone broadcast.
     """
     bench_text = bench_text or text
+    # tokens are projected before the n-gram transform on BOTH sides:
+    # an inline split would re-tokenize per gram (see ngrams_of)
     bgrams = (benchmark
-              .select(F.explode(ngrams_col(bench_text, n, sep)).alias("gram"))
+              .select(tokens_col(bench_text).alias("_tk"))
+              .select(F.explode(ngrams_of(F.col("_tk"), n, sep))
+                       .alias("gram"))
               .distinct()
               .withColumn("_hit", F.lit(1)))
-    grams = docs.select(
-        id_col,
-        F.explode_outer(F.array_distinct(ngrams_col(text, n, sep)))
-         .alias("gram"))
+    grams = (docs
+             .select(id_col, tokens_col(text).alias("_tk"))
+             .select(
+                 id_col,
+                 F.explode_outer(
+                     F.array_distinct(ngrams_of(F.col("_tk"), n, sep)))
+                  .alias("gram")))
     probe = F.broadcast(bgrams) if broadcast_bench else bgrams
     joined = grams.join(probe, "gram", "left")
     agg = (joined.groupBy(id_col)
@@ -258,6 +284,145 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
     return (agg
             .withColumn("contam_frac", frac)
             .withColumn("contaminated", F.col("contam_frac") >= threshold))
+
+
+def dsir_logweight(docs: DataFrame, target: DataFrame, *,
+                   id_col: str = "doc_id", text: str = "text",
+                   target_text: str = None, n_buckets: int = 4096,
+                   salt: str = "dsir") -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much it looks
+    like a small high-quality ``target`` set, using hashed-n-gram bag
+    models.
+
+    Features are unigrams + bigrams hashed into ``n_buckets`` buckets
+    (the paper's construction); the bucket models are add-one-smoothed
+    categorical distributions fit on the target set and the raw corpus,
+    and a document's importance log-weight is::
+
+        sum over its grams g of  log p_target(b(g)) - log p_raw(b(g))
+
+    Returns one row per raw document: ``(id, n_grams,
+    dsir_logweight)``; documents with no grams (NULL/token-free text)
+    score 0.0.  Callers resample by weight (threshold or Gumbel top-k)
+    downstream.
+
+    100 TB story: both bucket models are <= ``n_buckets`` rows built by
+    partial-aggregated counts (ONE pass over each corpus, B rows cross
+    the wire per partition); the log-ratio relation is broadcast and the
+    per-document sum partial-aggregates before the single id-keyed
+    shuffle.  The bucket hash is the engine-portable md5 construction
+    (:func:`hash_bucket`), so scores are auditable off-cluster.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive: {n_buckets}")
+    target_text = target_text or text
+
+    # tokens are projected before the bigram transform: an inline split
+    # would re-tokenize per gram (see ngrams_of)
+    grams = F.concat(F.col("_tk"), ngrams_of(F.col("_tk"), 2))
+
+    def bucket_counts(df: DataFrame, tcol: str, cname: str) -> DataFrame:
+        return (df.select(tokens_col(tcol).alias("_tk"))
+                  .select(F.explode(grams).alias("_g"))
+                  .select(hash_bucket(F.col("_g"), salt=salt,
+                                      n_buckets=n_buckets).alias("_b"))
+                  .groupBy("_b").agg(F.count(F.lit(1)).alias(cname)))
+
+    # totals ride the <= n_buckets-row count relations as
+    # single-partition windows (the temperature_sample pattern): each
+    # corpus is scanned exactly ONCE for its model — a separate
+    # .agg() + crossJoin for the totals would re-run the whole
+    # bucket-count subtree a second time
+    wb = Window.partitionBy(F.lit(0))
+    tc = (bucket_counts(target, target_text, "_ct")
+          .withColumn("_tt", F.sum("_ct").over(wb)))
+    rc = (bucket_counts(docs, text, "_cr")
+          .withColumn("_tr", F.sum("_cr").over(wb)))
+    b_lit = F.lit(float(n_buckets))
+    # raw-side buckets are sufficient: every scored gram comes from the
+    # raw corpus, so target-only buckets are never probed (their mass
+    # still counts in _tt, computed on tc BEFORE the join; raw-only
+    # rows get the constant back-filled by the max window, 0 when the
+    # target has no grams at all)
+    ratio = (rc.join(tc, "_b", "left")
+             .withColumn("_tt", F.coalesce(F.max("_tt").over(wb),
+                                           F.lit(0)))
+             .select(
+                 "_b",
+                 (F.log((F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("_tt") + b_lit))
+                  - F.log((F.col("_cr") + F.lit(1.0))
+                          / (F.col("_tr") + b_lit))).alias("_lw")))
+    doc_grams = (docs.select(id_col, tokens_col(text).alias("_tk"))
+                 .select(id_col, F.explode_outer(grams).alias("_g"))
+                 .select(id_col,
+                         hash_bucket(F.col("_g"), salt=salt,
+                                     n_buckets=n_buckets).alias("_b")))
+    return (doc_grams.join(F.broadcast(ratio), "_b", "left")
+            .groupBy(id_col)
+            .agg(F.count("_b").alias("n_grams"),
+                 F.coalesce(F.sum("_lw"), F.lit(0.0))
+                  .alias("dsir_logweight")))
+
+
+def with_unigram_logprob(docs: DataFrame, *, id_col: str = "doc_id",
+                         text: str = "text",
+                         head_k: int = 65536) -> DataFrame:
+    """Corpus-LM cross-entropy scoring (the CCNet-style perplexity
+    filter, Wenzek et al. 2020, with the corpus's own unigram LM
+    standing in for KenLM — no external model artifacts): fit
+    ``p(t) = count(t) / N`` over the whole corpus, then score every
+    document by the mean negative log-probability of its tokens.
+    Low-``xent`` documents are typical; high-``xent`` ones are noise.
+
+    Returns one row per document: ``(id, n_tokens, xent)`` where
+    ``xent = -mean(ln p(token))`` in nats; token-free / NULL text
+    yields ``n_tokens = 0, xent = NULL``.
+
+    100 TB story — the token-probability join is the classic Zipf-skew
+    join, handled hybrid: the ``head_k`` most frequent tokens (which
+    carry ~95% of token mass at any realistic vocabulary) are broadcast
+    and probed map-side with NO exchange, and only the cold tail — whose
+    key distribution is by construction skew-free — takes the
+    shuffle-join against the full vocabulary.  A naive single
+    shuffle-join would send every occurrence of "the" to one reducer.
+    The vocabulary relation is persisted (it feeds both the head and the
+    tail probe) and auto-released with the result.  ``head_k=0``
+    disables the hybrid (one plain shuffle join; useful for A/B parity
+    checks).
+    """
+    if head_k < 0:
+        raise ValueError(f"head_k must be >= 0: {head_k}")
+    tok = docs.select(id_col,
+                      F.explode_outer(tokens_col(text)).alias("_t"))
+    # the vocabulary itself is persisted (not a descendant): the totals
+    # agg, the broadcast head, and the tail probe all derive from it,
+    # and without the cache each one would re-scan the corpus
+    vocab = (docs.select(F.explode(tokens_col(text)).alias("_t"))
+             .groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+             .persist())
+    persisted = (vocab,)
+    tot = vocab.agg(F.sum("_c").alias("_n"))
+    vocab_p = (vocab.crossJoin(F.broadcast(tot))
+               .select("_t", "_c",
+                       F.log(F.col("_c") / F.col("_n")).alias("_lp")))
+    if head_k > 0:
+        head = (vocab_p.orderBy(F.col("_c").desc(), F.col("_t"))
+                .limit(head_k).drop("_c"))
+        j1 = tok.join(F.broadcast(head), "_t", "left")
+        hit = j1.where(F.col("_lp").isNotNull())
+        miss = (j1.where(F.col("_lp").isNull() & F.col("_t").isNotNull())
+                .drop("_lp").join(vocab_p.drop("_c"), "_t", "left"))
+        empty = j1.where(F.col("_t").isNull())   # NULL / token-free docs
+        scored = hit.unionByName(miss).unionByName(empty)
+    else:
+        scored = tok.join(vocab_p.drop("_c"), "_t", "left")
+    out = (scored.groupBy(id_col)
+           .agg(F.count("_t").alias("n_tokens"),
+                (-F.avg("_lp")).alias("xent")))
+    from .dedup import _track_intermediates
+    return _track_intermediates(out, *persisted)
 
 
 def top_tokens(df: DataFrame, text: str = "text", k: int = 100) -> DataFrame:
@@ -302,7 +467,10 @@ def chunk_documents(df: DataFrame, *, text: str = "text",
         raise ValueError(
             f"overlap must be in [0, budget): {overlap} vs {budget}")
     stride = budget - overlap
-    toks = tokens_col(text)
+    # the token array is projected before the chunk transform: a free
+    # split inside the lambda would re-tokenize per chunk (see
+    # ngrams_of for the measured cost of that trap)
+    toks = F.col("__chunk_tk")
     n = F.size(toks)
     # number of chunks: 1 + ceil((n - budget) / stride) when n > budget
     extra = F.ceil((n - F.lit(budget)) / F.lit(stride)).cast("int")
@@ -317,8 +485,8 @@ def chunk_documents(df: DataFrame, *, text: str = "text",
     # chunk_idx); ``text`` itself is replaced by chunk_text
     keep = [c for c in df.columns
             if c not in (text, "chunk_idx", "chunk_text", "n_tokens",
-                         "_toks")]
-    out = df.select(
+                         "_toks", "__chunk_tk")]
+    out = df.withColumn("__chunk_tk", tokens_col(text)).select(
         *keep,
         F.posexplode(
             F.when(n_chunks > 0, chunks)

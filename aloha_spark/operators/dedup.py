@@ -126,6 +126,59 @@ def exact_dedup_keep(df: DataFrame, cols: Sequence[str] = ("text",),
               .drop("content_hash", "__keep"))
 
 
+def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text: str = "text", delim: str = "\n\n",
+                     out_col: str = "text") -> DataFrame:
+    """Paragraph-level exact dedup (the RefinedWeb/Falcon curation
+    step): split every document on ``delim``, drop any paragraph whose
+    trimmed text already appeared in an earlier position of the corpus
+    (first occurrence by ``(id, paragraph_idx)`` wins), and reassemble
+    each document from its surviving paragraphs in original order.
+
+    Boilerplate (cookie banners, navigation footers, license headers)
+    repeats across millions of pages without making whole documents
+    identical, so document-level :func:`exact_dedup` misses it; this is
+    the sub-document companion.
+
+    Returns one row per document that keeps >= 1 paragraph:
+    ``(id, out_col, n_paras_kept)``.  Whitespace-only paragraphs are
+    dropped before dedup (they carry no content and a global
+    first-empty-wins rule would shred document structure).
+
+    100 TB story: two shuffles, both skew-proof.  The keeper choice is
+    ``min(struct(id, idx))`` grouped by a 16-byte paragraph digest —
+    partial aggregation collapses a boilerplate paragraph repeated a
+    billion times to ONE row per map partition before the exchange, so
+    hot paragraphs never concentrate on a reducer (a row_number window
+    over the digest, the textbook formulation, would).  Reassembly is a
+    second partial-aggregated groupBy on the document id.  No Python
+    anywhere.  ``delim`` is matched literally (``\\Q...\\E``), so regex
+    metacharacters in the delimiter are safe.
+    """
+    paras = (df.select(
+                 F.col(id_col).alias("_did"),
+                 F.posexplode(F.split(F.col(text),
+                                      "\\Q" + delim + "\\E"))
+                  .alias("_pidx", "_para"))
+             .withColumn("_para", F.trim("_para"))
+             .where(F.col("_para") != ""))
+    keepers = (paras
+               .groupBy(F.md5(F.col("_para")).alias("_digest"))
+               .agg(F.min(F.struct("_did", "_pidx", "_para")).alias("_k")))
+    return (keepers
+            .select(F.col("_k._did").alias(id_col),
+                    F.col("_k._pidx").alias("_pidx"),
+                    F.col("_k._para").alias("_para"))
+            .groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("_pidx", "_para"))),
+                         lambda s: s["_para"]),
+                     delim).alias(out_col),
+                 F.count(F.lit(1)).alias("n_paras_kept")))
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH
 
@@ -327,15 +380,20 @@ def shared_shingle_pairs(df: DataFrame, id_col: str = "doc_id",
     uniform by construction).  Empty/whitespace documents produce no
     shingles and therefore never pair (matching ``exact_jaccard``'s
     empty-set semantics)."""
-    toks = F.filter(F.split(F.trim(F.col(text)), r"\s+"),
-                    lambda x: x != F.lit(""))
+    # tokenize once per row into a projected column: the split as a
+    # free variable inside the shingle lambda would re-run per shingle
+    # (O(tokens²) — same trap exact_jaccard already guards against)
+    toks = F.col("__sh_tk")
     sh = F.when(F.size(toks) == 0, F.array().cast("array<string>")) \
         .otherwise(F.array_distinct(F.transform(
             F.sequence(F.lit(0),
                        F.greatest(F.size(toks) - F.lit(shingle_n),
                                   F.lit(0))),
             lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "))))
-    ex = (df.select(F.col(id_col).alias("id"), F.explode(sh).alias("g")))
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.filter(F.split(F.trim(F.col(text)), r"\s+"),
+                             lambda x: x != F.lit("")).alias("__sh_tk"))
+          .select("id", F.explode(sh).alias("g")))
     a, b = ex.alias("a"), ex.alias("b")
     return (a.join(b, "g")
             .where(F.col("a.id") < F.col("b.id"))

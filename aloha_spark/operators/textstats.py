@@ -87,9 +87,17 @@ def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
     """
     # lazy import: corpus.py imports tokens_col from this module at
     # load time, so the reverse dependency must resolve at call time
-    from .corpus import ngrams_col
+    from .corpus import ngrams_of
 
-    toks = tokens_col(text)
+    # the token array and both gram arrays are materialized as columns
+    # before anything slices or distincts them: free-variable splits
+    # inside higher-order lambdas re-run per element (O(tokens²) —
+    # this exact function measured 22s instead of 0.5s on the 5k-doc
+    # bench corpus before the projection; see ngrams_of)
+    df = (df.withColumn("__rs_tk", tokens_col(text))
+            .withColumn("__rs_g2", ngrams_of(F.col("__rs_tk"), 2))
+            .withColumn("__rs_g3", ngrams_of(F.col("__rs_tk"), 3)))
+    toks = F.col("__rs_tk")
     n = F.size(toks)
     srt = F.array_sort(toks)
     # longest run of equal adjacent tokens in the sorted array == count
@@ -105,8 +113,8 @@ def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
 
     top = F.aggregate(srt, zero, _merge, lambda acc: acc["best"])
 
-    def _dup_frac(ncol: int):
-        g = ngrams_col(text, n=ncol)
+    def _dup_frac(gcol: str):
+        g = F.col(gcol)
         m = F.size(g)
         return F.when(m > 0,
                       (m - F.size(F.array_distinct(g))).cast("double") / m)
@@ -115,8 +123,9 @@ def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
             .withColumn("n_tokens", n.cast("long"))
             .withColumn("top_token_frac",
                         F.when(n > 0, top.cast("double") / n))
-            .withColumn("dup_bigram_frac", _dup_frac(2))
-            .withColumn("dup_trigram_frac", _dup_frac(3)))
+            .withColumn("dup_bigram_frac", _dup_frac("__rs_g2"))
+            .withColumn("dup_trigram_frac", _dup_frac("__rs_g3"))
+            .drop("__rs_tk", "__rs_g2", "__rs_g3"))
 
 
 def with_quality_score(df: DataFrame, text: str = "text") -> DataFrame:

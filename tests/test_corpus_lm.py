@@ -1,0 +1,189 @@
+"""Corpus-LM and sub-document curation ops: paragraph-level exact
+dedup, DSIR importance weighting, unigram-LM cross-entropy scoring.
+
+Every expectation here is computed by an INDEPENDENT pure-Python
+replica (hashlib md5 buckets, math.log sums, a first-occurrence scan),
+not by re-running the operator."""
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from aloha_spark.operators.corpus import (
+    dsir_logweight, with_unigram_logprob)
+from aloha_spark.operators.dedup import dedup_paragraphs
+
+
+# ---------------------------------------------------------- paragraphs
+
+PARA_DOCS = [
+    (0, "alpha beta\n\ncookie banner\n\ngamma delta"),
+    (1, "cookie banner\n\nepsilon zeta"),          # dup para dropped
+    (2, "alpha beta\n\ncookie banner"),            # all paras are dups
+    (3, "  \n\n\n\nunique tail"),                  # empties dropped
+    (4, None),                                     # NULL text vanishes
+]
+
+
+def _py_para_dedup(docs, delim="\n\n"):
+    seen, out = set(), {}
+    for did, text in sorted(docs):
+        if text is None:
+            continue
+        kept = []
+        for p in text.split(delim):
+            p = p.strip()
+            if p and p not in seen:
+                seen.add(p)
+                kept.append(p)
+        if kept:
+            out[did] = (delim.join(kept), len(kept))
+    return out
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    df = spark.createDataFrame(PARA_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_paras_kept"])
+           for r in dedup_paragraphs(df).collect()}
+    assert got == _py_para_dedup(PARA_DOCS)
+    # doc 2 contributed nothing and doc 4 was NULL: both absent
+    assert 2 not in got and 4 not in got
+    # order within a doc is preserved
+    assert got[0][0] == "alpha beta\n\ncookie banner\n\ngamma delta"
+
+
+def test_paragraph_dedup_literal_delimiter_with_metachars(spark):
+    # "||" is a regex alternation bomb if not \Q..\E-quoted
+    docs = [(0, "a b||c d"), (1, "c d||e f")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in dedup_paragraphs(df, delim="||").collect()}
+    assert got == {0: "a b||c d", 1: "e f"}
+
+
+def test_paragraph_dedup_idempotent(spark):
+    df = spark.createDataFrame(PARA_DOCS, "doc_id long, text string")
+    once = dedup_paragraphs(df)
+    twice = dedup_paragraphs(once.select("doc_id", "text"))
+    a = {tuple(r) for r in once.collect()}
+    b = {tuple(r) for r in twice.collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------- DSIR
+
+def _bucket(gram, salt="dsir", n_buckets=64):
+    h = hashlib.md5((salt + gram).encode()).hexdigest()
+    return int(h[:15], 16) % n_buckets
+
+
+def _grams(text):
+    toks = text.split() if text and text.strip() else []
+    return toks + [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+
+
+def _py_dsir(docs, target, n_buckets=64):
+    tc, rc = Counter(), Counter()
+    for t in target:
+        tc.update(_bucket(g, n_buckets=n_buckets) for g in _grams(t))
+    for _, t in docs:
+        rc.update(_bucket(g, n_buckets=n_buckets) for g in _grams(t))
+    tt, tr = sum(tc.values()), sum(rc.values())
+    out = {}
+    for did, t in docs:
+        gs = [_bucket(g, n_buckets=n_buckets) for g in _grams(t)]
+        w = sum(math.log((tc[b] + 1.0) / (tt + n_buckets))
+                - math.log((rc[b] + 1.0) / (tr + n_buckets)) for b in gs)
+        out[did] = (len(gs), w)
+    return out
+
+
+def test_dsir_matches_independent_replica(spark):
+    docs = [(i, " ".join(f"w{(i * 3 + j) % 9}" for j in range(6)))
+            for i in range(40)] + [(99, ""), (100, None)]
+    target = [" ".join(f"w{j % 4}" for j in range(6)) for _ in range(5)]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    tdf = spark.createDataFrame([(t,) for t in target], "text string")
+    got = {r["doc_id"]: (r["n_grams"], r["dsir_logweight"])
+           for r in dsir_logweight(ddf, tdf, n_buckets=64).collect()}
+    want = _py_dsir(docs, target, n_buckets=64)
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0], did
+        assert got[did][1] == pytest.approx(want[did][1], abs=1e-9), did
+    # target-lookalike docs outscore the rest
+    assert got[99] == (0, 0.0) and got[100] == (0, 0.0)
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    docs = [(0, "aa bb aa bb aa bb"), (1, "zz yy xx ww vv uu")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    tdf = spark.createDataFrame([("aa bb aa bb",)], "text string")
+    got = {r["doc_id"]: r["dsir_logweight"]
+           for r in dsir_logweight(ddf, tdf, n_buckets=256).collect()}
+    assert got[0] > got[1]
+
+
+def test_dsir_rejects_bad_buckets(spark):
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dsir_logweight(df, df, n_buckets=0)
+
+
+# ------------------------------------------------------- unigram xent
+
+def _py_xent(docs):
+    c = Counter()
+    for _, t in docs:
+        c.update(t.split() if t and t.strip() else [])
+    n = sum(c.values())
+    out = {}
+    for did, t in docs:
+        toks = t.split() if t and t.strip() else []
+        if not toks:
+            out[did] = (0, None)
+        else:
+            out[did] = (len(toks),
+                        -sum(math.log(c[x] / n) for x in toks) / len(toks))
+    return out
+
+
+XDOCS = [(0, "the the the cat"), (1, "the cat sat"),
+         (2, "rare tokens here"), (3, ""), (4, None)]
+
+
+def test_unigram_xent_matches_replica_and_ranks_noise_high(spark):
+    df = spark.createDataFrame(XDOCS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["xent"])
+           for r in with_unigram_logprob(df, head_k=2).collect()}
+    want = _py_xent(XDOCS)
+    assert set(got) == set(want)
+    for did, (n, x) in want.items():
+        assert got[did][0] == n, did
+        if x is None:
+            assert got[did][1] is None, did
+        else:
+            assert got[did][1] == pytest.approx(x, abs=1e-9), did
+    # all-common-token doc scores lower than the all-rare one
+    assert got[0][1] < got[2][1]
+
+
+def test_unigram_xent_hybrid_equals_plain_join(spark):
+    docs = [(i, " ".join(f"t{(i * 5 + j) % 23}" for j in range(8)))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    hybrid = {tuple(r) for r in
+              with_unigram_logprob(df, head_k=3).collect()}
+    plain = {tuple(r) for r in
+             with_unigram_logprob(df, head_k=0).collect()}
+    assert {(d, n, round(x, 9)) for d, n, x in hybrid} == \
+           {(d, n, round(x, 9)) for d, n, x in plain}
+
+
+def test_unigram_xent_rejects_negative_head(spark):
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        with_unigram_logprob(df, head_k=-1)
