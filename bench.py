@@ -204,6 +204,11 @@ BENCH_QUERIES = [
     # round 4: Gopher repetition signals (all-JVM map) and
     # temperature-mixture sampling (S-row count scan + broadcast filter)
     "repetition_stats", "temperature_sample",
+    # round 4b: paragraph-level exact dedup (two skew-proof shuffles),
+    # DSIR importance weights (broadcast log-ratio relation), and
+    # corpus-unigram-LM cross-entropy (hybrid head/tail probability
+    # join) — all-JVM
+    "dedup_paragraphs", "dsir_weight", "unigram_xent",
 ]
 
 

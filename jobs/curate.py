@@ -5,9 +5,13 @@ Stages (each optional, composed in the order a 100 TB curation run
 wants them):
 
     repetition/length filter (Gopher rules)  ->  quality filter  ->
-    language filter  ->  PII scrub  ->  exact dedup (content digest) ->
+    language filter  ->  PII scrub  ->
+    paragraph-level exact dedup (RefinedWeb-style)  ->
+    exact dedup (content digest)  ->
     near-dup dedup (MinHash+LSH pairs -> connected components ->
-    keep canonical)  ->  benchmark decontamination  ->
+    keep canonical)  ->  DSIR importance filter  ->
+    corpus-LM perplexity gate (CCNet-style)  ->
+    benchmark decontamination  ->
     stratified OR temperature-mixture sampling  ->
     train/val/test split assignment  ->  chunk -> pack ->
     bucketed/sharded write with per-bucket lineage
@@ -16,8 +20,11 @@ Usage:
     spark-submit --py-files aloha_spark.zip jobs/curate.py \
         --docs <path> --out <path> --lineage <path> \
         [--min-quality 0.5] [--langs en,de] [--scrub-pii] \
+        [--para-dedup-delim $'\\n\\n'] \
         [--exact-dedup] [--neardup-threshold 0.7] \
         [--num-hashes 64 --bands 16] [--num-buckets 256] \
+        [--dsir-target <path> --dsir-min-logweight 0.0] \
+        [--max-xent 9.5 --min-xent 2.0] \
         [--decontam-docs <path> --decontam-n 8 --decontam-threshold 0.5] \
         [--sample-col source --sample-fracs src0=0.4 --sample-default 1] \
         [--split train=0.98,val=0.01,test=0.01]
@@ -81,6 +88,12 @@ def parse_args(argv):
     p.add_argument("--scrub-pii", action="store_true",
                    help="replace the text column with its scrubbed "
                         "version (raw text never reaches the output)")
+    p.add_argument("--para-dedup-delim", default=None,
+                   help="enable paragraph-level exact dedup: split the "
+                        "text on this literal delimiter, drop any "
+                        "paragraph already seen earlier in the corpus, "
+                        "reassemble (documents losing every paragraph "
+                        "are dropped)")
     p.add_argument("--exact-dedup", action="store_true")
     p.add_argument("--neardup-threshold", type=float, default=None,
                    help="enable MinHash near-dup dedup at this exact-"
@@ -88,6 +101,26 @@ def parse_args(argv):
     p.add_argument("--num-hashes", type=int, default=64)
     p.add_argument("--bands", type=int, default=16)
     p.add_argument("--shingle-n", type=int, default=3)
+    p.add_argument("--dsir-target", default=None,
+                   help="target-set table path: keep documents whose "
+                        "DSIR importance log-weight against it meets "
+                        "--dsir-min-logweight")
+    p.add_argument("--dsir-min-logweight", type=float, default=None,
+                   help="minimum dsir_logweight to keep (required with "
+                        "--dsir-target)")
+    p.add_argument("--dsir-buckets", type=int, default=4096)
+    p.add_argument("--dsir-text-col", default=None,
+                   help="target text column (default: --text-col)")
+    p.add_argument("--max-xent", type=float, default=None,
+                   help="drop documents whose corpus-unigram-LM "
+                        "cross-entropy exceeds this (CCNet-style "
+                        "perplexity gate; high = noise)")
+    p.add_argument("--min-xent", type=float, default=None,
+                   help="drop documents below this cross-entropy "
+                        "(degenerate/boilerplate tail)")
+    p.add_argument("--xent-head-k", type=int, default=65536,
+                   help="hottest tokens broadcast map-side in the "
+                        "probability join (0 = plain shuffle join)")
     p.add_argument("--decontam-docs", default=None,
                    help="benchmark table path: drop documents whose "
                         "n-gram overlap with it meets the threshold")
@@ -171,7 +204,13 @@ def curate(spark, args):
     docs = read_table(spark, args.docs, args.format)
     report = {"input_rows": docs.count(), "stages": []}
     x = docs
-    decontam_cache = None
+    # persisted corpus frames to release after the write (decontam /
+    # DSIR / xent stages each feed two consumers), plus score frames
+    # whose INTERNAL caches (e.g. the xent vocabulary) must stay
+    # referenced until the write materializes — their unpersist
+    # finalizers fire on garbage collection of the Python wrapper
+    caches = []
+    keep_alive = []
 
     def checkpoint(stage):
         report["stages"].append(
@@ -220,6 +259,20 @@ def curate(spark, args):
              .drop(text_col)
              .withColumnRenamed("text_scrubbed", text_col))
         checkpoint("pii_scrub")
+    if args.para_dedup_delim is not None:
+        # BEFORE document-level dedup: paragraph dedup rewrites the
+        # text, and two documents that differ only in shared
+        # boilerplate become identical once it is stripped.  The
+        # operator returns (id, text, n_paras_kept); non-text columns
+        # re-attach with one id-keyed join, and documents that kept no
+        # paragraph (pure boilerplate) drop out of the inner join.
+        from aloha_spark.operators.dedup import dedup_paragraphs
+        deduped = dedup_paragraphs(
+            x.select(id_col, text_col), id_col=id_col, text=text_col,
+            delim=args.para_dedup_delim, out_col=text_col)
+        x = x.drop(text_col).join(
+            deduped.select(id_col, text_col), id_col)
+        checkpoint("paragraph_dedup")
     if args.exact_dedup:
         # one window over the content digest: upstream quality/lang/
         # scrub chain computed ONCE, single shuffle (exact_dedup_keep)
@@ -233,6 +286,48 @@ def curate(spark, args):
             bands=args.bands, shingle_n=args.shingle_n)
         x = dedup_keep_canonical(x, pairs, id_col=id_col)
         checkpoint("neardup_dedup")
+    if args.dsir_target:
+        if args.dsir_min_logweight is None:
+            raise SystemExit("--dsir-target requires "
+                             "--dsir-min-logweight")
+        from aloha_spark.operators.corpus import dsir_logweight
+        # x feeds both the raw-corpus bucket model and the scored gram
+        # stream — persist so the upstream chain runs once
+        persisted = x.persist()
+        caches.append(persisted)
+        target = read_table(spark, args.dsir_target, args.format)
+        w = dsir_logweight(persisted, target, id_col=id_col,
+                           text=text_col,
+                           target_text=args.dsir_text_col or text_col,
+                           n_buckets=args.dsir_buckets)
+        x = persisted.join(
+            w.where(F.col("dsir_logweight")
+                    >= args.dsir_min_logweight).select(id_col),
+            id_col, "left_semi")
+        checkpoint("dsir_filter")
+    if args.max_xent is not None or args.min_xent is not None:
+        from aloha_spark.operators.corpus import with_unigram_logprob
+        # x feeds the LM fit and the scored token stream
+        persisted = x.persist()
+        caches.append(persisted)
+        scores = with_unigram_logprob(persisted, id_col=id_col,
+                                      text=text_col,
+                                      head_k=args.xent_head_k)
+        keep = F.lit(True)
+        if args.max_xent is not None:
+            # NULL xent (token-free doc) never satisfies <=; such docs
+            # are the length gate's job, so pass them through here
+            keep &= (F.col("xent").isNull()
+                     | (F.col("xent") <= args.max_xent))
+        if args.min_xent is not None:
+            keep &= (F.col("xent").isNull()
+                     | (F.col("xent") >= args.min_xent))
+        x = persisted.join(scores.where(keep).select(id_col),
+                           id_col, "left_semi")
+        # the vocabulary cache inside `scores` unpersists when the
+        # wrapper is garbage-collected — keep it alive until the write
+        keep_alive.append(scores)
+        checkpoint("xent_gate")
     if args.decontam_docs:
         from aloha_spark.operators.corpus import decontaminate
         # x feeds BOTH the flags aggregation and the left side of the
@@ -251,7 +346,7 @@ def curate(spark, args):
             n=args.decontam_n, threshold=args.decontam_threshold)
         x = persisted.join(flags.where(F.col("contaminated"))
                            .select(id_col), id_col, "left_anti")
-        decontam_cache = persisted
+        caches.append(persisted)
         checkpoint("decontam")
     if args.temperature_alpha is not None and args.sample_fracs:
         raise SystemExit("--temperature-alpha and --sample-fracs are "
@@ -309,11 +404,16 @@ def curate(spark, args):
             x = x.join(asg.select("chunk_id", "pack_id", "pack_slot",
                                   "oversized"), "chunk_id")
             checkpoint("pack")
-    if decontam_cache is not None:
-        # attach the decontam-stage cache to the FINAL frame so
+    if caches:
+        # attach every stage cache to the FINAL frame so
         # release_intermediates(x) after the write (or the GC finalizer
-        # in a long-lived session) frees it eagerly
-        x = _track_intermediates(x, decontam_cache)
+        # in a long-lived session) frees them eagerly
+        x = _track_intermediates(x, *caches)
+    if keep_alive:
+        # plain attribute reference: keeps the score frames (and their
+        # internally persisted relations) alive exactly as long as the
+        # result frame, without registering a second unpersist
+        x._curate_keep_alive = keep_alive
     return x, pairs, report
 
 

@@ -278,3 +278,95 @@ def test_curate_temperature_excludes_sample_fracs(spark, tmp_path):
         "--lineage", str(tmp_path / "l"), "--temperature-alpha", "0.5"])
     with pytest.raises(SystemExit, match="require"):
         curate_job.curate(spark, args)
+
+
+def test_curate_paragraph_dedup_stage(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    rows = [
+        (0, "unique lead paragraph\n\nshared cookie banner"),
+        (1, "shared cookie banner\n\nanother unique paragraph"),
+        (2, "shared cookie banner"),          # nothing left -> dropped
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+         .write.mode("overwrite").parquet(docs)
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o"),
+        "--lineage", str(tmp_path / "l"), "--stage-counts",
+        "--para-dedup-delim", "\n\n"])
+    x, _, report = curate_job.curate(spark, args)
+    got = {r["doc_id"]: r["text"] for r in x.collect()}
+    assert got == {
+        0: "unique lead paragraph\n\nshared cookie banner",
+        1: "another unique paragraph",
+    }
+    assert report["stages"][0] == {"stage": "paragraph_dedup", "rows": 2}
+
+
+def test_curate_dsir_and_xent_stages(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    tgt = str(tmp_path / "target")
+    # 20 cat docs sharing the target's vocabulary, 20 junk docs sharing
+    # a disjoint one — the frequency profiles match (every doc repeated
+    # 20x), so the target/raw log-ratio separates purely on vocabulary
+    rows = [(i, "the cat sat on the mat with the other cat")
+            for i in range(20)]
+    rows += [(100 + i, "zz qq vv kk jj ww xx yy zz qq")
+             for i in range(20)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+         .write.mode("overwrite").parquet(docs)
+    spark.createDataFrame([(0, "the cat sat on the mat")],
+                          "doc_id long, text string") \
+         .write.mode("overwrite").parquet(tgt)
+
+    # ranking separation, and a threshold in the gap (the job stage's
+    # wiring is under test here; the DSIR math itself is pinned against
+    # an independent replica in test_corpus_lm.py)
+    from aloha_spark.operators.corpus import dsir_logweight
+    w = {r["doc_id"]: r["dsir_logweight"] for r in dsir_logweight(
+        spark.read.parquet(docs), spark.read.parquet(tgt),
+        n_buckets=256).collect()}
+    cat_min = min(v for k, v in w.items() if k < 100)
+    junk_max = max(v for k, v in w.items() if k >= 100)
+    assert cat_min > junk_max
+    thr = (cat_min + junk_max) / 2
+
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o"),
+        "--lineage", str(tmp_path / "l"), "--stage-counts",
+        "--dsir-target", tgt, "--dsir-min-logweight", str(thr),
+        "--dsir-buckets", "256"])
+    x, _, report = curate_job.curate(spark, args)
+    kept = sorted(r["doc_id"] for r in x.collect())
+    assert kept == list(range(20))          # cat docs outscore junk
+    assert report["stages"][0] == {"stage": "dsir_filter", "rows": 20}
+
+    # xent gate: the 20 identical cat docs are low-entropy; junk docs
+    # of corpus-unique singleton tokens score maximal cross-entropy
+    xdocs = str(tmp_path / "xdocs")
+    rows = [(i, "the cat sat on the mat with the other cat")
+            for i in range(20)]
+    rows += [(100 + i, f"zz{i} qq{i} vv{i} kk{i} jj{i} ww{i} xx{i} yy{i}")
+             for i in range(20)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+         .write.mode("overwrite").parquet(xdocs)
+    args = curate_job.parse_args([
+        "--docs", xdocs, "--out", str(tmp_path / "o2"),
+        "--lineage", str(tmp_path / "l2"), "--stage-counts",
+        "--max-xent", "3.0", "--xent-head-k", "3"])
+    x, _, report = curate_job.curate(spark, args)
+    kept = sorted(r["doc_id"] for r in x.collect())
+    assert kept == list(range(20))
+    assert report["stages"][0] == {"stage": "xent_gate", "rows": 20}
+    # the score frame (and its vocab cache) must be pinned until the
+    # result is done materializing
+    assert hasattr(x, "_curate_keep_alive") and x._curate_keep_alive
+
+
+def test_curate_dsir_requires_threshold(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs)
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o"),
+        "--lineage", str(tmp_path / "l"), "--dsir-target", docs])
+    with pytest.raises(SystemExit, match="dsir-min-logweight"):
+        curate_job.curate(spark, args)
