@@ -1030,6 +1030,24 @@ class FeaturePipeline:
                     f"binning tier with a numeric source; not eligible: {bad}")
             if jvm_ok:
                 return self._to_sparse_vectors_jvm(pre, keep, seed)
+        run, schema = self.make_arrow_kernel(pre, keep, seed)
+        return pre.mapInArrow(run, schema=schema)
+
+    def make_arrow_kernel(self, pre: DataFrame, keep: list,
+                          seed: int = STRING_SEED):
+        """Build the exact ``(run, out_schema)`` pair the Arrow
+        featurize path feeds to ``mapInArrow``.
+
+        Exposed (not just a closure inside :meth:`to_sparse_vectors`)
+        so out-of-Spark harnesses can drive the identical per-batch
+        kernel under plain ``multiprocessing`` — BENCH/kernel_probe.py
+        uses it to measure how the numpy kernel alone scales with
+        process count on this host, separating engine overhead from
+        the machine's memory-bus ceiling.  ``pre`` is only read for
+        its schema and session timezone."""
+        import pyarrow as pa
+
+        plan = self.plan
         mask = np.int32((1 << plan.num_bits) - 1)
         keep_t = ", ".join(f"{c} {pre.schema[c].dataType.simpleString()}"
                            for c in keep)
@@ -1115,7 +1133,7 @@ class FeaturePipeline:
                 yield pa.RecordBatch.from_arrays(
                     arrays, keep + ["indices", "values", "missing_features"])
 
-        return pre.mapInArrow(run, schema=schema)
+        return run, schema
 
     def _to_sparse_vectors_jvm(self, pre: DataFrame, keep: list,
                                seed: int) -> DataFrame:

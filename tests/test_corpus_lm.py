@@ -187,3 +187,76 @@ def test_unigram_xent_rejects_negative_head(spark):
     df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         with_unigram_logprob(df, head_k=-1)
+
+
+# ------------------------------------------------- randomized parity
+
+def test_paragraph_dedup_fuzz_vs_replica(spark):
+    """50 random corpora checked in ONE Spark pass: each corpus's
+    tokens carry a unique prefix, so no paragraph can collide across
+    corpora and global dedup decomposes into per-corpus dedup — the
+    pure-Python replica then verifies each corpus independently."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    docs, per_corpus = [], {}
+    did = 0
+    for c in range(50):
+        n_docs = rng.randint(1, 8)
+        vocab = [f"c{c}w{k}" for k in range(rng.randint(1, 6))]
+        corpus = []
+        for _ in range(n_docs):
+            n_paras = rng.randint(0, 5)
+            paras = [" ".join(rng.choices(vocab, k=rng.randint(1, 4)))
+                     for _ in range(n_paras)]
+            # sprinkle whitespace-only and empty paragraphs
+            if rng.random() < 0.3:
+                paras.insert(rng.randint(0, len(paras)), "  ")
+            text = "\n\n".join(paras) if paras else (
+                None if rng.random() < 0.5 else "")
+            corpus.append((did, text))
+            did += 1
+        per_corpus[c] = corpus
+        docs += corpus
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_paras_kept"])
+           for r in dedup_paragraphs(df).collect()}
+    want = {}
+    for corpus in per_corpus.values():
+        want.update(_py_para_dedup(corpus))
+    assert got == want
+
+
+def test_dsir_and_xent_edge_corpora(spark):
+    """Degenerate corpora: unicode tokens, single-doc corpus, target
+    disjoint from the corpus, all-empty corpus."""
+    uni = [(0, "héllo wörld héllo"), (1, "καλό κείμενο"), (2, "héllo")]
+    df = spark.createDataFrame(uni, "doc_id long, text string")
+    tgt = spark.createDataFrame([("héllo wörld",)], "text string")
+    got = {r["doc_id"]: (r["n_grams"], r["dsir_logweight"])
+           for r in dsir_logweight(df, tgt, n_buckets=32).collect()}
+    want = _py_dsir(uni, ["héllo wörld"], n_buckets=32)
+    for did in want:
+        assert got[did][0] == want[did][0]
+        assert got[did][1] == pytest.approx(want[did][1], abs=1e-9)
+
+    # target disjoint from the corpus: every weight finite and negative
+    tgt2 = spark.createDataFrame([("zz yy xx",)], "text string")
+    w = [r["dsir_logweight"]
+         for r in dsir_logweight(df, tgt2, n_buckets=32).collect()]
+    assert all(v < 0 for v in w)
+
+    # single-doc corpus: xent == mean -ln p under its own LM
+    one = [(0, "a b a")]
+    df1 = spark.createDataFrame(one, "doc_id long, text string")
+    got1 = with_unigram_logprob(df1, head_k=1).collect()[0]
+    want1 = _py_xent(one)[0]
+    assert got1["n_tokens"] == 3
+    assert got1["xent"] == pytest.approx(want1[1], abs=1e-12)
+
+    # all-empty corpus: rows survive with n_tokens 0 / NULL xent
+    dfe = spark.createDataFrame([(0, ""), (1, None)],
+                                "doc_id long, text string")
+    rows = {r["doc_id"]: (r["n_tokens"], r["xent"])
+            for r in with_unigram_logprob(dfe).collect()}
+    assert rows == {0: (0, None), 1: (0, None)}
