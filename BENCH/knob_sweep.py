@@ -72,6 +72,15 @@ VARIANTS = {
     "baseline": {},
     "shuffle_128": {"spark.sql.shuffle.partitions": "128"},
     "shuffle_32": {"spark.sql.shuffle.partitions": "32"},
+    # sub-core-count partitioning: each task slot carries a JVM thread
+    # AND a Python worker, so local[32] runs ~64 runnables on 32 vCPUs
+    # — tested whether fewer, fatter tasks relieve the oversubscription
+    # (BENCH/kernel_probe.py attribution).  MEASURED: they don't —
+    # 16M rows, interleaved: baseline-64 25.5s, shuffle_16 29.5s,
+    # shuffle_24 33.4s.  Fat tasks forfeit more to stragglers than the
+    # oversubscription costs; baseline kept.
+    "shuffle_24": {"spark.sql.shuffle.partitions": "24"},
+    "shuffle_16": {"spark.sql.shuffle.partitions": "16"},
     # 5 interleaved 16M pairs vs G1: ParallelGC degrades far less under
     # hypervisor-steal windows (won 3 noisy pairs by 25-60%) but loses
     # quiet pairs by ~8%; no consistent winner, G1 default kept

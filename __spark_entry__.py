@@ -1336,6 +1336,18 @@ def q_unigram_xent(spark, sf_dir):
         "doc_id", "n_tokens", "xent")
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact duplicated-span removal (Lee et al. ExactSubstr, token
+    granularity, n=4): any 4-token window repeating an earlier corpus
+    occurrence is masked out of its document.  The oracle replays the
+    window enumeration, the global first-occurrence race, the covered-
+    position union, and the reassembly in DuckDB."""
+    from aloha_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _docs(spark, sf_dir).select("doc_id", "text"), n=4)
+
+
 def q_shard_stats(spark, sf_dir):
     """The curate job's shard output stage (jobs/curate.py: chunk ->
     pack -> shard write) rolled up to ONE deterministic invariant row:
@@ -1447,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "dsir_weight": q_dsir_weight,
         "unigram_xent": q_unigram_xent,
+        "span_dedup": q_span_dedup,
         # windows / as-of (SURVEY §2.4, §2.6) — core families keep a
         # driver row every round
         "doc_scrub": q_doc_scrub,
@@ -1469,7 +1482,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         # featurization / sinks
         "vw_labeled": q_vw_labeled,
-        "cb_lines": q_cb_lines,
         "multilabel_blocks": q_multilabel_blocks,
         "multilabel_downsampled": q_multilabel_downsampled,
         "libsvm_labeled": q_libsvm_labeled,
@@ -1485,9 +1497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the driver's 50-query window (oracle-checked by
         # tools/selfcheck.py every round; driver-green r1-r3;
         # indexed_paths/densify/proto_roundtrip/avro_roundtrip/
-        # price_bucket rotated out this round to make room for
+        # price_bucket/cb_lines rotated out this round to make room for
         # temperature_sample/repetition_stats/dedup_paragraphs/
-        # dsir_weight/unigram_xent above) ----
+        # dsir_weight/unigram_xent/span_dedup above) ----
+        "cb_lines": q_cb_lines,
         "proto_roundtrip": q_proto_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
         "price_bucket": q_price_bucket,
@@ -2401,6 +2414,49 @@ agg AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(lw) AS w
 SELECT d.doc_id, CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
        COALESCE(a.w, 0.0) AS dsir_logweight
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        # ExactSubstr replayed in SQL: 4-token window enumeration,
+        # global first-occurrence race (row_number over the span,
+        # ordered by doc_id then position), covered-position union,
+        # index-filtered reassembly
+        "span_dedup": """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(TRIM(text), '\\s+') END AS ts
+  FROM documents),
+spans AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(ts[CAST(i AS INT) : CAST(i + 3 AS INT)],
+                         ' ') AS sp
+  FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts) - 2)) AS i
+        FROM toks WHERE ts IS NOT NULL)),
+dup AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY sp
+                                  ORDER BY doc_id, pos) AS rn
+        FROM spans) t
+  WHERE rn > 1),
+cov AS (
+  SELECT DISTINCT doc_id, CAST(UNNEST(range(pos, pos + 4)) AS INT) AS j
+  FROM dup),
+tok AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS j, ts[CAST(i AS INT)] AS tk
+  FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts) + 1)) AS i
+        FROM toks WHERE ts IS NOT NULL)),
+agg AS (
+  SELECT t.doc_id, string_agg(t.tk, ' ' ORDER BY t.j) AS txt
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j
+  WHERE c.j IS NULL GROUP BY t.doc_id),
+remagg AS (SELECT doc_id, COUNT(*) AS nrem FROM cov GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE COALESCE(a.txt, '') END AS text,
+       CAST(COALESCE(r.nrem, 0) AS BIGINT) AS n_tokens_removed
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN remagg r USING (doc_id)""",
         # the corpus unigram LM refit in SQL; join strategy (hybrid
         # broadcast-head vs plain) cannot change the result, so one
         # plain join oracles both Spark paths

@@ -194,29 +194,37 @@ def temperature_sample(df: DataFrame, strata_col: str = "source", *,
 
 
 def ngrams_of(toks: Column, n: int = 3, sep: str = " ") -> Column:
-    """Whitespace-token n-grams over an ALREADY-MATERIALIZED token-array
-    column — pure JVM (sequence / transform / slice / array_join).
+    """Whitespace-token n-grams over a token-array column — pure JVM,
+    built as a ``zip_with`` chain over shifted slices rather than a
+    ``transform(sequence, i -> array_join(slice(toks, i, n)))``.
 
-    ``toks`` must be a projected attribute (``withColumn`` it first),
-    not an inline ``split()`` expression: Catalyst performs no
-    subexpression elimination inside higher-order-function lambda
-    bodies, so a free-variable split is re-evaluated for EVERY element
-    of the transform — O(tokens²) re-tokenization per document
-    (measured 12s → 0.4s on the 5k-doc bench corpus; the longer the
-    documents, the worse).  Materializing the array is load-bearing,
-    and the multiple ``toks`` references below also keep
-    CollapseProject from inlining the projection back in.
+    Two measured reasons for this shape (HOF lambda bodies run in
+    INTERPRETED mode — no whole-stage codegen, no subexpression
+    elimination — so every node in them is a per-ELEMENT cost):
 
-    Shorter-than-n documents yield an empty array (the ``when`` guard
-    matters: ``sequence(1, m)`` with m < 1 would count DOWN).  NULL
-    tokens -> NULL.
+    * a free-variable ``split()`` inside the lambda re-tokenizes per
+      gram: O(tokens²), 22s → 1.4s on the 5k-doc bench corpus.  The
+      zip_with inputs are row-level expressions evaluated ONCE, so
+      even an inline split stays linear; still prefer passing a
+      projected attribute so multiple references share one split.
+    * even over an attribute, an ``array_join(slice(...))`` lambda
+      body costs ~40µs per gram interpreted; the one-node ``concat``
+      below measured 4x faster over 255k spans (10.4s → 2.7s).
+
+    zip_with pads the shorter input with NULL and ``concat`` propagates
+    it, so positions past the last full window become NULL and the
+    final slice drops them.  Shorter-than-n documents yield an empty
+    array; NULL tokens -> NULL.
     """
-    m = F.size(toks) - (n - 1)
+    sz = F.size(toks)
+    m = sz - (n - 1)
+    acc = toks
+    for k in range(2, n + 1):
+        tail = F.slice(toks, k, F.greatest(sz - k + 1, F.lit(0)))
+        acc = F.zip_with(acc, tail,
+                         lambda a, b: F.concat(a, F.lit(sep), b))
     return (F.when(toks.isNull(), F.lit(None).cast("array<string>"))
-             .when(m >= 1,
-                   F.transform(F.sequence(F.lit(1), m),
-                               lambda i: F.array_join(F.slice(toks, i, n),
-                                                      sep)))
+             .when(m >= 1, F.slice(acc, 1, m))
              .otherwise(F.array().cast("array<string>")))
 
 

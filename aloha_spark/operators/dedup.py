@@ -179,6 +179,113 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
                  F.count(F.lit(1)).alias("n_paras_kept")))
 
 
+def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                           text: str = "text", n: int = 20,
+                           out_col: str = "text") -> DataFrame:
+    """Exact duplicated-span removal (the ExactSubstr step of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499, token-granular): any ``n``-token window
+    whose exact content already occurred at an earlier corpus position
+    (first occurrence by ``(id, pos)`` wins) is a duplicate occurrence,
+    and every token it covers is removed from the document.
+
+    This catches what neither document-level nor paragraph-level exact
+    dedup can: boilerplate RUNS embedded mid-sentence (license headers,
+    quoted replies, templated spans) that never align with paragraph
+    boundaries.  Overlapping duplicate windows mask the union of their
+    positions, so an internally repeated run like ``x y z x y z``
+    (n=2) keeps exactly one copy.
+
+    Returns one row per input document: ``(id, out_col,
+    n_tokens_removed)`` — documents shorter than ``n`` tokens (and
+    NULL text) pass through untouched with 0 removed.
+
+    100 TB story: span occurrences shuffle ONCE pre-aggregated to one
+    row per (span, doc) — the global keeper is then an algebraic min
+    over those rows, so a boilerplate span repeated a billion times
+    partial-aggregates map-side instead of hot-spotting a reducer.
+    The keeper join back onto the (span, doc) relation keys on the
+    span digest; a hot span there has a ONE-row build side per key,
+    exactly the shape AQE's skew-join splitting handles.  Everything
+    downstream (range union, token filtering, reassembly) is per-doc
+    JVM array work; token positions are masked with a transform over
+    the materialized token array (free-variable splits inside HOF
+    lambdas re-run per element — see ``ngrams_of``).
+    """
+    if n < 2:
+        raise ValueError(f"span length must be >= 2 tokens: {n}")
+    from .textstats import tokens_col
+
+    toks = F.col("__sp_tk")
+    m = F.size(toks) - (n - 1)
+    # span enumeration as a zip_with chain over shifted slices, and the
+    # md5 at ROW level after the explode: HOF lambda bodies evaluate in
+    # interpreted mode (no whole-stage codegen), so every expression
+    # node in them costs ~µs PER ELEMENT — an array_join(slice(...))
+    # body measured 10.4s over 255k spans on one core, the one-node
+    # concat below 2.7s, and an in-lambda md5 another ~12s (all hoisted)
+    from ..operators.corpus import ngrams_of
+    spans = (df.select(F.col(id_col).alias("_did"),
+                       tokens_col(text).alias("__sp_tk"))
+             .select("_did",
+                     F.coalesce(ngrams_of(toks, n),
+                                F.array().cast("array<string>"))
+                      .alias("_sps"))
+             .select("_did", F.posexplode("_sps").alias("_pos", "_sp"))
+             .select("_did", "_pos", F.md5("_sp").alias("_digest")))
+    # one row per (span, doc): positions collected, min kept for the
+    # global-keeper race; partial aggregation collapses hot spans.
+    # persisted: it feeds BOTH the keeper aggregation and the probe
+    # side of the keeper join — without the cache the whole
+    # explode+shuffle subtree runs twice (released with the result via
+    # _track_intermediates / release_intermediates)
+    per_doc = (spans.groupBy("_digest", "_did")
+               .agg(F.sort_array(F.collect_list("_pos")).alias("_poss"),
+                    F.min("_pos").alias("_minpos"))
+               .persist())
+    keeper = (per_doc.groupBy("_digest")
+              .agg(F.min(F.struct("_did", "_minpos")).alias("_k")))
+    # duplicate occurrences: every position except the keeper's
+    dup_pos = (per_doc.join(keeper, "_digest")
+               .select("_did",
+                       F.when(F.col("_did") == F.col("_k._did"),
+                              F.filter(F.col("_poss"),
+                                       lambda p: p != F.col("_k._minpos")))
+                        .otherwise(F.col("_poss")).alias("_dups"))
+               .where(F.size("_dups") > 0)
+               .groupBy("_did")
+               .agg(F.flatten(F.collect_list("_dups")).alias("_dups")))
+    # covered token positions = union of [p, p+n) over dup occurrences
+    covered = F.array_distinct(F.flatten(F.transform(
+        F.col("_dups"), lambda p: F.sequence(p, p + (n - 1)))))
+    base = df.select(id_col, tokens_col(text).alias("__sp_tk"))
+    joined = (base.join(dup_pos,
+                        base[id_col] == dup_pos["_did"], "left")
+              .drop("_did")
+              .withColumn("_cov", F.when(F.col("_dups").isNotNull(),
+                                         covered)
+                                   .otherwise(F.array().cast("array<int>"))))
+    # surviving positions via one codegen'd array_except (order
+    # preserved), then a cheap element_at lambda — a per-token
+    # array_contains filter would run interpreted per element at
+    # O(|covered|) each
+    sz = F.size("__sp_tk")
+    kept_pos = F.when(sz > 0,
+                      F.array_except(F.sequence(F.lit(0), sz - 1),
+                                     F.col("_cov"))) \
+                .otherwise(F.array().cast("array<int>"))
+    kept = F.transform(kept_pos,
+                       lambda j: F.element_at(F.col("__sp_tk"), j + 1))
+    out = (joined.select(
+        id_col,
+        F.when(F.col("__sp_tk").isNull(),
+               F.lit(None).cast("string"))
+         .otherwise(F.array_join(kept, " ")).alias(out_col),
+        F.coalesce(F.size("_cov"), F.lit(0)).cast("long")
+         .alias("n_tokens_removed")))
+    return _track_intermediates(out, per_doc)
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH
 

@@ -209,6 +209,9 @@ BENCH_QUERIES = [
     # corpus-unigram-LM cross-entropy (hybrid head/tail probability
     # join) — all-JVM
     "dedup_paragraphs", "dsir_weight", "unigram_xent",
+    # round 4b: exact duplicated-span removal (ExactSubstr; zip_with
+    # span enumeration, skew-proof keeper aggregation)
+    "span_dedup",
 ]
 
 

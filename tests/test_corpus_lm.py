@@ -260,3 +260,90 @@ def test_dsir_and_xent_edge_corpora(spark):
     rows = {r["doc_id"]: (r["n_tokens"], r["xent"])
             for r in with_unigram_logprob(dfe).collect()}
     assert rows == {0: (0, None), 1: (0, None)}
+
+
+# ------------------------------------------ duplicated-span removal
+
+def _py_span_dedup(docs, n):
+    """Independent replica: first (doc_id, pos) occurrence of each
+    n-token window wins; every other occurrence masks its tokens."""
+    first = {}
+    for did, text in sorted(docs):
+        toks = text.split() if text and text.strip() else []
+        for p in range(len(toks) - n + 1):
+            first.setdefault(" ".join(toks[p:p + n]), (did, p))
+    out = {}
+    for did, text in docs:
+        if text is None:
+            out[did] = (None, 0)
+            continue
+        toks = text.split() if text.strip() else []
+        covered = set()
+        for p in range(len(toks) - n + 1):
+            if first[" ".join(toks[p:p + n])] != (did, p):
+                covered.update(range(p, p + n))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        out[did] = (" ".join(kept), len(covered))
+    return out
+
+
+SPAN_DOCS = [
+    (0, "a b c d e f g"),
+    (1, "x y a b c d q"),            # "a b c d" span dup vs doc 0
+    (2, "x y z x y z"),              # internal repeat keeps one copy
+    (3, "short"),                    # shorter than n: untouched
+    (4, ""),
+    (5, None),
+]
+
+
+def test_span_dedup_matches_replica(spark):
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    from aloha_spark.operators.dedup import remove_duplicate_spans
+    got = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+           for r in remove_duplicate_spans(df, n=3).collect()}
+    want = _py_span_dedup(SPAN_DOCS, 3)
+    assert got == want
+    # the cross-doc span really was removed and the rest kept
+    assert got[1][0] == "x y q"
+    # internal repeat: exactly one copy survives
+    assert got[2][0] == "x y z"
+    # untouched families
+    assert got[0] == ("a b c d e f g", 0)
+    assert got[3] == ("short", 0)
+    assert got[4] == ("", 0) and got[5] == (None, 0)
+
+
+def test_span_dedup_fuzz_vs_replica(spark):
+    """40 random corpora, token-namespaced per corpus, one Spark pass."""
+    import random
+    from aloha_spark.operators.dedup import remove_duplicate_spans
+
+    rng = random.Random(0xBEEF)
+    docs, per_corpus = [], {}
+    did = 0
+    for c in range(40):
+        vocab = [f"c{c}t{k}" for k in range(rng.randint(2, 5))]
+        corpus = []
+        for _ in range(rng.randint(1, 6)):
+            k = rng.randint(0, 12)
+            text = " ".join(rng.choices(vocab, k=k)) if k else (
+                None if rng.random() < 0.5 else "")
+            corpus.append((did, text))
+            did += 1
+        per_corpus[c] = corpus
+        docs += corpus
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+           for r in remove_duplicate_spans(df, n=3).collect()}
+    want = {}
+    for corpus in per_corpus.values():
+        want.update(_py_span_dedup(corpus, 3))
+    assert got == want
+
+
+def test_span_dedup_rejects_tiny_n(spark):
+    from aloha_spark.operators.dedup import remove_duplicate_spans
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        remove_duplicate_spans(df, n=1)
