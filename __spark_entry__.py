@@ -1001,6 +1001,27 @@ def q_bpe_tokens(spark, sf_dir):
                     F.col("bpe_token_count").alias("bpe_tokens"))
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Real BPE (Sennrich arXiv:1508.07909): train 64 merges on the
+    corpus's own distributed word counts, broadcast the rank table,
+    encode every document.  Rows-only (the merge loop is not
+    SQL-expressible); gated in selfcheck by round-trip equality
+    (decode(encode(text)) == pre-token concatenation), zero UNKs on
+    the training corpus itself, and cross-run determinism; replica
+    parity + Sennrich golden merges in tests/test_tokenizer.py."""
+    from aloha_spark.operators.tokenizer import train_bpe, with_bpe_ids
+
+    d = _docs(spark, sf_dir)
+    tok = train_bpe(d, num_merges=64, min_pair_freq=2)
+    enc = with_bpe_ids(d.select("doc_id", "text"), tok)
+    return enc.select(
+        "doc_id",
+        F.size("token_ids").alias("n_ids"),
+        F.size(F.filter("token_ids", lambda t: t == -1)).alias("n_unk"),
+        F.crc32(F.concat_ws(",", F.transform(
+            "token_ids", lambda t: t.cast("string")))).alias("ids_crc"))
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard verification kernel (the exact-verify stage of
     minhash_dedup_pairs) over a fixed candidate pair set — JVM array
@@ -1348,6 +1369,30 @@ def q_span_dedup(spark, sf_dir):
         _docs(spark, sf_dir).select("doc_id", "text"), n=4)
 
 
+def q_line_filter(spark, sf_dir):
+    """CCNet/Gopher-style corpus-frequency line filter: documents are
+    linearized deterministically (4-token windows joined by newline —
+    the synthetic corpus has no line breaks of its own), then every
+    occurrence of any line whose corpus frequency exceeds 2 is removed
+    (unlike paragraph dedup, which keeps the first).  Skew-proof
+    digest-keyed partial-agg frequency count; the oracle replays the
+    line arithmetic, the frequency join, and the ordered reassembly."""
+    from aloha_spark.operators.dedup import filter_frequent_lines
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_tk"))
+    toks = F.col("_tk")
+    n = F.size(toks)
+    k = F.when(n <= 4, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - 4) / F.lit(4.0)).cast("int"))
+    line_text = F.array_join(
+        F.transform(F.sequence(F.lit(0), k - 1),
+                    lambda i: F.array_join(F.slice(toks, i * 4 + 1, 4),
+                                           " ")), "\n")
+    return filter_frequent_lines(
+        d.select("doc_id", line_text.alias("text")), max_freq=2)
+
+
 def q_shard_stats(spark, sf_dir):
     """The curate job's shard output stage (jobs/curate.py: chunk ->
     pack -> shard write) rolled up to ONE deterministic invariant row:
@@ -1457,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "repetition_stats": q_repetition_stats,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "line_filter": q_line_filter,
         "dsir_weight": q_dsir_weight,
         "unigram_xent": q_unigram_xent,
         "span_dedup": q_span_dedup,
@@ -1493,13 +1539,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_tree": q_audit_tree,
         "featurize_bookkeeping": q_featurize_bookkeeping,
         "bpe_tokens": q_bpe_tokens,
-        "jaccard_pairs": q_jaccard_pairs,
         # ---- past the driver's 50-query window (oracle-checked by
         # tools/selfcheck.py every round; driver-green r1-r3;
         # indexed_paths/densify/proto_roundtrip/avro_roundtrip/
         # price_bucket/cb_lines rotated out this round to make room for
         # temperature_sample/repetition_stats/dedup_paragraphs/
-        # dsir_weight/unigram_xent/span_dedup above) ----
+        # dsir_weight/unigram_xent/span_dedup above; jaccard_pairs
+        # rotated out for line_filter) ----
+        "jaccard_pairs": q_jaccard_pairs,
         "cb_lines": q_cb_lines,
         "proto_roundtrip": q_proto_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
@@ -1530,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
+        "bpe_encode": q_bpe_encode,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "media_features": q_media_features,
         "pack_stats": q_pack_stats,
@@ -2385,6 +2433,35 @@ kept AS (
 SELECT doc_id, string_agg(p, chr(10) ORDER BY pidx) AS text,
        CAST(COUNT(*) AS BIGINT) AS n_paras_kept
 FROM kept GROUP BY doc_id""",
+        "line_filter": """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(TRIM(text), '\\s+') END AS ts
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT doc_id, ts,
+         CASE WHEN len(ts) <= 4 THEN 1
+              ELSE 1 + CAST(CEIL((len(ts) - 4) / 4.0) AS INT) END AS k
+  FROM toks),
+lns AS (
+  SELECT doc_id, CAST(i AS INT) AS lidx,
+         TRIM(array_to_string(
+             ts[CAST(i*4+1 AS INT) : CAST(i*4+4 AS INT)], ' ')) AS l
+  FROM (SELECT doc_id, ts, UNNEST(range(0, k)) AS i FROM c)),
+ne AS (SELECT doc_id, lidx, l FROM lns WHERE l <> ''),
+freq AS (SELECT l, COUNT(*) AS f FROM ne GROUP BY l),
+tagged AS (SELECT ne.doc_id, ne.lidx, ne.l, freq.f
+           FROM ne JOIN freq USING (l))
+SELECT doc_id,
+       string_agg(CASE WHEN f <= 2 THEN l END, chr(10)
+                  ORDER BY lidx) AS text,
+       CAST(SUM(CASE WHEN f <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lines_kept,
+       CAST(SUM(CASE WHEN f > 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lines_dropped
+FROM tagged GROUP BY doc_id
+HAVING n_lines_kept > 0""",
         # DSIR bucket models refit in SQL: same md5 bucket hash, same
         # add-one smoothing with identical association order, so the
         # per-document double sums agree to ~1e-13

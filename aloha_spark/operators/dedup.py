@@ -179,6 +179,66 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
                  F.count(F.lit(1)).alias("n_paras_kept")))
 
 
+def filter_frequent_lines(df: DataFrame, id_col: str = "doc_id",
+                          text: str = "text", delim: str = "\n",
+                          max_freq: int = 2,
+                          out_col: str = "text") -> DataFrame:
+    """Corpus-frequency line filter (the CCNet / Gopher boilerplate
+    rule): split every document on ``delim``, count how many times each
+    trimmed non-empty line occurs ACROSS THE WHOLE CORPUS, drop every
+    occurrence of any line whose corpus frequency exceeds ``max_freq``,
+    and reassemble each document from its surviving lines in original
+    order.
+
+    This differs from :func:`dedup_paragraphs` in the keep rule:
+    paragraph dedup keeps the FIRST occurrence of a repeated block,
+    while the frequency filter removes ALL occurrences of
+    high-frequency boilerplate (navigation text, cookie banners,
+    timestamps) — the CCNet preprocessing step applied before
+    perplexity bucketing.
+
+    Returns one row per document that keeps >= 1 line:
+    ``(id, out_col, n_lines_kept, n_lines_dropped)``.
+    Whitespace-only lines are dropped before counting (they are
+    formatting, not content) and count as neither kept nor dropped.
+
+    100 TB story: two shuffles, both skew-proof.  The frequency
+    relation is a partial-aggregated count grouped on a 16-byte line
+    digest — a boilerplate line repeated a billion times collapses to
+    one row per map partition before the exchange.  The line→frequency
+    join keys on that digest, and a hot digest carries a ONE-row build
+    side per key (the shape AQE skew-join splitting handles).
+    Reassembly is a second partial-aggregated groupBy on the document
+    id.  No Python anywhere; ``delim`` is matched literally.
+    """
+    lines = (df.select(
+                 F.col(id_col).alias("_did"),
+                 F.posexplode(F.split(F.col(text),
+                                      "\\Q" + delim + "\\E"))
+                  .alias("_lidx", "_line"))
+             .withColumn("_line", F.trim("_line"))
+             .where(F.col("_line") != "")
+             .withColumn("_digest", F.md5(F.col("_line"))))
+    freq = (lines
+            .groupBy("_digest")
+            .agg(F.count(F.lit(1)).alias("_freq")))
+    tagged = lines.join(freq, "_digest")
+    return (tagged
+            .groupBy(F.col("_did").alias(id_col))
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("_freq") <= max_freq,
+                                    F.struct("_lidx", "_line")))),
+                         lambda s: s["_line"]),
+                     delim).alias(out_col),
+                 F.sum((F.col("_freq") <= max_freq).cast("long"))
+                  .alias("n_lines_kept"),
+                 F.sum((F.col("_freq") > max_freq).cast("long"))
+                  .alias("n_lines_dropped"))
+            .where(F.col("n_lines_kept") > 0))
+
+
 def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                            text: str = "text", n: int = 20,
                            out_col: str = "text") -> DataFrame:

@@ -39,9 +39,14 @@ _BASE_TYPES = {
 
 def read_table(spark: SparkSession, path_or_name: str,
                fmt: str = "parquet") -> DataFrame:
-    """Storage-agnostic table read: parquet path | iceberg table name."""
+    """Storage-agnostic table read: parquet path | iceberg table name |
+    bucketed catalog table (``fmt="bucketed"`` — scans through the
+    session catalog so the bucket layout survives and downstream
+    conv_id windows/joins plan exchange-free, see sources/bucketed.py)."""
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(path_or_name)
+    if fmt == "bucketed":
+        return spark.table(path_or_name)
     return spark.read.format(fmt).load(path_or_name)
 
 

@@ -347,3 +347,88 @@ def test_span_dedup_rejects_tiny_n(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         remove_duplicate_spans(df, n=1)
+
+
+# ------------------------------------------------- frequent-line filter
+
+def _py_line_filter(docs, delim="\n", max_freq=2):
+    from collections import Counter
+    freq = Counter()
+    for _, text in docs:
+        if text is None:
+            continue
+        freq.update(ln.strip() for ln in text.split(delim)
+                    if ln.strip())
+    out = {}
+    for did, text in docs:
+        if text is None:
+            continue
+        lines = [ln.strip() for ln in text.split(delim) if ln.strip()]
+        kept = [ln for ln in lines if freq[ln] <= max_freq]
+        if kept:
+            out[did] = (delim.join(kept), len(kept), len(lines) - len(kept))
+    return out
+
+
+LINE_DOCS = [
+    (0, "real content one\ncookie banner\nreal content two"),
+    (1, "cookie banner\nunique line a"),
+    (2, "cookie banner\nunique line b"),
+    (3, "cookie banner"),                   # only boilerplate -> vanishes
+    (4, "seen twice\nbody"),
+    (5, "seen twice\nother body"),          # freq 2 <= max_freq: kept
+    (6, "   \n\n  "),                       # whitespace-only -> vanishes
+    (7, None),
+]
+
+
+def test_frequent_line_filter_drops_all_occurrences(spark):
+    from aloha_spark.operators.dedup import filter_frequent_lines
+    df = spark.createDataFrame(LINE_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_dropped"])
+           for r in filter_frequent_lines(df).collect()}
+    assert got == _py_line_filter(LINE_DOCS)
+    # "cookie banner" appears 4x > 2: removed EVERYWHERE (vs paragraph
+    # dedup which would keep the first occurrence)
+    assert got[0][0] == "real content one\nreal content two"
+    assert 3 not in got and 6 not in got and 7 not in got
+    # frequency exactly at the threshold is kept
+    assert got[4] == ("seen twice\nbody", 2, 0)
+
+
+def test_frequent_line_filter_fuzz_vs_replica(spark):
+    """30 random corpora, line-namespaced per corpus, one Spark pass."""
+    import random
+    from aloha_spark.operators.dedup import filter_frequent_lines
+
+    rng = random.Random(0xF00D)
+    docs, per_corpus, did = [], {}, 0
+    for c in range(30):
+        pool = [f"c{c} line {k}" for k in range(rng.randint(1, 4))]
+        corpus = []
+        for _ in range(rng.randint(1, 5)):
+            k = rng.randint(0, 6)
+            text = "\n".join(rng.choice(pool + ["", "  "])
+                             for _ in range(k)) if k else (
+                None if rng.random() < 0.5 else "")
+            corpus.append((did, text))
+            did += 1
+        per_corpus[c] = corpus
+        docs += corpus
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_dropped"])
+           for r in filter_frequent_lines(df, max_freq=2).collect()}
+    want = {}
+    for corpus in per_corpus.values():
+        want.update(_py_line_filter(corpus, max_freq=2))
+    assert got == want
+
+
+def test_frequent_line_filter_literal_delimiter(spark):
+    from aloha_spark.operators.dedup import filter_frequent_lines
+    docs = [(0, "a b|.|boiler"), (1, "boiler|.|c d"), (2, "boiler|.|e f")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in filter_frequent_lines(df, delim="|.|",
+                                          max_freq=2).collect()}
+    assert got == {0: "a b", 1: "c d", 2: "e f"}

@@ -113,6 +113,38 @@ def property_gates(spark, sf_dir) -> dict:
     record("simhash", det and eq_ok, f"deterministic={det} "
            f"equal_text_equal_hash={eq_ok}")
 
+    # --- bpe_encode: determinism + zero-UNK + driver-replica parity
+    # (the Spark Arrow kernel's counts/CRCs must equal a driver-side
+    # re-encode with the same tokenizer, and decode must round-trip) ---
+    import re as _re
+    import zlib
+
+    from aloha_spark.operators.tokenizer import train_bpe
+    enc = em.queries()["bpe_encode"](spark, sf_dir).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    enc2 = em.queries()["bpe_encode"](spark, sf_dir).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    det = enc.equals(enc2)
+    unk_ok = int(enc["n_unk"].sum()) == 0
+    tok = train_bpe(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                    num_merges=64, min_pair_freq=2)
+    idx = enc.set_index("doc_id")
+    rt_ok = parity_ok = True
+    for r in docs.itertuples():
+        t = r.text if isinstance(r.text, str) else None
+        ids = tok.encode(t)
+        if tok.decode(ids) != ("".join(_re.findall(tok.pattern, t))
+                               if t is not None else ""):
+            rt_ok = False
+        crc = zlib.crc32(",".join(str(i) for i in ids).encode())
+        row = idx.loc[r.doc_id]
+        if int(row["n_ids"]) != len(ids) or int(row["ids_crc"]) != crc:
+            parity_ok = False
+    record("bpe_encode", det and unk_ok and rt_ok and parity_ok,
+           f"deterministic={det} zero_unk={unk_ok} round_trip={rt_ok} "
+           f"kernel==driver_replica={parity_ok} "
+           f"(merges=64, docs={len(docs)})")
+
     # --- vw_lines: flat assembly byte-identical to the dict tier ---
     from aloha_spark.plans.pipeline import FeaturePipeline
     from aloha_spark.plans.spec import PipelineSpec
