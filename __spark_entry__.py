@@ -1001,6 +1001,25 @@ def q_bpe_tokens(spark, sf_dir):
                     F.col("bpe_token_count").alias("bpe_tokens"))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): spherical-k-means clustering of the
+    embedding table, greedy within-cluster epsilon-ball dedup keeping
+    the most atypical member (ascending centroid-similarity order).
+    Rows-only (seeded k-means is not SQL); gated in selfcheck by exact
+    parity with an independent driver-side replica on all rows plus the
+    dropped-has-kept-neighbor invariant; epsilon-ball/keep-rule/shard
+    pytests in tests/test_semdedup.py."""
+    from aloha_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the synthetic embeddings' cosine ceiling is ~0.51, so the
+    # "semantic duplicate" radius is set to exercise real drops
+    out = semantic_dedup(emb, threshold=0.42, n_clusters=8, seed=7)
+    return out.select("vec_id", "cluster",
+                      F.round("centroid_sim", 6).alias("centroid_sim"),
+                      "keep")
+
+
 def q_bpe_encode(spark, sf_dir):
     """Real BPE (Sennrich arXiv:1508.07909): train 64 merges on the
     corpus's own distributed word counts, broadcast the rank table,
@@ -1578,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_encode": q_bpe_encode,
+        "semdedup": q_semdedup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "media_features": q_media_features,
         "pack_stats": q_pack_stats,

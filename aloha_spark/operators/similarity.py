@@ -281,3 +281,115 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                  .select("query_id", "neighbor_id",
                          (F.round("cosine", round_to) if round_to is not None
                           else F.col("cosine")).alias("cosine"), "rank"))
+
+
+def semantic_dedup(corpus: DataFrame, id_col: str = "vec_id",
+                   vec: str = "embedding", *, threshold: float = 0.95,
+                   n_clusters: int = 16, seed: int = 7,
+                   train_sample: int = 4096,
+                   max_cluster_size: int = 10_000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then within each cluster greedily drop any vector
+    whose cosine similarity to an already-kept vector reaches
+    ``threshold``.  Keep order is ascending similarity-to-centroid
+    (ties by id), i.e. the most ATYPICAL member of each epsilon-ball
+    survives — the keep rule the paper found best preserves downstream
+    accuracy.
+
+    Returns one row per input vector:
+    ``(id, cluster, centroid_sim, keep)``.
+
+    100 TB story: k-means is fit driver-side on a deterministic
+    uniform sample (same protocol as :func:`ivf_topk`) and the centroid
+    matrix broadcasts; assignment is one Arrow pass.  The quadratic
+    stage only ever sees ONE CLUSTER at a time (applyInPandas over the
+    cluster id), so ``n_clusters`` is chosen to make E[cluster size]
+    manageable (the paper used ~50k clusters for 100M items).  A
+    degenerate hot cluster is bounded by ``max_cluster_size``: overflow
+    clusters split deterministically into hash sub-shards that dedup
+    independently — bounded memory at a disclosed recall cost on the
+    split cluster (same contract as simhash's star-degrade).  The
+    greedy scan itself is vectorized: one (1 x kept) matmul per member,
+    O(m^2) flops worst case but BLAS-fast and bounded by the cap.
+    """
+    spark = corpus.sparkSession
+    id_t = corpus.schema[id_col].dataType.simpleString()
+
+    samp = (corpus.select(id_col, vec)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+                     F.col(id_col))
+            .limit(train_sample).collect())
+    if not samp:
+        return spark.createDataFrame(
+            [], f"{id_col} {id_t}, cluster int, centroid_sim double, "
+                f"keep boolean")
+    m = np.asarray([np.asarray(r[1], dtype=np.float64) for r in samp])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    cent = _kmeans_fit(m, n_clusters, seed)
+    bc = spark.sparkContext.broadcast(cent)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("struct<cluster:int, centroid_sim:double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        c = bc.value
+        mm = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mm.size == 0:
+            return pd.DataFrame({"cluster": pd.Series(dtype="int32"),
+                                 "centroid_sim": pd.Series(dtype="float64")})
+        mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True),
+                             1e-30)
+        sims = mm @ c.T
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame({
+            "cluster": best.astype(np.int32),
+            "centroid_sim": sims[np.arange(len(best)), best]})
+
+    assigned = (corpus
+                .select(id_col, vec, assign(F.col(vec)).alias("_a"))
+                .select(id_col, vec,
+                        F.col("_a.cluster").alias("cluster"),
+                        F.col("_a.centroid_sim").alias("centroid_sim")))
+
+    # skew guard: count cluster sizes FIRST (tiny relation — one row
+    # per cluster), then sub-shard only the overflow clusters
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("_csz"))
+    sharded = (assigned
+               .join(F.broadcast(sizes), "cluster")
+               .withColumn(
+                   "_nsub",
+                   F.ceil(F.col("_csz") / F.lit(max_cluster_size))
+                    .cast("int"))
+               .withColumn(
+                   "_sub",
+                   F.pmod(F.xxhash64(F.col(id_col).cast("string"),
+                                     F.lit(seed + 1)),
+                          F.col("_nsub")).cast("int")))
+
+    out_schema = (f"{id_col} {id_t}, cluster int, centroid_sim double, "
+                  f"keep boolean")
+
+    def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["centroid_sim", id_col]).reset_index(drop=True)
+        vv = np.asarray([np.asarray(v, dtype=np.float64)
+                         for v in pdf[vec]])
+        vv = vv / np.maximum(np.linalg.norm(vv, axis=1, keepdims=True),
+                             1e-30)
+        keep = np.zeros(len(pdf), dtype=bool)
+        kept_rows = []
+        for i in range(len(pdf)):
+            if kept_rows and np.max(vv[kept_rows] @ vv[i]) >= threshold:
+                continue
+            keep[i] = True
+            kept_rows.append(i)
+        return pd.DataFrame({
+            id_col: pdf[id_col],
+            "cluster": pdf["cluster"].astype("int32"),
+            "centroid_sim": pdf["centroid_sim"],
+            "keep": keep})
+
+    return (sharded
+            .groupBy("cluster", "_sub")
+            .applyInPandas(dedup_group, out_schema))

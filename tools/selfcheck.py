@@ -145,6 +145,60 @@ def property_gates(spark, sf_dir) -> dict:
            f"kernel==driver_replica={parity_ok} "
            f"(merges=64, docs={len(docs)})")
 
+    # --- semdedup: exact parity with an independent driver replica
+    # (same deterministic centroid-fit protocol, greedy keep in
+    # (centroid_sim, id) order) + dropped-has-kept-neighbor invariant ---
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aloha_spark.operators.similarity import _kmeans_fit
+    sd = em.queries()["semdedup"](spark, sf_dir).toPandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    embp = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    units = {}
+    for r in embp.itertuples():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        units[r.vec_id] = v / max(np.linalg.norm(v), 1e-30)
+    samp = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .orderBy(F.xxhash64(F.col("vec_id").cast("string"), F.lit(7)),
+                     F.col("vec_id"))
+            .limit(4096).collect())
+    mm = np.asarray([np.asarray(r[1], dtype=np.float64) for r in samp])
+    mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-30)
+    cent = _kmeans_fit(mm, 8, 7)
+    by_cluster = {}
+    for vid, u in units.items():
+        sims = cent @ u
+        c = int(np.argmax(sims))
+        by_cluster.setdefault(c, []).append((float(sims[c]), vid, u))
+    want_keep = {}
+    for c, members in by_cluster.items():
+        kept = []
+        for s, vid, u in sorted(members, key=lambda t: (t[0], t[1])):
+            if kept and max(float(k @ u) for k in kept) >= 0.42:
+                want_keep[vid] = False
+            else:
+                want_keep[vid] = True
+                kept.append(u)
+    got_keep = dict(zip(sd["vec_id"], sd["keep"]))
+    parity = got_keep == want_keep
+    inv_ok = True
+    got_cluster = dict(zip(sd["vec_id"], sd["cluster"]))
+    kept_by_c = {}
+    for vid, k in got_keep.items():
+        if k:
+            kept_by_c.setdefault(got_cluster[vid], []).append(units[vid])
+    for vid, k in got_keep.items():
+        if not k:
+            ks = kept_by_c.get(got_cluster[vid], [])
+            if not ks or max(float(u @ units[vid]) for u in ks) < 0.42:
+                inv_ok = False
+    n_drop = sum(1 for k in got_keep.values() if not k)
+    record("semdedup", parity and inv_ok,
+           f"replica_parity={parity} dropped_has_kept_neighbor={inv_ok} "
+           f"(n={len(got_keep)}, dropped={n_drop})")
+
     # --- vw_lines: flat assembly byte-identical to the dict tier ---
     from aloha_spark.plans.pipeline import FeaturePipeline
     from aloha_spark.plans.spec import PipelineSpec
