@@ -520,6 +520,22 @@ def q_ann_topk_ivf(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_topk_pq(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py:pq_topk) with
+    an exhaustive rerank tail (rerank >= |corpus| at every test SF):
+    the exact-cosine pass then covers every vector, so the brute-force
+    DuckDB oracle gates the full PQ machinery — codebook training,
+    vectorized encode, ADC lookup-table scoring, shortlist window, and
+    the rerank join.  Recall at realistic shortlist sizes is pinned in
+    tests/test_dedup_similarity.py::TestPqTopk."""
+    from aloha_spark.operators.similarity import pq_topk
+    embs = _embs(spark, sf_dir)
+    q = embs.where("vec_id < 10")
+    return pq_topk(q, embs, k=3, m_sub=8, ksub=16, rerank=4096).select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"))
+
+
 def q_embed_neardup(spark, sf_dir):
     """Exact cosine-threshold pair baseline (the LSH-accelerated variant
     is q_embed_neardup_lsh, rows-only)."""
@@ -1544,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         # embeddings
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_pq": q_ann_topk_pq,
         "embed_neardup": q_embed_neardup,
         # featurization / sinks
         "vw_labeled": q_vw_labeled,
@@ -2052,6 +2069,24 @@ FROM (SELECT *, ROW_NUMBER() OVER
       FROM pairs) r
 WHERE rnk <= 3""",
         "ann_topk_ivf": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         (SELECT SUM(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+          FROM (SELECT UNNEST(q.embedding) AS a,
+                       UNNEST(c.embedding) AS b) x)
+         / (SQRT((SELECT SUM(CAST(y.a AS DOUBLE) * CAST(y.a AS DOUBLE))
+                  FROM (SELECT UNNEST(q.embedding) AS a) y))
+            * SQRT((SELECT SUM(CAST(z.b AS DOUBLE) * CAST(z.b AS DOUBLE))
+                    FROM (SELECT UNNEST(c.embedding) AS b) z))) AS cos
+  FROM q, embeddings c WHERE q.vec_id != c.vec_id)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+       CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM pairs) r
+WHERE rnk <= 3""",
+        "ann_topk_pq": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

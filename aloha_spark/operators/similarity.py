@@ -283,6 +283,179 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                           else F.col("cosine")).alias("cosine"), "rank"))
 
 
+def _pq_fit(sample: np.ndarray, m_sub: int, ksub: int,
+            seed: int, iters: int = 12) -> np.ndarray:
+    """Train product-quantization codebooks (Jegou et al. 2011, TPAMI
+    "Product Quantization for Nearest Neighbor Search"): split the
+    (already unit-normalized) sample into ``m_sub`` contiguous
+    subspaces and run deterministic L2 Lloyd iterations per subspace.
+    Returns codebooks of shape (m_sub, <=ksub, dim/m_sub)."""
+    n, dim = sample.shape
+    if dim % m_sub:
+        raise ValueError(
+            f"pq_topk: embedding dim {dim} not divisible by m_sub={m_sub}")
+    dsub = dim // m_sub
+    rng = np.random.default_rng(seed)
+    books = []
+    for mi in range(m_sub):
+        sub = sample[:, mi * dsub:(mi + 1) * dsub]
+        cent = sub[rng.choice(n, size=min(ksub, n), replace=False)].copy()
+        for _ in range(iters):
+            # L2 assignment == argmax(2x.c - |c|^2); keep it literal
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2) \
+                if n * len(cent) * dsub <= 2**24 else (
+                    -2.0 * (sub @ cent.T)
+                    + (cent ** 2).sum(axis=1)[None, :])
+            assign = np.argmin(d2, axis=1)
+            for ci in range(len(cent)):
+                members = sub[assign == ci]
+                if len(members):
+                    cent[ci] = members.mean(axis=0)
+        books.append(cent)
+    return np.asarray(books)
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+            q_id: str = "vec_id", c_id: str = "vec_id",
+            q_vec: str = "embedding", c_vec: str = "embedding",
+            m_sub: int = 8, ksub: int = 16, rerank: int = 32,
+            seed: int = 7, train_sample: int = 4096,
+            round_to: Optional[int] = 6,
+            max_queries: int = 100_000) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring and an
+    exact rerank tail — the memory-bound scale path IVF cannot give:
+
+    1. TRAIN: per-subspace L2 k-means codebooks on a deterministic
+       driver sample (same unbiased xxhash64 TakeOrdered sample as
+       :func:`ivf_topk`); codebooks are (m_sub x ksub x dim/m_sub) —
+       kilobytes, broadcast.
+    2. ENCODE: one vectorized pandas UDF compresses every corpus
+       vector to ``m_sub`` small codes.  THIS is the 100 TB story: a
+       768-dim float32 embedding (3 KB) becomes m_sub bytes, so the
+       scan that scores 10^11 vectors reads ~100x less and the raw
+       vectors never ride any shuffle — only the code column does.
+    3. SCORE (ADC): dot(q, reconstruct(x)) == sum_m dot(q_m, c[m,
+       code_m]), so a per-query lookup table LUT[q, m, j] = q_m . c[m,
+       j] computed ONCE driver-side (Q x m_sub x ksub, broadcast)
+       turns scoring into m_sub table lookups per vector — no
+       floating-point vector math in the scan.  mapInPandas streams
+       corpus code batches, keeps a per-batch top-``rerank`` per query
+       (map-side combine), and emits ids+approx only.
+    4. RERANK: global top-``rerank`` by approx (one window), re-attach
+       true vectors (broadcast candidate-id semi-join — the candidate
+       set is Q x rerank rows), exact cosine, final top-k window.
+
+    ``rerank >= |corpus|`` is exhaustive (every vector reranked
+    exactly) — that configuration gates the machinery against the
+    brute-force oracle; recall at realistic ``rerank`` is measured in
+    tests.  Queries are the driver-collected small side (same
+    ``max_queries`` loud-failure contract as :func:`brute_force_topk`).
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    spark = corpus.sparkSession
+    qf_t = queries.schema[q_id].dataType.simpleString()
+    cf_t = corpus.schema[c_id].dataType.simpleString()
+    qrows = queries.select(q_id, q_vec).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk collects the query side on the driver; got > "
+            f"{max_queries} query rows — raise max_queries explicitly "
+            f"or batch the query set")
+    empty = spark.createDataFrame(
+        [], f"query_id {qf_t}, neighbor_id {cf_t}, cosine double, rank int")
+    if not qrows:
+        return empty
+    samp = (corpus.select(c_id, c_vec)
+            .orderBy(F.xxhash64(F.col(c_id).cast("string"), F.lit(seed)),
+                     F.col(c_id))
+            .limit(train_sample).collect())
+    if not samp:
+        return empty
+    m = np.asarray([np.asarray(r[1], dtype=np.float64) for r in samp])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    books = _pq_fit(m, m_sub, ksub, seed)          # (M, K, dsub)
+    dsub = books.shape[2]
+
+    q_ids = [r[0] for r in qrows]
+    qm = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    # ADC lookup tables: LUT[q, m, j] = dot(q_m, books[m, j])
+    lut = np.einsum("qmd,mjd->qmj",
+                    qn.reshape(len(q_ids), m_sub, dsub), books)
+    bc = spark.sparkContext.broadcast((q_ids, lut))
+    bc_books = spark.sparkContext.broadcast(books)
+
+    @pandas_udf("array<int>")
+    def encode_udf(vecs: pd.Series) -> pd.Series:
+        bks = bc_books.value
+        mm = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mm.size == 0:
+            return pd.Series([])
+        mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True),
+                             1e-30)
+        n = mm.shape[0]
+        codes = np.empty((n, len(bks)), dtype=np.int32)
+        for mi, cent in enumerate(bks):
+            sub = mm[:, mi * dsub:(mi + 1) * dsub]
+            d2 = -2.0 * (sub @ cent.T) + (cent ** 2).sum(axis=1)[None, :]
+            codes[:, mi] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, tables = bc.value                    # tables: (Q, M, K)
+        nq = len(ids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray([np.asarray(c, dtype=np.int64)
+                                for c in pdf["codes"]])    # (N, M)
+            n = codes.shape[0]
+            sims = np.zeros((nq, n))
+            for mi in range(codes.shape[1]):      # M lookups, no matmul
+                sims += tables[:, mi, codes[:, mi]]
+            cid = pdf["neighbor_id"].to_numpy()
+            kk = min(rerank + 1, n)               # +1 absorbs self-match
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q, out_c, out_s = [], [], []
+            for qi in range(nq):
+                rows = top[qi]
+                out_q.extend([ids[qi]] * len(rows))
+                out_c.extend(cid[rows].tolist())
+                out_s.extend(sims[qi, rows].tolist())
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_c,
+                                "approx": out_s})
+
+    coded = corpus.select(F.col(c_id).alias("neighbor_id"),
+                          encode_udf(F.col(c_vec)).alias("codes"))
+    cands = coded.mapInPandas(
+        score, schema=f"query_id {qf_t}, neighbor_id {cf_t}, approx double")
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc())
+    shortlist = (cands.where(F.col("query_id") != F.col("neighbor_id"))
+                      .withColumn("_r", F.row_number().over(wa))
+                      .where(F.col("_r") <= rerank)
+                      .select("query_id", "neighbor_id"))
+    # rerank: exact cosine over the Q x rerank candidate set only; the
+    # corpus side is pruned with a broadcast join on neighbor_id, and
+    # query vectors re-attach from the already-collected driver copy
+    qdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in zip(q_ids, qn)],
+        f"query_id {qf_t}, qv array<double>")
+    cv = corpus.select(F.col(c_id).alias("neighbor_id"),
+                       F.col(c_vec).alias("cv"))
+    exact = (cv.join(F.broadcast(shortlist), "neighbor_id")
+               .join(F.broadcast(qdf), "query_id")
+               .withColumn("cosine", _cosine_expr("qv", "cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k)
+                 .select("query_id", "neighbor_id",
+                         (F.round("cosine", round_to) if round_to is not None
+                          else F.col("cosine")).alias("cosine"), "rank"))
+
+
 def semantic_dedup(corpus: DataFrame, id_col: str = "vec_id",
                    vec: str = "embedding", *, threshold: float = 0.95,
                    n_clusters: int = 16, seed: int = 7,

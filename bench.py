@@ -212,6 +212,11 @@ BENCH_QUERIES = [
     # round 4b: exact duplicated-span removal (ExactSubstr; zip_with
     # span enumeration, skew-proof keeper aggregation)
     "span_dedup",
+    # round 4b: corpus-frequency line filter (digest-keyed partial-agg
+    # count, skew-proof join), semantic dedup over embedding clusters
+    # (broadcast centroids + per-cluster epsilon-ball), and full BPE
+    # encoding with a corpus-trained merge table
+    "line_filter", "semdedup", "bpe_encode",
 ]
 
 

@@ -6,6 +6,7 @@ wants them):
 
     repetition/length filter (Gopher rules)  ->  quality filter  ->
     language filter  ->  PII scrub  ->
+    corpus-frequency line filter (CCNet boilerplate rule)  ->
     paragraph-level exact dedup (RefinedWeb-style)  ->
     exact dedup (content digest)  ->
     near-dup dedup (MinHash+LSH pairs -> connected components ->
@@ -94,6 +95,16 @@ def parse_args(argv):
                         "paragraph already seen earlier in the corpus, "
                         "reassemble (documents losing every paragraph "
                         "are dropped)")
+    p.add_argument("--line-filter-delim", default=None,
+                   help="enable the CCNet corpus-frequency line "
+                        "filter: split the text on this literal "
+                        "delimiter and remove EVERY occurrence of any "
+                        "line whose corpus frequency exceeds "
+                        "--line-filter-max-freq (vs paragraph dedup, "
+                        "which keeps the first occurrence)")
+    p.add_argument("--line-filter-max-freq", type=int, default=2,
+                   help="corpus-frequency cap above which a line is "
+                        "boilerplate (default 2)")
     p.add_argument("--exact-dedup", action="store_true")
     p.add_argument("--neardup-threshold", type=float, default=None,
                    help="enable MinHash near-dup dedup at this exact-"
@@ -259,6 +270,22 @@ def curate(spark, args):
              .drop(text_col)
              .withColumnRenamed("text_scrubbed", text_col))
         checkpoint("pii_scrub")
+    if args.line_filter_delim is not None:
+        # BEFORE paragraph dedup: the frequency filter removes EVERY
+        # occurrence of hot boilerplate lines, so paragraph dedup then
+        # sees only content paragraphs (and two documents differing
+        # only in stripped boilerplate become identical for the dedup
+        # stages below).  Returns (id, text, n_lines_kept,
+        # n_lines_dropped); non-text columns re-attach with one
+        # id-keyed join, and documents keeping zero lines drop out.
+        from aloha_spark.operators.dedup import filter_frequent_lines
+        filtered = filter_frequent_lines(
+            x.select(id_col, text_col), id_col=id_col, text=text_col,
+            delim=args.line_filter_delim,
+            max_freq=args.line_filter_max_freq, out_col=text_col)
+        x = x.drop(text_col).join(
+            filtered.select(id_col, text_col), id_col)
+        checkpoint("line_filter")
     if args.para_dedup_delim is not None:
         # BEFORE document-level dedup: paragraph dedup rewrites the
         # text, and two documents that differ only in shared

@@ -302,6 +302,52 @@ def test_curate_paragraph_dedup_stage(spark, tmp_path):
     assert report["stages"][0] == {"stage": "paragraph_dedup", "rows": 2}
 
 
+def test_curate_line_filter_stage(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    rows = [
+        (0, "nav bar\ncontent zero\nfooter"),
+        (1, "nav bar\ncontent one\nfooter"),
+        (2, "nav bar\ncontent two\nfooter"),
+        (3, "footer"),                        # nothing left -> dropped
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+         .write.mode("overwrite").parquet(docs)
+    # "nav bar" and "footer" occur 3 and 4 times (> max_freq 2): every
+    # occurrence is removed, unlike paragraph dedup's keep-first rule
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o"),
+        "--lineage", str(tmp_path / "l"), "--stage-counts",
+        "--line-filter-delim", "\n", "--line-filter-max-freq", "2"])
+    x, _, report = curate_job.curate(spark, args)
+    got = {r["doc_id"]: r["text"] for r in x.collect()}
+    assert got == {0: "content zero", 1: "content one",
+                   2: "content two"}
+    assert report["stages"][0] == {"stage": "line_filter", "rows": 3}
+
+
+def test_curate_line_filter_before_paragraph_dedup(spark, tmp_path):
+    # composed: boilerplate stripped first, THEN the now-identical
+    # remainder deduplicates at paragraph level
+    docs = str(tmp_path / "docs")
+    rows = [
+        (0, "promo line\nsame body"),     # promo freq 3 -> stripped;
+        (1, "promo line\nsame body"),     # body freq 2 -> survives
+        (2, "promo line\nunique tail"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+         .write.mode("overwrite").parquet(docs)
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o"),
+        "--lineage", str(tmp_path / "l"), "--stage-counts",
+        "--line-filter-delim", "\n", "--line-filter-max-freq", "2",
+        "--para-dedup-delim", "\n"])
+    x, _, report = curate_job.curate(spark, args)
+    got = {r["doc_id"]: r["text"] for r in x.collect()}
+    assert got == {0: "same body", 2: "unique tail"}
+    assert [s["stage"] for s in report["stages"]] == [
+        "line_filter", "paragraph_dedup"]
+
+
 def test_curate_dsir_and_xent_stages(spark, tmp_path):
     docs = str(tmp_path / "docs")
     tgt = str(tmp_path / "target")

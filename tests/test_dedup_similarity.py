@@ -269,6 +269,70 @@ class TestIvfTopk:
         assert recall >= 0.9, recall
 
 
+class TestPqTopk:
+    def _clustered(self, spark, n=300, dim=16, n_clusters=6, seed=3):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((n_clusters, dim)) * 4
+        rows = []
+        for i in range(n):
+            c = i % n_clusters
+            v = centers[c] + rng.standard_normal(dim) * 0.3
+            rows.append((i, v.tolist()))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_exhaustive_rerank_equals_brute_force(self, spark):
+        # rerank >= |corpus|: every vector gets the exact-cosine pass,
+        # so the PQ machinery (codebooks, encode, ADC shortlist) is
+        # gated end-to-end against the exact answer
+        from aloha_spark.operators.similarity import brute_force_topk, pq_topk
+        embs = self._clustered(spark)
+        q = embs.where("vec_id < 8")
+        exact = brute_force_topk(q, embs, k=5).orderBy("query_id", "rank") \
+            .collect()
+        pq = pq_topk(q, embs, k=5, m_sub=4, ksub=8, rerank=300) \
+            .orderBy("query_id", "rank").collect()
+        assert [(r.query_id, r.neighbor_id, r.cosine) for r in exact] == \
+               [(r.query_id, r.neighbor_id, r.cosine) for r in pq]
+
+    def test_narrow_rerank_recall(self, spark):
+        # ADC approx scores must put the true neighbors inside the
+        # shortlist.  Same-cluster members quantize to near-identical
+        # codes (identical ADC scores), so the shortlist must exceed
+        # the cluster population (300/6 = 50) for the tie-broken
+        # truncation to be safe — the PQ sizing rule rerank > expected
+        # quantization-cell collision count, exercised here with 64.
+        from aloha_spark.operators.similarity import brute_force_topk, pq_topk
+        embs = self._clustered(spark)
+        q = embs.where("vec_id < 8")
+        exact = brute_force_topk(q, embs, k=5).collect()
+        approx = pq_topk(q, embs, k=5, m_sub=4, ksub=16, rerank=64).collect()
+        truth = {(r.query_id, r.neighbor_id) for r in exact}
+        got = {(r.query_id, r.neighbor_id) for r in approx}
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.9, recall
+        # reranked cosines are EXACT — every returned cosine matches the
+        # brute-force value for that pair
+        exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+        for r in approx:
+            key = (r.query_id, r.neighbor_id)
+            if key in exact_cos:
+                assert abs(r.cosine - exact_cos[key]) < 1e-9
+
+    def test_dim_not_divisible_raises(self, spark):
+        from aloha_spark.operators.similarity import pq_topk
+        embs = self._clustered(spark, dim=15)
+        with pytest.raises(Exception, match="not divisible"):
+            pq_topk(embs.where("vec_id < 2"), embs, m_sub=4).collect()
+
+    def test_empty_query_side(self, spark):
+        from aloha_spark.operators.similarity import pq_topk
+        embs = self._clustered(spark)
+        out = pq_topk(embs.where("vec_id < 0"), embs, k=3)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
 class TestMultiTableLsh:
     def test_recall_grows_with_tables_and_stays_subset(self, spark, embs):
         from aloha_spark.operators.dedup import embedding_neardup_pairs
