@@ -181,6 +181,32 @@ def q_asof_merge(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "state_score")
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join (earliest state with state.ts >= turn.ts —
+    label/outcome attachment): window mode, the descending-scan dual of
+    the backward fill (operators/asof.py).  DuckDB's ASOF JOIN takes
+    the <= comparator directly."""
+    from aloha_spark.operators.asof import asof_join
+    t = transcripts_from_events(spark, sf_dir)
+    s = state_from_events(spark, sf_dir)
+    out = asof_join(t, s, on="ts", by="conv_id", state_cols=["state_score"],
+                    direction="forward")
+    return out.select("conv_id", "turn_idx", "state_score")
+
+
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (closer of the backward/forward candidates in
+    |state.ts - turn.ts|, exact ties to backward — pandas' rule): both
+    fills share one exchange.  The oracle composes DuckDB's two ASOF
+    directions with the same tie rule."""
+    from aloha_spark.operators.asof import asof_join
+    t = transcripts_from_events(spark, sf_dir)
+    s = state_from_events(spark, sf_dir)
+    out = asof_join(t, s, on="ts", by="conv_id", state_cols=["state_score"],
+                    direction="nearest")
+    return out.select("conv_id", "turn_idx", "state_score")
+
+
 def q_pit_pipeline(spark, sf_dir):
     """Flagship: as-of join + lag + backfill + sessionization combined."""
     from aloha_spark.plans.flagship import point_in_time_features
@@ -1520,6 +1546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_tool_count": q_rolling_tool_count,
         "asof_strict": q_asof_strict,
         "asof_merge": q_asof_merge,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
         "ann_topk": q_ann_topk,
         "constant_model": q_constant_model,
         "error_model": q_error_model,
@@ -1690,6 +1718,26 @@ FROM transcripts t ASOF LEFT JOIN state s
 SELECT t.conv_id, t.turn_idx, s.state_score
 FROM transcripts t ASOF LEFT JOIN state s
   ON t.conv_id = s.conv_id AND t.ts >= s.ts""",
+        "asof_forward": f"""{T}
+SELECT t.conv_id, t.turn_idx, s.state_score
+FROM transcripts t ASOF LEFT JOIN state s
+  ON t.conv_id = s.conv_id AND t.ts <= s.ts""",
+        "asof_nearest": f"""{T},
+b AS (
+  SELECT t.conv_id, t.turn_idx, t.ts, s.ts AS bts, s.state_score AS bsc
+  FROM transcripts t ASOF LEFT JOIN state s
+    ON t.conv_id = s.conv_id AND t.ts >= s.ts),
+f AS (
+  SELECT t.conv_id, t.turn_idx, s.ts AS fts, s.state_score AS fsc
+  FROM transcripts t ASOF LEFT JOIN state s
+    ON t.conv_id = s.conv_id AND t.ts <= s.ts)
+SELECT b.conv_id, b.turn_idx,
+       CASE WHEN bts IS NULL THEN fsc
+            WHEN fts IS NULL THEN bsc
+            WHEN (EPOCH(fts) - EPOCH(b.ts)) < (EPOCH(b.ts) - EPOCH(bts))
+              THEN fsc
+            ELSE bsc END AS state_score
+FROM b JOIN f ON b.conv_id = f.conv_id AND b.turn_idx = f.turn_idx""",
         "pit_pipeline": f"""{T},
 joined AS (
   SELECT t.conv_id, t.turn_idx, t.text, t.tool, t.ts, s.state_score

@@ -171,9 +171,21 @@ def asof_join(
     hot_key_threshold: Optional[int] = None,
     salt_buckets: int = 8,
     mode: str = "window",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: attach latest ``state_cols`` with
-    ``state[on] <= turns[on]`` (``<`` when allow_exact=False) per ``by``.
+    """As-of join: attach ``state_cols`` per ``by`` along ``direction``
+    (``pd.merge_asof`` semantics):
+
+    - ``"backward"`` (default): latest state with ``state[on] <=
+      turns[on]`` (``<`` when allow_exact=False) — zero temporal
+      leakage, the training-data direction.
+    - ``"forward"``: earliest state with ``state[on] >= turns[on]``
+      (``>`` when strict) — label/outcome attachment.
+    - ``"nearest"``: whichever of the two candidates is closer in
+      ``|state[on] - turns[on]|``; exact ties go to the backward row
+      (pandas' rule).  Window mode only (it is the composition of both
+      fills over ONE exchange; the streaming merge is single-direction
+      by construction).
 
     ``mode="window"`` (default): after the union, the merge is a pure
     Catalyst plan — pack the state payload into one struct (NULL on turn
@@ -199,6 +211,8 @@ def asof_join(
     ``hot_keys`` / ``hot_key_threshold``: enable skew salting for the
     given (or detected) hot keys.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     spark = turns.sparkSession
     if state_cols is None:
         state_cols = [c for c in state.columns if c not in (by, on)]
@@ -258,8 +272,16 @@ def asof_join(
 
     unioned = t.unionByName(s)
 
-    sort_cols: list[Column] = [F.col(by).asc(), F.col(_SALT).asc(),
-                               F.col(on).asc(), F.col(_SIDE).asc()]
+    # Scan order within a key: toward-the-turn time order, state before
+    # turns at equal ts iff exact matches allowed.  Backward scans ts
+    # ascending; forward scans ts DESCENDING (forward as-of is backward
+    # as-of on reversed time), and the side/tiebreaker rules carry over
+    # unchanged because both are stated relative to scan order.
+    ts_asc = direction != "forward"
+    sort_cols: list[Column] = [
+        F.col(by).asc(), F.col(_SALT).asc(),
+        F.col(on).asc() if ts_asc else F.col(on).desc(),
+        F.col(_SIDE).asc()]
     if tiebreaker is not None:
         # among equal-ts state rows the greatest tiebreaker must win the
         # forward fill -> sort it last among state rows
@@ -269,18 +291,51 @@ def asof_join(
     if mode == "window":
         from pyspark.sql import Window
 
-        order_cols: list[Column] = [F.col(on).asc(), F.col(_SIDE).asc()]
-        if tiebreaker is not None:
-            order_cols.append(F.when(F.col(_SIDE) == state_side,
-                                     F.col(tiebreaker)).asc_nulls_first())
-        w = (Window.partitionBy(*part_cols).orderBy(*order_cols)
-             .rowsBetween(Window.unboundedPreceding, 0))
+        # state struct carries its own `on` value so the nearest
+        # direction can compare distances without a second join
         packed = unioned.withColumn(
             "__state",
             F.when(F.col(_SIDE) != turn_side,
-                   F.struct(*[F.col(c).alias(c) for c in state_cols])))
-        filled = packed.withColumn(
-            "__filled", F.last("__state", ignorenulls=True).over(w))
+                   F.struct(F.col(on).alias("__s_ts"),
+                            *[F.col(c).alias(c) for c in state_cols])))
+
+        def fill(asc: bool) -> Column:
+            order_cols: list[Column] = [
+                F.col(on).asc() if asc else F.col(on).desc(),
+                F.col(_SIDE).asc()]
+            if tiebreaker is not None:
+                order_cols.append(F.when(F.col(_SIDE) == state_side,
+                                         F.col(tiebreaker)).asc_nulls_first())
+            w = (Window.partitionBy(*part_cols).orderBy(*order_cols)
+                 .rowsBetween(Window.unboundedPreceding, 0))
+            return F.last("__state", ignorenulls=True).over(w)
+
+        if direction == "nearest":
+            # both fills partition identically -> ONE exchange, two
+            # sorts; pick per row by |state ts - turn ts|, exact ties
+            # to the backward row (pandas' rule: strictly-closer wins)
+            filled = (packed.withColumn("__fb", fill(True))
+                            .withColumn("__ff", fill(False)))
+
+            # distance arithmetic needs a numeric: timestamps (incl.
+            # TIMESTAMP_NTZ, which cannot cast to double) go through
+            # unix_micros, plain numerics cast directly
+            on_tn = unioned.schema[on].dataType.typeName()
+
+            def num(c: Column) -> Column:
+                if on_tn.startswith("timestamp") or on_tn == "date":
+                    return F.unix_micros(c.cast("timestamp"))
+                return c.cast("double")
+
+            dist_b = num(F.col(on)) - num(F.col("__fb.__s_ts"))
+            dist_f = num(F.col("__ff.__s_ts")) - num(F.col(on))
+            choose_f = (F.col("__fb").isNull()
+                        | (F.col("__ff").isNotNull() & (dist_f < dist_b)))
+            filled = filled.withColumn(
+                "__filled",
+                F.when(choose_f, F.col("__ff")).otherwise(F.col("__fb")))
+        else:
+            filled = packed.withColumn("__filled", fill(ts_asc))
         out = filled.where(F.col(_SIDE) == turn_side).select(
             *turn_cols,
             *[F.col("__filled")[c].alias(c) for c in state_cols])
@@ -288,6 +343,11 @@ def asof_join(
 
     if mode != "merge":
         raise ValueError(f"unknown asof mode: {mode!r}")
+    if direction == "nearest":
+        raise ValueError(
+            "direction='nearest' requires mode='window' (it composes the "
+            "backward and forward fills over one exchange; the streaming "
+            "merge is single-direction by construction)")
 
     schema = _merge_schema(turns, state_cols, state)
     merge = _make_merge_fn(turn_cols, state_cols, by_cols=[by, _SALT], on=on)

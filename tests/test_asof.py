@@ -15,12 +15,13 @@ from aloha_spark.operators.asof import asof_join
 from aloha_spark.operators.windows import stable_output_order
 
 
-def _oracle(turns_pd, state_pd, state_cols, allow_exact=True):
+def _oracle(turns_pd, state_pd, state_cols, allow_exact=True,
+            direction="backward"):
     t = turns_pd.sort_values(["ts", "conv_id"]).reset_index(drop=True)
     s = (state_pd.sort_values(["ts", "conv_id"]).reset_index(drop=True))
     out = pd.merge_asof(
         t, s[["conv_id", "ts"] + state_cols], on="ts", by="conv_id",
-        direction="backward", allow_exact_matches=allow_exact)
+        direction=direction, allow_exact_matches=allow_exact)
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
@@ -78,6 +79,77 @@ class TestAsofJoin:
             asof_join(turns, state, state_cols=["state_score", "state_tag"],
                       mode=mode))
         exp = _oracle(tp, sp, ["state_score", "state_tag"])
+        _assert_frames_match(got, exp, ["state_score", "state_tag"])
+
+    @pytest.mark.parametrize("mode,direction", [
+        ("window", "forward"), ("merge", "forward"),
+        ("window", "nearest")])
+    def test_directions_match_pandas(self, spark, small, mode, direction):
+        turns, state, tp, sp = small
+        # the fixture has duplicate state rows at the same (conv_id,
+        # ts); which wins is tiebreaker territory (covered separately),
+        # not direction semantics — dedup keeps the parity check about
+        # the direction rules alone
+        sp2 = (sp.sort_values("state_score")
+                 .drop_duplicates(["conv_id", "ts"], keep="last")
+                 .reset_index(drop=True))
+        state2 = spark.createDataFrame(sp2)
+        for allow in (True, False):
+            got = _collect_sorted(asof_join(
+                turns, state2, state_cols=["state_score", "state_tag"],
+                mode=mode, direction=direction, allow_exact=allow))
+            exp = _oracle(tp, sp2, ["state_score", "state_tag"],
+                          allow_exact=allow, direction=direction)
+            _assert_frames_match(got, exp, ["state_score", "state_tag"])
+
+    @pytest.mark.parametrize("mode", ["window", "merge"])
+    def test_forward_tiebreaker_greatest_wins(self, spark, mode):
+        turns = spark.createDataFrame(
+            [("a", 0, 100.0)], "conv_id string, turn_idx int, ts double")
+        state = spark.createDataFrame(
+            [("a", 150.0, 1.0, "lo"), ("a", 150.0, 9.0, "hi")],
+            "conv_id string, ts double, pri double, tag string")
+        got = asof_join(turns, state, state_cols=["pri", "tag"],
+                        mode=mode, direction="forward",
+                        tiebreaker="pri").collect()
+        assert (got[0].pri, got[0].tag) == (9.0, "hi")
+
+    def test_nearest_tie_goes_backward(self, spark):
+        # state at ts 90 and 110, turn at 100: equidistant -> backward
+        turns = spark.createDataFrame(
+            [("a", 0, 100.0)], "conv_id string, turn_idx int, ts double")
+        state = spark.createDataFrame(
+            [("a", 90.0, "B"), ("a", 110.0, "F")],
+            "conv_id string, ts double, tag string")
+        got = asof_join(turns, state, state_cols=["tag"],
+                        direction="nearest").collect()
+        assert got[0].tag == "B"
+        # pandas agrees
+        exp = pd.merge_asof(
+            pd.DataFrame({"conv_id": ["a"], "turn_idx": [0], "ts": [100.0]}),
+            pd.DataFrame({"conv_id": ["a", "a"], "ts": [90.0, 110.0],
+                          "tag": ["B", "F"]}),
+            on="ts", by="conv_id", direction="nearest")
+        assert exp["tag"].iloc[0] == "B"
+
+    def test_nearest_merge_mode_raises(self, spark, small):
+        turns, state, _, _ = small
+        with pytest.raises(ValueError, match="nearest"):
+            asof_join(turns, state, state_cols=["state_score"],
+                      mode="merge", direction="nearest")
+
+    def test_forward_salted_equals_unsalted(self, spark, small):
+        turns, state, tp, sp = small
+        sp2 = (sp.sort_values("state_score")
+                 .drop_duplicates(["conv_id", "ts"], keep="last")
+                 .reset_index(drop=True))
+        state2 = spark.createDataFrame(sp2)
+        hot = [tp["conv_id"].iloc[0]]
+        got = _collect_sorted(asof_join(
+            turns, state2, state_cols=["state_score", "state_tag"],
+            direction="forward", hot_keys=hot, salt_buckets=4))
+        exp = _oracle(tp, sp2, ["state_score", "state_tag"],
+                      direction="forward")
         _assert_frames_match(got, exp, ["state_score", "state_tag"])
 
     def test_strict_mode_excludes_equal_ts(self, spark, small):
