@@ -1332,6 +1332,26 @@ def q_decontam(spark, sf_dir):
         "doc_id", "total_grams", "hit_grams", "contam_frac", "contaminated")
 
 
+def q_decontam_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (operators/corpus.py:
+    bloom_decontaminate): same contract as q_decontam but the benchmark
+    gram set is a broadcast numpy bitmask probed with vectorized
+    double hashing — the path for benchmark sets too large to hold as
+    an exact broadcast set.  Sized at fpp=1e-9 here, where the
+    deterministic xxhash64 probe has no false positive on this corpus,
+    so the EXACT-overlap oracle gates it hash-for-hash (the error
+    model itself — zero false negatives, bounded FPR — is pinned in
+    tests/test_corpus.py)."""
+    from aloha_spark.operators.corpus import bloom_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return bloom_decontaminate(
+        docs, bench, n=3, threshold=0.2,
+        expected_items=60_000, fpp=1e-9).select(
+        "doc_id", "total_grams", "hit_grams", "contam_frac", "contaminated")
+
+
 def q_top_tokens(spark, sf_dir):
     """Corpus vocabulary top-50 by token count, deterministic
     tie-break (count desc, token asc)."""
@@ -1643,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_encode": q_bpe_encode,
         "semdedup": q_semdedup,
+        "decontam_bloom": q_decontam_bloom,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "media_features": q_media_features,
         "pack_stats": q_pack_stats,
@@ -2435,6 +2456,28 @@ FROM toks t
 JOIN topc c ON t.doc_id = c.doc_id
 JOIN grams g ON t.doc_id = g.doc_id""",
         "decontam": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(range(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS gram
+  FROM toks),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+agg AS (
+  SELECT g.doc_id, COUNT(*) AS total,
+         SUM(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS hits
+  FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+  GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.total, 0) AS BIGINT) AS total_grams,
+       CAST(COALESCE(a.hits, 0) AS BIGINT) AS hit_grams,
+       COALESCE(CAST(a.hits AS DOUBLE) / a.total, 0.0) AS contam_frac,
+       COALESCE(CAST(a.hits AS DOUBLE) / a.total, 0.0) >= 0.2
+           AS contaminated
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+        "decontam_bloom": """
 WITH toks AS (
   SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ts
   FROM documents),

@@ -294,6 +294,134 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
             .withColumn("contaminated", F.col("contam_frac") >= threshold))
 
 
+def bloom_decontaminate(docs: DataFrame, benchmark: DataFrame, *,
+                        id_col: str = "doc_id", text: str = "text",
+                        bench_text: str = None, n: int = 8,
+                        threshold: float = 0.5, sep: str = " ",
+                        expected_items: int = None, fpp: float = 0.001,
+                        num_bits: int = None, num_hashes: int = None,
+                        build_partitions: int = 16,
+                        max_filter_bytes: int = 256 << 20) -> DataFrame:
+    """Bloom-filter decontamination — :func:`decontaminate` for
+    benchmark sets too large to broadcast as an exact gram set.
+
+    Same output contract as :func:`decontaminate` (``(id, total_grams,
+    hit_grams, contam_frac, contaminated)``), different error model: a
+    Bloom filter has NO false negatives (a contaminated document is
+    never missed — the property decontamination actually needs), and a
+    tunable false-positive rate that can only over-count overlap
+    (strictly conservative: it can only quarantine extra documents).
+
+    Plan shape at 100 TB: benchmark grams hash JVM-side (two xxhash64
+    seeds), coalesce to ``build_partitions``, and ONE Arrow pass per
+    build partition sets bits into a numpy bitmask — one
+    ``num_bits/8``-byte row per partition crosses to the driver, which
+    ORs them and broadcasts the final mask.  The corpus side never
+    shuffles grams at all: the probe is a vectorized double-hashing
+    lookup (Kirsch-Mitzenmacher: position_i = h1 + i*h2 mod m) against
+    the broadcast mask, followed by the same single doc_id-keyed
+    partial aggregation as the exact operator.  A 10^9-gram benchmark
+    at fpp=0.001 is a ~1.8 GB mask — impossible as a broadcast hash
+    set, routine as a Bloom broadcast.
+
+    Sizing: pass ``expected_items``+``fpp`` for the standard optimal
+    formulas, or ``num_bits``(+``num_hashes``) explicitly.  Raises if
+    the mask would exceed ``max_filter_bytes`` (driver holds
+    ``build_partitions`` masks transiently).
+    """
+    import math
+
+    import numpy as np
+
+    bench_text = bench_text or text
+    if num_bits is None:
+        if expected_items is None:
+            raise ValueError("bloom_decontaminate needs expected_items "
+                             "(+fpp) or num_bits")
+        num_bits = int(math.ceil(-expected_items * math.log(fpp)
+                                 / (math.log(2.0) ** 2)))
+    num_bits = max(64, (num_bits + 63) // 64 * 64)
+    if num_bits // 8 > max_filter_bytes:
+        raise ValueError(
+            f"bloom filter of {num_bits // 8} bytes exceeds "
+            f"max_filter_bytes={max_filter_bytes}; raise the cap "
+            f"explicitly or lower expected_items/fpp")
+    if num_hashes is None:
+        num_hashes = (max(1, round(num_bits / expected_items * math.log(2.0)))
+                      if expected_items else 5)
+    m, k = num_bits, num_hashes
+
+    def _h(col: Column, seed: int) -> Column:
+        return F.xxhash64(col, F.lit(seed))
+
+    # ---- build: one bitmask per (coalesced) benchmark partition ----
+    bhash = (benchmark
+             .select(tokens_col(bench_text).alias("_tk"))
+             .select(F.explode(ngrams_of(F.col("_tk"), n, sep))
+                      .alias("gram"))
+             .select(_h(F.col("gram"), 0x5eed1).alias("h1"),
+                     _h(F.col("gram"), 0x5eed2).alias("h2"))
+             .coalesce(build_partitions))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        words = np.zeros(m // 64, dtype=np.uint64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            h1 = pdf["h1"].to_numpy().astype(np.int64).view(np.uint64)
+            h2 = pdf["h2"].to_numpy().astype(np.int64).view(np.uint64)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (pos & np.uint64(63)))
+        yield pd.DataFrame({"mask": [words.tobytes()]})
+
+    parts = bhash.mapInPandas(build, schema="mask binary").collect()
+    words = np.zeros(m // 64, dtype=np.uint64)
+    for r in parts:
+        words |= np.frombuffer(r["mask"], dtype=np.uint64)
+    bc = docs.sparkSession.sparkContext.broadcast(words.tobytes())
+
+    # ---- probe: map-side vectorized double-hash lookup ----
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def might_contain(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        w = np.frombuffer(bc.value, dtype=np.uint64)
+        h1 = h1s.to_numpy().astype(np.int64).view(np.uint64)
+        h2 = h2s.to_numpy().astype(np.int64).view(np.uint64)
+        hit = np.ones(len(h1), dtype=bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            bits = (w[(pos >> np.uint64(6)).astype(np.int64)]
+                    >> (pos & np.uint64(63))) & np.uint64(1)
+            hit &= bits.astype(bool)
+        return pd.Series(hit)
+
+    grams = (docs
+             .select(id_col, tokens_col(text).alias("_tk"))
+             .select(
+                 id_col,
+                 F.explode_outer(
+                     F.array_distinct(ngrams_of(F.col("_tk"), n, sep)))
+                  .alias("gram")))
+    probed = grams.withColumn(
+        "_hit",
+        F.when(F.col("gram").isNotNull(),
+               might_contain(_h(F.col("gram"), 0x5eed1),
+                             _h(F.col("gram"), 0x5eed2))))
+    agg = (probed.groupBy(id_col)
+           .agg(F.count("gram").alias("total_grams"),
+                F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+                 .cast("long").alias("hit_grams")))
+    frac = (F.when(F.col("total_grams") > 0,
+                   F.col("hit_grams") / F.col("total_grams"))
+             .otherwise(F.lit(0.0)))
+    return (agg
+            .withColumn("contam_frac", frac)
+            .withColumn("contaminated", F.col("contam_frac") >= threshold))
+
+
 def dsir_logweight(docs: DataFrame, target: DataFrame, *,
                    id_col: str = "doc_id", text: str = "text",
                    target_text: str = None, n_buckets: int = 4096,

@@ -137,6 +137,17 @@ def parse_args(argv):
                         "n-gram overlap with it meets the threshold")
     p.add_argument("--decontam-n", type=int, default=8)
     p.add_argument("--decontam-threshold", type=float, default=0.5)
+    p.add_argument("--decontam-method", default="exact",
+                   choices=["exact", "bloom"],
+                   help="'exact' broadcasts the benchmark gram set; "
+                        "'bloom' broadcasts a fixed-size bitmask "
+                        "instead (no false negatives, FPR per "
+                        "--decontam-fpp) for benchmark sets too large "
+                        "to hold exactly")
+    p.add_argument("--decontam-expected-items", type=int, default=None,
+                   help="approximate benchmark gram count for bloom "
+                        "sizing (required with --decontam-method bloom)")
+    p.add_argument("--decontam-fpp", type=float, default=0.001)
     p.add_argument("--decontam-text-col", default=None,
                    help="benchmark text column (default: --text-col)")
     p.add_argument("--sample-col", default=None,
@@ -367,10 +378,22 @@ def curate(spark, args):
         # until session end.
         persisted = x.persist()
         bench = read_table(spark, args.decontam_docs, args.format)
-        flags = decontaminate(
-            persisted, bench, id_col=id_col, text=text_col,
-            bench_text=args.decontam_text_col or text_col,
-            n=args.decontam_n, threshold=args.decontam_threshold)
+        if args.decontam_method == "bloom":
+            from aloha_spark.operators.corpus import bloom_decontaminate
+            if args.decontam_expected_items is None:
+                raise SystemExit("--decontam-method bloom requires "
+                                 "--decontam-expected-items")
+            flags = bloom_decontaminate(
+                persisted, bench, id_col=id_col, text=text_col,
+                bench_text=args.decontam_text_col or text_col,
+                n=args.decontam_n, threshold=args.decontam_threshold,
+                expected_items=args.decontam_expected_items,
+                fpp=args.decontam_fpp)
+        else:
+            flags = decontaminate(
+                persisted, bench, id_col=id_col, text=text_col,
+                bench_text=args.decontam_text_col or text_col,
+                n=args.decontam_n, threshold=args.decontam_threshold)
         x = persisted.join(flags.where(F.col("contaminated"))
                            .select(id_col), id_col, "left_anti")
         caches.append(persisted)

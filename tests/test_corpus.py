@@ -130,6 +130,66 @@ def test_decontaminate_counts_distinct_grams_once(spark):
     assert out.loc[0, "hit_grams"] == 2
 
 
+def test_bloom_decontaminate_matches_exact_and_edge_cases(spark):
+    from aloha_spark.operators.corpus import bloom_decontaminate
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e"),
+        Row(doc_id=2, text="a b c x y"),
+        Row(doc_id=3, text="p q r s t"),
+        Row(doc_id=4, text="a b"),            # too short: 0 grams
+        Row(doc_id=5, text=None),             # NULL text: 0 grams
+    ])
+    bench = spark.createDataFrame([Row(text="a b c d e")])
+    exact = decontaminate(docs, bench, n=3, threshold=0.5) \
+        .toPandas().set_index("doc_id").sort_index()
+    # generous sizing: fp probability ~ 0 at this scale, so the bloom
+    # result must EQUAL the exact operator row-for-row
+    bloom = bloom_decontaminate(
+        docs, bench, n=3, threshold=0.5,
+        expected_items=16, fpp=1e-6).toPandas() \
+        .set_index("doc_id").sort_index()
+    for c in ("total_grams", "hit_grams", "contam_frac", "contaminated"):
+        assert bloom[c].tolist() == exact[c].tolist(), c
+
+
+def test_bloom_no_false_negatives_and_fpr_bound(spark):
+    from aloha_spark.operators.corpus import bloom_decontaminate
+    # 200 benchmark members + 2000 disjoint probes, tight-ish filter
+    bench_rows = [Row(text=f"m{i} m{i+1} m{i+2}") for i in range(200)]
+    member_docs = [Row(doc_id=i, text=f"m{i} m{i+1} m{i+2}")
+                   for i in range(200)]
+    other_docs = [Row(doc_id=10_000 + i, text=f"z{i} z{i+1} z{i+2}")
+                  for i in range(2000)]
+    out = bloom_decontaminate(
+        spark.createDataFrame(member_docs + other_docs),
+        spark.createDataFrame(bench_rows),
+        n=3, threshold=0.5, expected_items=200, fpp=0.01) \
+        .toPandas().set_index("doc_id").sort_index()
+    # NO false negatives: every member doc is flagged
+    assert out.loc[:9_999]["contaminated"].all()
+    # false-positive rate on the disjoint probes stays near fpp
+    # (single-gram docs: doc FPR == gram FPR); 5x slack over the
+    # asymptotic formula absorbs small-filter variance
+    fpr = out.loc[10_000:]["contaminated"].mean()
+    assert fpr <= 0.05, fpr
+
+
+def test_bloom_sizing_contracts(spark):
+    from aloha_spark.operators.corpus import bloom_decontaminate
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    bench = spark.createDataFrame([Row(text="a b c")])
+    with pytest.raises(ValueError, match="expected_items"):
+        bloom_decontaminate(docs, bench)
+    with pytest.raises(ValueError, match="max_filter_bytes"):
+        bloom_decontaminate(docs, bench, expected_items=10 ** 12,
+                            fpp=0.001)
+    # empty benchmark: nothing is contaminated, rows still emitted
+    empty = spark.createDataFrame([], "text string")
+    out = bloom_decontaminate(docs, empty, n=2, num_bits=1024) \
+        .toPandas()
+    assert len(out) == 1 and not out.loc[0, "contaminated"]
+
+
 # ------------------------------------------------------------ top tokens
 
 def test_top_tokens_counts_and_tiebreak(spark):

@@ -348,6 +348,34 @@ def test_curate_line_filter_before_paragraph_dedup(spark, tmp_path):
         "line_filter", "paragraph_dedup"]
 
 
+def test_curate_bloom_decontam_stage(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    bench = str(tmp_path / "bench")
+    rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(30)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+         .write.mode("overwrite").parquet(docs)
+    # benchmark == docs 0..9: those must drop, the rest survive
+    spark.createDataFrame(rows[:10], "doc_id long, text string") \
+         .write.mode("overwrite").parquet(bench)
+    base = ["--docs", docs, "--out", str(tmp_path / "o"),
+            "--lineage", str(tmp_path / "l"),
+            "--decontam-docs", bench, "--decontam-n", "3",
+            "--decontam-threshold", "0.5"]
+    args = curate_job.parse_args(
+        base + ["--decontam-method", "bloom",
+                "--decontam-expected-items", "64",
+                "--decontam-fpp", "1e-6"])
+    x, _, _ = curate_job.curate(spark, args)
+    kept = sorted(r["doc_id"] for r in x.select("doc_id").collect())
+    # doc 10 shares gram "w10 w11 w12" with benchmark doc 9 -> exactly
+    # at the 0.5 threshold -> dropped too
+    assert kept == list(range(11, 30))
+    # bloom requires the sizing hint
+    with pytest.raises(SystemExit, match="expected-items"):
+        curate_job.curate(spark, curate_job.parse_args(
+            base + ["--decontam-method", "bloom"]))
+
+
 def test_curate_dsir_and_xent_stages(spark, tmp_path):
     docs = str(tmp_path / "docs")
     tgt = str(tmp_path / "target")
