@@ -1352,6 +1352,26 @@ def q_decontam_bloom(spark, sf_dir):
         "doc_id", "total_grams", "hit_grams", "contam_frac", "contaminated")
 
 
+def q_quality_clf_score(spark, sf_dir):
+    """Learned-quality-classifier SCORING path (operators/classifier.py:
+    score_logreg) under a pinned, SQL-expressible weight vector
+    (w[b] = (b % 997)/997 - 0.5, bias 0.25 over 1024 md5-hashed feature
+    buckets): the featurize -> count -> L2-normalize -> sigmoid kernel
+    is gated hash-for-hash by a DuckDB replay.  TRAINING (the
+    distributed full-batch gradient loop) is pinned against an
+    independent numpy replica in tests/test_classifier.py."""
+    import numpy as np
+
+    from aloha_spark.operators.classifier import score_logreg
+
+    nf = 1024
+    w = np.concatenate([(np.arange(nf) % 997) / 997.0 - 0.5, [0.25]])
+    docs = _docs(spark, sf_dir)
+    return (score_logreg(docs, w, n_features=nf)
+            .select("doc_id",
+                    F.round("quality_prob", 6).alias("quality_prob")))
+
+
 def q_top_tokens(spark, sf_dir):
     """Corpus vocabulary top-50 by token count, deterministic
     tie-break (count desc, token asc)."""
@@ -1664,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "semdedup": q_semdedup,
         "decontam_bloom": q_decontam_bloom,
+        "quality_clf_score": q_quality_clf_score,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "media_features": q_media_features,
         "pack_stats": q_pack_stats,
@@ -2476,6 +2497,23 @@ SELECT d.doc_id,
        COALESCE(CAST(a.hits AS DOUBLE) / a.total, 0.0) AS contam_frac,
        COALESCE(CAST(a.hits AS DOUBLE) / a.total, 0.0) >= 0.2
            AS contaminated
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+        "quality_clf_score": """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL AND TRIM(text) != ''),
+bk AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('qclf' || tok), 1, 15))::BIGINT % 1024 AS b
+  FROM toks),
+cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bk GROUP BY doc_id, b),
+agg AS (
+  SELECT doc_id,
+         SUM(((b % 997) / 997.0 - 0.5) * c) / SQRT(SUM(c * c)) AS z
+  FROM cnt GROUP BY doc_id)
+SELECT d.doc_id,
+       ROUND(1.0 / (1.0 + EXP(-(COALESCE(a.z, 0.0) + 0.25))), 6)
+         AS quality_prob
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         "decontam_bloom": """
 WITH toks AS (

@@ -122,6 +122,21 @@ def parse_args(argv):
     p.add_argument("--dsir-buckets", type=int, default=4096)
     p.add_argument("--dsir-text-col", default=None,
                    help="target text column (default: --text-col)")
+    p.add_argument("--clf-target", default=None,
+                   help="high-quality reference table path: train a "
+                        "hashed-feature logistic classifier (GPT-3 "
+                        "appendix-A style) on target-vs-corpus-sample "
+                        "and keep documents scoring >= --clf-min-prob")
+    p.add_argument("--clf-min-prob", type=float, default=None,
+                   help="minimum classifier quality probability "
+                        "(required with --clf-target)")
+    p.add_argument("--clf-negative-frac", type=float, default=0.1,
+                   help="corpus fraction sampled (hash-deterministic) "
+                        "as the negative class")
+    p.add_argument("--clf-features", type=int, default=1 << 15)
+    p.add_argument("--clf-iterations", type=int, default=30)
+    p.add_argument("--clf-text-col", default=None,
+                   help="target text column (default: --text-col)")
     p.add_argument("--max-xent", type=float, default=None,
                    help="drop documents whose corpus-unigram-LM "
                         "cross-entropy exceeds this (CCNet-style "
@@ -343,6 +358,30 @@ def curate(spark, args):
                     >= args.dsir_min_logweight).select(id_col),
             id_col, "left_semi")
         checkpoint("dsir_filter")
+    if args.clf_target:
+        if args.clf_min_prob is None:
+            raise SystemExit("--clf-target requires --clf-min-prob")
+        from aloha_spark.operators.classifier import (
+            score_logreg, train_quality_classifier)
+        from aloha_spark.operators.corpus import N_BUCKETS, hash_bucket
+        # x feeds the negative sample, the training passes, AND the
+        # scored output — persist so the upstream chain runs once per
+        # training iteration instead of once per gradient pass
+        persisted = x.persist()
+        caches.append(persisted)
+        target = read_table(spark, args.clf_target, args.format)
+        neg = persisted.where(
+            hash_bucket(F.col(id_col), salt="clfneg")
+            < int(args.clf_negative_frac * N_BUCKETS))
+        w = train_quality_classifier(
+            target, neg, text=args.clf_text_col or text_col,
+            negative_text=text_col, n_features=args.clf_features,
+            iterations=args.clf_iterations)
+        x = (score_logreg(persisted, w, text=text_col, id_col=id_col,
+                          n_features=args.clf_features)
+             .where(F.col("quality_prob") >= args.clf_min_prob)
+             .drop("quality_prob"))
+        checkpoint("clf_filter")
     if args.max_xent is not None or args.min_xent is not None:
         from aloha_spark.operators.corpus import with_unigram_logprob
         # x feeds the LM fit and the scored token stream

@@ -348,6 +348,33 @@ def test_curate_line_filter_before_paragraph_dedup(spark, tmp_path):
         "line_filter", "paragraph_dedup"]
 
 
+def test_curate_clf_filter_stage(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    tgt = str(tmp_path / "target")
+    rows = [(i, f"alpha beta gamma delta w{i % 7}") for i in range(40)]
+    rows += [(100 + i, f"zz{i % 9} qq vv kk jj") for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+         .write.mode("overwrite").parquet(docs)
+    spark.createDataFrame([(0, "alpha beta gamma delta")],
+                          "doc_id long, text string") \
+         .write.mode("overwrite").parquet(tgt)
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o"),
+        "--lineage", str(tmp_path / "l"), "--stage-counts",
+        "--clf-target", tgt, "--clf-min-prob", "0.5",
+        "--clf-negative-frac", "0.5", "--clf-features", "1024",
+        "--clf-iterations", "30"])
+    x, _, report = curate_job.curate(spark, args)
+    kept = sorted(r["doc_id"] for r in x.select("doc_id").collect())
+    # target-vocabulary docs survive, junk-vocabulary docs drop
+    assert kept == list(range(40))
+    assert report["stages"][0] == {"stage": "clf_filter", "rows": 40}
+    with pytest.raises(SystemExit, match="clf-min-prob"):
+        curate_job.curate(spark, curate_job.parse_args([
+            "--docs", docs, "--out", str(tmp_path / "o2"),
+            "--lineage", str(tmp_path / "l2"), "--clf-target", tgt]))
+
+
 def test_curate_bloom_decontam_stage(spark, tmp_path):
     docs = str(tmp_path / "docs")
     bench = str(tmp_path / "bench")
