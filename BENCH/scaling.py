@@ -374,6 +374,32 @@ host artifacts:
    603k rows/s, width-2 136k -> 180k) — the 8->32 ratio fell from
    0.40 to 0.35 only because the denominator improved 26% while the
    width-32 wall sits on the bus ceiling.
+
+   **Round-4 closing evidence — the engine layer is exonerated end to
+   end** (`BENCH/kernel_probe.py`, results in
+   `BENCH/last_kernel_probe.json`): the EXACT mapInArrow kernel
+   closure (exposed as `FeaturePipeline.make_arrow_kernel`) was driven
+   with NO Spark at all — pre-materialized Arrow batches of the
+   production size, plain `multiprocessing` fork workers, no JVM, no
+   channel, no scheduler.  Standalone, the kernel scales 2->8 =
+   **0.873** and 8->32 = **0.54** (interleaved, best-of-3/width): the
+   pure-numpy kernel alone plateaus in the same 0.5-0.6 band as the
+   zero-Python Catalyst plan (0.602).  Nothing Spark adds is the
+   bottleneck; the band IS the host.  Three corroborating
+   measurements: (i) interleaved fresh-JVM pipeline walls at 2M turns
+   — local[16] 3.53s ≈ local[24] 3.22s ≈ local[32] 3.40s (each task
+   slot runs a JVM thread AND a Python worker, so local[32] schedules
+   ~64 runnables on 32 vCPUs and extra width buys nothing); (ii) at
+   16M turns local[32] (19.0s) leads local[16] (22.6s) by only 1.2x
+   for 2x the cores; (iii) a sub-core shuffle-partition sweep
+   (shuffle=24/16 at local[32], 16M rows, `BENCH/knob_sweep.py`) to
+   relieve the oversubscription LOST to baseline-64 (29.5/33.4s vs
+   25.5s) — fewer, fatter tasks forfeit more to stragglers than the
+   oversubscription costs, so the default is kept.  The full
+   pipeline's 0.35 vs the components' 0.54-0.60 is the cost of running
+   both populations concurrently on one box — a local-mode artifact
+   with no analog on an executor cluster, where each executor's cores,
+   bus, and Python workers are provisioned together.
 2. **Episodic collapse, diagnosed to packet level**: during a width-32
    run we captured a stalled straggler with `jstack` + `ss -tinm`: the
    Python<->JVM Arrow channel (TCP over loopback on this host) showed
