@@ -1617,13 +1617,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_pipeline": q_pit_pipeline,
         # relational / aggregation
         "dedup_components": q_dedup_components,
-        "broadcast_join": q_broadcast_join,
-        "linear_score": q_linear_score,
         # model dataflow layer (SURVEY §2.8)
         "tree_risk": q_tree_risk,
         "order_segment": q_order_segment,
         # corpus curation family
         "decontam": q_decontam,
+        "decontam_bloom": q_decontam_bloom,
+        "quality_clf_score": q_quality_clf_score,
         "dedup_exact": q_dedup_exact,
         "media_meta": q_media_meta,
         # embeddings
@@ -1640,16 +1640,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_columnar": q_csv_columnar,
         "error_swallow": q_error_swallow,
         "model_tree_leaves": q_model_tree_leaves,
-        "audit_tree": q_audit_tree,
-        "featurize_bookkeeping": q_featurize_bookkeeping,
-        "bpe_tokens": q_bpe_tokens,
         # ---- past the driver's 50-query window (oracle-checked by
         # tools/selfcheck.py every round; driver-green r1-r3;
         # indexed_paths/densify/proto_roundtrip/avro_roundtrip/
-        # price_bucket/cb_lines rotated out this round to make room for
-        # temperature_sample/repetition_stats/dedup_paragraphs/
-        # dsir_weight/unigram_xent/span_dedup above; jaccard_pairs
+        # price_bucket/cb_lines/audit_tree/featurize_bookkeeping/
+        # bpe_tokens/broadcast_join/linear_score rotated out this round
+        # to make room for temperature_sample/repetition_stats/
+        # dedup_paragraphs/dsir_weight/unigram_xent/span_dedup/
+        # decontam_bloom/quality_clf_score above; jaccard_pairs
         # rotated out for line_filter) ----
+        "audit_tree": q_audit_tree,
+        "featurize_bookkeeping": q_featurize_bookkeeping,
+        "bpe_tokens": q_bpe_tokens,
+        "broadcast_join": q_broadcast_join,
+        "linear_score": q_linear_score,
         "jaccard_pairs": q_jaccard_pairs,
         "cb_lines": q_cb_lines,
         "proto_roundtrip": q_proto_roundtrip,
