@@ -15,6 +15,7 @@ the Spark plan and the oracle SQL.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -558,6 +559,28 @@ def q_ann_topk_pq(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     q = embs.where("vec_id < 10")
     return pq_topk(q, embs, k=3, m_sub=8, ksub=16, rerank=4096).select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"))
+
+
+def q_ann_topk_indexed(spark, sf_dir):
+    """Persistable ANN index (operators/ann_index.py): build the
+    cell-partitioned IVF+PQ artifact, reload it from disk, and query
+    with nprobe == n_centroids (exhaustive probing) — exact by
+    construction, so the same brute-force DuckDB oracle gates the full
+    build -> publish -> load -> prune -> verify path.  Partition
+    pruning and approx-recall are pinned in tests/test_ann_index.py."""
+    import tempfile
+    from aloha_spark.operators.ann_index import (
+        build_ann_index, ivf_topk_indexed, load_ann_index)
+    embs = _embs(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "aloha_ann_idx_" + sf_dir.strip("/").replace("/", "_"))
+    build_ann_index(embs, path, n_centroids=8, m_sub=8, ksub=16, seed=7)
+    idx = load_ann_index(spark, path)      # exercise the reload path too
+    q = embs.where("vec_id < 10")
+    return ivf_topk_indexed(q, idx, k=3, nprobe=8).select(
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("long").alias("rank"))
 
@@ -1618,7 +1641,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational / aggregation
         "dedup_components": q_dedup_components,
         # model dataflow layer (SURVEY §2.8)
-        "tree_risk": q_tree_risk,
         "order_segment": q_order_segment,
         # corpus curation family
         "decontam": q_decontam,
@@ -1629,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_indexed": q_ann_topk_indexed,
         "embed_neardup": q_embed_neardup,
         # featurization / sinks
         "vw_labeled": q_vw_labeled,
@@ -1648,7 +1671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to make room for temperature_sample/repetition_stats/
         # dedup_paragraphs/dsir_weight/unigram_xent/span_dedup/
         # decontam_bloom/quality_clf_score above; jaccard_pairs
-        # rotated out for line_filter) ----
+        # rotated out for line_filter; tree_risk for ann_topk_indexed) ----
+        "tree_risk": q_tree_risk,
         "audit_tree": q_audit_tree,
         "featurize_bookkeeping": q_featurize_bookkeeping,
         "bpe_tokens": q_bpe_tokens,
@@ -2163,6 +2187,26 @@ FROM (SELECT *, ROW_NUMBER() OVER
       FROM pairs) r
 WHERE rnk <= 3""",
         "ann_topk_ivf": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         (SELECT SUM(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE))
+          FROM (SELECT UNNEST(q.embedding) AS a,
+                       UNNEST(c.embedding) AS b) x)
+         / (SQRT((SELECT SUM(CAST(y.a AS DOUBLE) * CAST(y.a AS DOUBLE))
+                  FROM (SELECT UNNEST(q.embedding) AS a) y))
+            * SQRT((SELECT SUM(CAST(z.b AS DOUBLE) * CAST(z.b AS DOUBLE))
+                    FROM (SELECT UNNEST(c.embedding) AS b) z))) AS cos
+  FROM q, embeddings c WHERE q.vec_id != c.vec_id)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+       CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM pairs) r
+WHERE rnk <= 3""",
+        # exhaustive probing over the prebuilt index == exact brute
+        # force: same oracle as ann_topk_ivf
+        "ann_topk_indexed": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

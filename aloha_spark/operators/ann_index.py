@@ -1,0 +1,339 @@
+"""Persistable ANN index — build once over the corpus, query many times.
+
+:func:`~aloha_spark.operators.similarity.ivf_topk` /
+:func:`~aloha_spark.operators.similarity.pq_topk` refit their coarse
+quantizers on every call, which is right for one-shot dedup passes but
+wrong for the serving shape at 10^11 vectors: there the expensive part —
+the full-corpus scan that assigns cells and encodes PQ codes — should
+run ONCE, and each later query batch should read only its probed slice.
+
+Artifact layout under ``path`` (plain parquet + JSON — readable by any
+engine, no pickles):
+
+* ``centroids.parquet``  — IVF coarse cells ``(cell:int, centroid:array<double>)``
+* ``codebooks.parquet``  — PQ codebooks ``(m:int, j:int, centroid:array<double>)``
+  (present iff the index was built with ``m_sub > 0``)
+* ``corpus.parquet``     — the inverted file: ``(id, codes?, vector)``
+  written ``partitionBy("cell")``
+* ``meta.json``          — params/dim/schema, written LAST: it is the
+  commit marker, so a partially-built index is invisible to
+  :func:`load_ann_index` (the same write-then-publish discipline as
+  ``plans/lineage.py``).
+
+The 100 TB story is that the inverted file IS a cell-partitioned
+parquet table: probing ``nprobe`` cells is *static partition pruning* —
+the scan literally never opens unprobed cells' files (gated in
+``tests/test_ann_index.py`` by counting distinct ``input_file_name()``).
+PQ codes ride next to the ids (m_sub small ints per vector instead of a
+3 KB float array), and the raw vectors are only read by the
+exact-rerank tail over the Q x rerank candidate set.
+
+Reference parity note: the reference engine has no vector index; this
+extends the beyond-reference similarity family (SURVEY §2.11 X7/X28)
+with the build/serve split every production ANN deployment uses
+(FAISS's index.add / index.search contract, re-expressed as tables).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .similarity import _cosine_expr, _kmeans_fit, _pq_fit
+
+_META = "meta.json"
+_CENTROIDS = "centroids.parquet"
+_CODEBOOKS = "codebooks.parquet"
+_CORPUS = "corpus.parquet"
+_FORMAT_VERSION = 1
+
+
+class AnnIndex:
+    """Handle over a built index: broadcast-sized arrays on the driver
+    (centroids, codebooks) + the lazily-read cell-partitioned corpus."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict,
+                 centroids: np.ndarray,
+                 codebooks: Optional[np.ndarray]) -> None:
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+        self.centroids = centroids   # (n_centroids, dim), unit-norm
+        self.codebooks = codebooks   # (m_sub, ksub, dim/m_sub) or None
+
+    def corpus(self) -> DataFrame:
+        """The inverted file; filter on ``cell`` before anything else so
+        Catalyst turns it into partition pruning."""
+        return self.spark.read.parquet(os.path.join(self.path, _CORPUS))
+
+
+def build_ann_index(corpus: DataFrame, path: str, *,
+                    c_id: str = "vec_id", c_vec: str = "embedding",
+                    n_centroids: int = 16, m_sub: int = 0, ksub: int = 16,
+                    seed: int = 7, train_sample: int = 4096) -> AnnIndex:
+    """One corpus scan: train coarse centroids (and PQ codebooks when
+    ``m_sub > 0``) on a deterministic unbiased sample, assign every
+    vector to its nearest cell, encode codes, and publish the artifacts.
+
+    The sample is the same xxhash64-TakeOrdered draw as ``ivf_topk`` —
+    uniform, reproducible, O(n log sample), no full-sort shuffle."""
+    spark = corpus.sparkSession
+    samp = (corpus.select(c_id, c_vec)
+            .orderBy(F.xxhash64(F.col(c_id).cast("string"), F.lit(seed)),
+                     F.col(c_id))
+            .limit(train_sample).collect())
+    if not samp:
+        raise ValueError("build_ann_index: corpus is empty")
+    m = np.asarray([np.asarray(r[1], dtype=np.float64) for r in samp])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    dim = m.shape[1]
+    cent = _kmeans_fit(m, n_centroids, seed)
+    books = _pq_fit(m, m_sub, ksub, seed) if m_sub else None
+
+    bc = spark.sparkContext.broadcast((cent, books))
+    id_t = corpus.schema[c_id].dataType.simpleString()
+    out_schema = f"id {id_t}, cell int, vector array<double>"
+    if books is not None:
+        out_schema += ", codes array<int>"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent_, books_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mm = np.asarray([np.asarray(v, dtype=np.float64)
+                             for v in pdf["vector"]])
+            nn = mm / np.maximum(
+                np.linalg.norm(mm, axis=1, keepdims=True), 1e-30)
+            out = pd.DataFrame({
+                "id": pdf["id"],
+                "cell": np.argmax(nn @ cent_.T, axis=1).astype(np.int32),
+                "vector": list(mm),
+            })
+            if books_ is not None:
+                dsub = books_.shape[2]
+                codes = np.empty((len(nn), len(books_)), dtype=np.int32)
+                for mi, cb in enumerate(books_):
+                    sub = nn[:, mi * dsub:(mi + 1) * dsub]
+                    d2 = -2.0 * (sub @ cb.T) + (cb ** 2).sum(axis=1)[None, :]
+                    codes[:, mi] = np.argmin(d2, axis=1)
+                out["codes"] = list(codes)
+            yield out
+
+    inv = (corpus.select(F.col(c_id).alias("id"),
+                         F.col(c_vec).cast("array<double>").alias("vector"))
+                 .mapInPandas(assign, schema=out_schema))
+    # partitionBy("cell") is the point of the whole artifact: a probe of
+    # nprobe cells becomes static partition pruning on the read side
+    inv.write.mode("overwrite").partitionBy("cell") \
+       .parquet(os.path.join(path, _CORPUS))
+
+    cent_df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(cent)],
+        "cell int, centroid array<double>")
+    cent_df.coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, _CENTROIDS))
+    if books is not None:
+        rows = [(mi, j, books[mi, j].tolist())
+                for mi in range(books.shape[0])
+                for j in range(books.shape[1])]
+        spark.createDataFrame(rows, "m int, j int, centroid array<double>") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, _CODEBOOKS))
+
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "kind": "ivfpq" if books is not None else "ivf",
+        "dim": int(dim),
+        "n_centroids": int(len(cent)),
+        "m_sub": int(m_sub),
+        "ksub": int(books.shape[1]) if books is not None else 0,
+        "seed": int(seed),
+        "train_sample": int(train_sample),
+        "id_col": c_id, "vec_col": c_vec, "id_type": id_t,
+    }
+    tmp = os.path.join(path, _META + ".tmp")
+    with open(tmp, "w") as f:          # write-then-rename: the commit
+        json.dump(meta, f, indent=1)   # marker appears atomically
+    os.replace(tmp, os.path.join(path, _META))
+    return AnnIndex(spark, path, meta, cent, books)
+
+
+def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
+    meta_path = os.path.join(path, _META)
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"load_ann_index: no {_META} under {path} — either the path "
+            f"is wrong or a build died before publishing (meta.json is "
+            f"written last as the commit marker); rebuild with "
+            f"build_ann_index")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(
+            f"load_ann_index: format_version {meta.get('format_version')} "
+            f"!= supported {_FORMAT_VERSION}")
+    crows = spark.read.parquet(os.path.join(path, _CENTROIDS)) \
+        .orderBy("cell").collect()
+    cent = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
+    books = None
+    if meta["m_sub"]:
+        brows = spark.read.parquet(os.path.join(path, _CODEBOOKS)) \
+            .orderBy("m", "j").collect()
+        books = np.asarray([r["centroid"] for r in brows],
+                           dtype=np.float64).reshape(
+            meta["m_sub"], meta["ksub"], meta["dim"] // meta["m_sub"])
+    return AnnIndex(spark, path, meta, cent, books)
+
+
+def _collect_queries(queries: DataFrame, q_id: str, q_vec: str,
+                     max_queries: int):
+    qrows = queries.select(q_id, q_vec).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"indexed ANN collects the query side on the driver; got > "
+            f"{max_queries} query rows — batch the query set or raise "
+            f"max_queries explicitly")
+    q_ids = [r[0] for r in qrows]
+    qm = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    if len(qrows):
+        qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True),
+                             1e-30)
+    return q_ids, qm
+
+
+def _empty_result(spark: SparkSession, id_type: str) -> DataFrame:
+    return spark.createDataFrame(
+        [], f"query_id {id_type}, neighbor_id {id_type}, "
+            f"cosine double, rank int")
+
+
+def ivf_topk_indexed(queries: DataFrame, index: AnnIndex, k: int = 5, *,
+                     q_id: str = "vec_id", q_vec: str = "embedding",
+                     nprobe: int = 2, round_to: Optional[int] = 6,
+                     max_queries: int = 100_000) -> DataFrame:
+    """IVF search against a prebuilt index: probe cells are computed
+    driver-side (queries are the contractually small side), the corpus
+    read filters to exactly those cells (partition pruning), and the
+    probed slice verifies with exact JVM cosine + one top-k window.
+
+    ``nprobe == n_centroids`` probes everything = exact brute force,
+    which is the oracle gate."""
+    spark = index.spark
+    q_ids, qn = _collect_queries(queries, q_id, q_vec, max_queries)
+    if not q_ids:
+        return _empty_result(spark, index.meta["id_type"])
+    sims = qn @ index.centroids.T
+    npb = min(nprobe, sims.shape[1])
+    probes = np.argsort(-sims, axis=1)[:, :npb]            # (Q, nprobe)
+    pairs = [(qid, int(cell), vec.tolist())
+             for qid, cells, vec in zip(q_ids, probes, qn)
+             for cell in cells]
+    qdf = spark.createDataFrame(
+        pairs, f"query_id {index.meta['id_type']}, cell int, "
+               f"qv array<double>")
+    cells = sorted({int(c) for row in probes for c in row})
+    # isin on the partition column -> Catalyst prunes unprobed cells'
+    # files before any IO happens
+    pruned = index.corpus().where(F.col("cell").isin(cells))
+    cands = (pruned.join(F.broadcast(qdf), "cell")
+                   .where(F.col("query_id") != F.col("id"))
+                   .withColumn("cosine", _cosine_expr("qv", "vector"))
+                   .withColumnRenamed("id", "neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (cands.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k)
+                 .select("query_id", "neighbor_id",
+                         (F.round("cosine", round_to) if round_to is not None
+                          else F.col("cosine")).alias("cosine"), "rank"))
+
+
+def pq_topk_indexed(queries: DataFrame, index: AnnIndex, k: int = 5, *,
+                    q_id: str = "vec_id", q_vec: str = "embedding",
+                    rerank: int = 32, nprobe: Optional[int] = None,
+                    round_to: Optional[int] = 6,
+                    max_queries: int = 100_000) -> DataFrame:
+    """PQ/ADC search against prebuilt codes, optionally IVF-PQ: with
+    ``nprobe`` set, the ADC scan first prunes to the probed cells
+    (partition pruning), then scores codes via per-query lookup tables;
+    the exact-cosine rerank re-reads only the Q x rerank candidate ids.
+
+    ``nprobe=None`` scans all cells' codes (classic PQ); ``rerank >=
+    |corpus|`` with full probing is exhaustive — the oracle gate."""
+    if index.codebooks is None:
+        raise ValueError(
+            "pq_topk_indexed: index was built without PQ codes "
+            "(m_sub=0) — rebuild with m_sub > 0 or use ivf_topk_indexed")
+    spark = index.spark
+    q_ids, qn = _collect_queries(queries, q_id, q_vec, max_queries)
+    if not q_ids:
+        return _empty_result(spark, index.meta["id_type"])
+    books = index.codebooks
+    m_sub, _, dsub = books.shape
+    lut = np.einsum("qmd,mjd->qmj",
+                    qn.reshape(len(q_ids), m_sub, dsub), books)
+    bc = spark.sparkContext.broadcast((q_ids, lut))
+    id_t = index.meta["id_type"]
+
+    coded = index.corpus()
+    if nprobe is not None:
+        sims = qn @ index.centroids.T
+        npb = min(nprobe, sims.shape[1])
+        probes = np.argsort(-sims, axis=1)[:, :npb]
+        cells = sorted({int(c) for row in probes for c in row})
+        coded = coded.where(F.col("cell").isin(cells))
+    coded = coded.select(F.col("id").alias("neighbor_id"), "codes")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, tables = bc.value                    # (Q, M, K)
+        nq = len(ids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray([np.asarray(c, dtype=np.int64)
+                                for c in pdf["codes"]])
+            n = codes.shape[0]
+            sims_ = np.zeros((nq, n))
+            for mi in range(codes.shape[1]):
+                sims_ += tables[:, mi, codes[:, mi]]
+            cid = pdf["neighbor_id"].to_numpy()
+            kk = min(rerank + 1, n)
+            top = np.argpartition(-sims_, kk - 1, axis=1)[:, :kk]
+            out_q, out_c, out_s = [], [], []
+            for qi in range(nq):
+                rows = top[qi]
+                out_q.extend([ids[qi]] * len(rows))
+                out_c.extend(cid[rows].tolist())
+                out_s.extend(sims_[qi, rows].tolist())
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_c,
+                                "approx": out_s})
+
+    cands = coded.mapInPandas(
+        score, schema=f"query_id {id_t}, neighbor_id {id_t}, approx double")
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc())
+    shortlist = (cands.where(F.col("query_id") != F.col("neighbor_id"))
+                      .withColumn("_r", F.row_number().over(wa))
+                      .where(F.col("_r") <= rerank)
+                      .select("query_id", "neighbor_id"))
+    qdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in zip(q_ids, qn)],
+        f"query_id {id_t}, qv array<double>")
+    cv = index.corpus().select(F.col("id").alias("neighbor_id"),
+                               F.col("vector").alias("cv"))
+    exact = (cv.join(F.broadcast(shortlist), "neighbor_id")
+               .join(F.broadcast(qdf), "query_id")
+               .withColumn("cosine", _cosine_expr("qv", "cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k)
+                 .select("query_id", "neighbor_id",
+                         (F.round("cosine", round_to) if round_to is not None
+                          else F.col("cosine")).alias("cosine"), "rank"))

@@ -1,0 +1,142 @@
+"""Persistable ANN index (operators/ann_index.py): build/load round-trip,
+exactness gates vs brute force, parity with the inline operators, and the
+partition-pruning contract that is the point of the artifact."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aloha_spark.operators.ann_index import (
+    AnnIndex, build_ann_index, ivf_topk_indexed, load_ann_index,
+    pq_topk_indexed)
+from aloha_spark.operators.similarity import brute_force_topk_sql
+
+
+N, DIM = 200, 16
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rng = np.random.default_rng(11)
+    # a few clear clusters so IVF cells are meaningful
+    centers = rng.normal(size=(4, DIM))
+    rows = []
+    for i in range(N):
+        v = centers[i % 4] + 0.15 * rng.normal(size=DIM)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>").repartition(4)
+
+
+@pytest.fixture(scope="module")
+def index_path(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("annidx") / "idx")
+
+
+@pytest.fixture(scope="module")
+def index(spark, embs, index_path):
+    return build_ann_index(embs, index_path, n_centroids=8, m_sub=4,
+                           ksub=16, seed=7, train_sample=N)
+
+
+def _pairs(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestBuildLoad:
+    def test_artifacts_exist(self, index, index_path):
+        for name in ("meta.json", "centroids.parquet", "corpus.parquet",
+                     "codebooks.parquet"):
+            assert os.path.exists(os.path.join(index_path, name)), name
+
+    def test_roundtrip(self, spark, index, index_path):
+        loaded = load_ann_index(spark, index_path)
+        assert loaded.meta == index.meta
+        np.testing.assert_allclose(loaded.centroids, index.centroids)
+        np.testing.assert_allclose(loaded.codebooks, index.codebooks)
+
+    def test_corpus_is_cell_partitioned(self, index, index_path):
+        parts = [d for d in os.listdir(
+            os.path.join(index_path, "corpus.parquet"))
+            if d.startswith("cell=")]
+        assert len(parts) > 1
+        assert index.corpus().count() == N
+
+    def test_missing_meta_is_loud(self, spark, tmp_path):
+        with pytest.raises(FileNotFoundError, match="commit marker"):
+            load_ann_index(spark, str(tmp_path / "nope"))
+
+    def test_empty_corpus_is_loud(self, spark, tmp_path):
+        empty = spark.createDataFrame(
+            [], "vec_id bigint, embedding array<double>")
+        with pytest.raises(ValueError, match="empty"):
+            build_ann_index(empty, str(tmp_path / "e"))
+
+
+class TestExactness:
+    """Full probing / exhaustive rerank degenerate to exact brute force."""
+
+    def test_ivf_full_probe_equals_brute(self, spark, embs, index):
+        q = embs.where("vec_id < 6")
+        got = ivf_topk_indexed(q, index, k=3, nprobe=8)
+        want = brute_force_topk_sql(q, embs, k=3)
+        assert _pairs(got) == _pairs(want)
+
+    def test_pq_exhaustive_equals_brute(self, spark, embs, index):
+        q = embs.where("vec_id < 6")
+        got = pq_topk_indexed(q, index, k=3, rerank=N, nprobe=8)
+        want = brute_force_topk_sql(q, embs, k=3)
+        assert _pairs(got) == _pairs(want)
+
+    def test_inline_parity(self, spark, embs, index):
+        """Indexed IVF == the refit-per-call operator with identical
+        params (same sample rule, same seed => same centroids)."""
+        from aloha_spark.operators.similarity import ivf_topk
+        q = embs.where("vec_id < 6")
+        got = ivf_topk_indexed(q, index, k=3, nprobe=8)
+        want = ivf_topk(q, embs, k=3, n_centroids=8, nprobe=8, seed=7,
+                        train_sample=N)
+        assert _pairs(got) == _pairs(want)
+
+
+class TestApprox:
+    def test_narrow_probe_recall(self, spark, embs, index):
+        """nprobe=2 on well-separated clusters keeps high top-3 recall."""
+        q = embs.where("vec_id < 20")
+        got = set(map(tuple, ivf_topk_indexed(q, index, k=3, nprobe=2)
+                      .select("query_id", "neighbor_id").collect()))
+        want = set(map(tuple, brute_force_topk_sql(q, embs, k=3)
+                       .select("query_id", "neighbor_id").collect()))
+        recall = len(got & want) / len(want)
+        assert recall >= 0.8, recall
+
+    def test_pq_without_codes_is_loud(self, spark, embs, tmp_path):
+        ivf_only = build_ann_index(embs, str(tmp_path / "ivf"),
+                                   n_centroids=4, m_sub=0, train_sample=N)
+        with pytest.raises(ValueError, match="m_sub"):
+            pq_topk_indexed(embs.limit(1), ivf_only, k=1)
+
+    def test_empty_queries(self, spark, embs, index):
+        q = embs.where("vec_id < 0")
+        assert ivf_topk_indexed(q, index, k=3).count() == 0
+        assert pq_topk_indexed(q, index, k=3).count() == 0
+
+
+class TestPruning:
+    def test_probe_reads_only_probed_cells(self, spark, embs, index):
+        """The scale contract: an nprobe=1 query's corpus scan opens
+        files from at most nprobe x |queries| distinct cell directories
+        — partition pruning, not a full scan plus filter."""
+        q = embs.where("vec_id = 0")
+        out = ivf_topk_indexed(q, index, k=3, nprobe=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        read = (index.corpus()
+                .where(F.col("cell").isin([0]))
+                .select(F.input_file_name()).distinct().count())
+        total = (index.corpus()
+                 .select(F.input_file_name()).distinct().count())
+        assert read < total
+        # and the physical plan carries the partition filter
+        assert "cell" in plan
