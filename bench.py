@@ -217,6 +217,13 @@ BENCH_QUERIES = [
     # (broadcast centroids + per-cluster epsilon-ball), and full BPE
     # encoding with a corpus-trained merge table
     "line_filter", "semdedup", "bpe_encode",
+    # round 4c: PQ/ADC ANN with exact rerank, bloom-filter
+    # decontamination (per-partition bitmask build + map-side probe),
+    # learned quality classifier (partition-partial-gradient training +
+    # broadcast-weights scoring), and the persistable ANN index
+    # (build -> publish -> load -> partition-pruned query)
+    "ann_topk_pq", "decontam_bloom", "quality_clf_score",
+    "ann_topk_indexed",
 ]
 
 
