@@ -516,6 +516,25 @@ def q_dedup_exact(spark, sf_dir):
         .select("content_hash", "keep_id", "dup_count")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup against a persisted corpus snapshot
+    (operators/snapshot.py): even-id docs form yesterday's corpus (its
+    digest table is written + reloaded from disk), odd-id docs are
+    today's increment; survivors are content-new rows, first-of-batch
+    within the increment.  DuckDB replays digest (md5 + NULL sentinel),
+    anti-join, and min-id window verbatim."""
+    import tempfile
+    from aloha_spark.operators.snapshot import (
+        incremental_exact_dedup, write_dedup_snapshot)
+    docs = _docs(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "aloha_dedup_snap_" + sf_dir.strip("/").replace("/", "_"))
+    write_dedup_snapshot(docs.where("doc_id % 2 = 0"), path)
+    return (incremental_exact_dedup(docs.where("doc_id % 2 = 1"), path)
+            .select("doc_id"))
+
+
 def q_media_meta(spark, sf_dir):
     from aloha_spark.sources.multimodal import synthesize_media
     m = synthesize_media(_docs(spark, sf_dir))
@@ -1640,13 +1659,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_pipeline": q_pit_pipeline,
         # relational / aggregation
         "dedup_components": q_dedup_components,
-        # model dataflow layer (SURVEY §2.8)
-        "order_segment": q_order_segment,
         # corpus curation family
         "decontam": q_decontam,
         "decontam_bloom": q_decontam_bloom,
         "quality_clf_score": q_quality_clf_score,
         "dedup_exact": q_dedup_exact,
+        "incremental_dedup": q_incremental_dedup,
         "media_meta": q_media_meta,
         # embeddings
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1671,7 +1689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to make room for temperature_sample/repetition_stats/
         # dedup_paragraphs/dsir_weight/unigram_xent/span_dedup/
         # decontam_bloom/quality_clf_score above; jaccard_pairs
-        # rotated out for line_filter; tree_risk for ann_topk_indexed) ----
+        # rotated out for line_filter; tree_risk for ann_topk_indexed;
+        # order_segment for incremental_dedup) ----
+        "order_segment": q_order_segment,
         "tree_risk": q_tree_risk,
         "audit_tree": q_audit_tree,
         "featurize_bookkeeping": q_featurize_bookkeeping,
@@ -2156,6 +2176,20 @@ SELECT doc_id,
             WHEN h_en >= h_de THEN 'en'
             ELSE 'de' END AS lang_guess
 FROM scored""",
+        "incremental_dedup": """
+WITH oldh AS (
+  SELECT DISTINCT md5(COALESCE(text, CHR(0) || 'NULL' || CHR(0))) AS h
+  FROM documents WHERE doc_id % 2 = 0),
+newd AS (
+  SELECT doc_id, md5(COALESCE(text, CHR(0) || 'NULL' || CHR(0))) AS h
+  FROM documents WHERE doc_id % 2 = 1),
+fresh AS (
+  SELECT n.doc_id, n.h FROM newd n
+  LEFT JOIN oldh o USING (h) WHERE o.h IS NULL)
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM fresh) WHERE rn = 1""",
         "dedup_exact": """
 SELECT md5(COALESCE(text, CHR(0) || 'NULL' || CHR(0))) AS content_hash,
        MIN(doc_id) AS keep_id,
