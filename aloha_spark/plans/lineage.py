@@ -140,8 +140,11 @@ def write_with_lineage(
              .parquet(out_path))
         # lineage from the WRITTEN files (partition-pruned read): the
         # checksum describes bytes on disk, and the upstream pipeline is
-        # not recomputed a second time for metadata
-        written_part = (spark.read.parquet(out_path)
+        # not recomputed a second time for metadata.  Explicit schema:
+        # a group whose every bucket is empty writes no files, and an
+        # all-empty out_path would otherwise fail schema inference
+        # (hit when an increment is fully absorbed by snapshot dedup)
+        written_part = (spark.read.schema(b.schema).parquet(out_path)
                         .where(F.col(BUCKET_COL).isin(group)))
         # record EMPTY buckets too (row_count=0, null stats): without
         # this a sparse key range re-processes every empty bucket on

@@ -106,6 +106,22 @@ def parse_args(argv):
                    help="corpus-frequency cap above which a line is "
                         "boilerplate (default 2)")
     p.add_argument("--exact-dedup", action="store_true")
+    p.add_argument("--dedup-snapshot", default=None,
+                   help="path of a persisted corpus snapshot "
+                        "(operators/snapshot.py): drop rows whose "
+                        "content already exists in the snapshot "
+                        "(continuous-crawl increments; includes the "
+                        "within-batch keep-one, so --exact-dedup is "
+                        "implied)")
+    p.add_argument("--snapshot-neardup-threshold", type=float,
+                   default=None,
+                   help="also drop rows near-duplicating a SNAPSHOT "
+                        "document at this estimated-Jaccard threshold "
+                        "(snapshot must have been written with minhash)")
+    p.add_argument("--snapshot-append", action="store_true",
+                   help="after a successful write, fold the curated "
+                        "survivors' fingerprints into --dedup-snapshot "
+                        "so the next increment dedups against them")
     p.add_argument("--neardup-threshold", type=float, default=None,
                    help="enable MinHash near-dup dedup at this exact-"
                         "Jaccard threshold (e.g. 0.7)")
@@ -331,6 +347,26 @@ def curate(spark, args):
         # scrub chain computed ONCE, single shuffle (exact_dedup_keep)
         x = exact_dedup_keep(x, cols=[text_col], id_col=id_col)
         checkpoint("exact_dedup")
+    if args.snapshot_neardup_threshold is not None \
+            and not args.dedup_snapshot:
+        raise SystemExit("--snapshot-neardup-threshold requires "
+                         "--dedup-snapshot")
+    if args.snapshot_append and not args.dedup_snapshot:
+        raise SystemExit("--snapshot-append requires --dedup-snapshot")
+    if args.dedup_snapshot:
+        # continuous-crawl increment: drop content already in the
+        # persisted snapshot (one anti-join on the digest table) and
+        # keep one per content within the batch
+        from aloha_spark.operators.snapshot import (
+            incremental_exact_dedup, incremental_neardup_dedup)
+        x = incremental_exact_dedup(x, args.dedup_snapshot,
+                                    cols=[text_col], id_col=id_col)
+        checkpoint("snapshot_exact_dedup")
+        if args.snapshot_neardup_threshold is not None:
+            x = incremental_neardup_dedup(
+                x, args.dedup_snapshot, id_col=id_col, text=text_col,
+                threshold=args.snapshot_neardup_threshold)
+            checkpoint("snapshot_neardup_dedup")
     pairs = None
     if args.neardup_threshold is not None:
         pairs = minhash_dedup_pairs(
@@ -466,6 +502,11 @@ def curate(spark, args):
         x = deterministic_split(x, id_col, weights=weights,
                                 salt=args.split_salt)
         checkpoint("split_assign")
+    if args.dedup_snapshot and args.snapshot_append:
+        # the fingerprint to fold back is the curated DOCUMENT set —
+        # captured before chunking/packing rewrites rows; main() appends
+        # it only after the shard write succeeds
+        report["_snapshot_docs"] = x
     if args.chunk_budget or args.pack_budget:
         # ---- output stage: curated corpus -> training shards ----
         # chunk (map-only JVM pass) -> pack (ids-only BFD + ONE join to
@@ -516,6 +557,7 @@ def main(argv=None):
     from aloha_spark.plans.lineage import write_with_lineage
     from aloha_spark.tuning import arrow_batch_rows, worker_channel_confs
 
+    embedded = SparkSession.getActiveSession() is not None
     spark = (SparkSession.builder.appName("aloha-spark-curate")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.sql.adaptive.enabled", "true")
@@ -565,6 +607,13 @@ def main(argv=None):
     wr = write_with_lineage(
         x, args.out, args.lineage, key=shard_key, ts_col=shard_key,
         num_buckets=args.num_buckets, group_size=args.group_size)
+    snap_docs = report.pop("_snapshot_docs", None)
+    if snap_docs is not None:
+        # only after the write succeeded: a failed run must not poison
+        # the snapshot with fingerprints of documents never shipped
+        from aloha_spark.operators.snapshot import append_to_snapshot
+        append_to_snapshot(snap_docs, args.dedup_snapshot)
+        report["snapshot_appended"] = True
     x.unpersist()
     release_intermediates(x)      # the components label cache
     if pairs is not None:
@@ -576,7 +625,8 @@ def main(argv=None):
         "wall_sec": round(time.time() - t0, 1),
     })
     print(json.dumps(report))
-    spark.stop()
+    if not embedded:      # don't tear down a caller's shared session
+        spark.stop()
 
 
 if __name__ == "__main__":

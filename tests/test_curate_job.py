@@ -471,3 +471,81 @@ def test_curate_dsir_requires_threshold(spark, tmp_path):
         "--lineage", str(tmp_path / "l"), "--dsir-target", docs])
     with pytest.raises(SystemExit, match="dsir-min-logweight"):
         curate_job.curate(spark, args)
+
+
+def test_curate_snapshot_increment_and_append(spark, tmp_path):
+    """--dedup-snapshot drops content already in the snapshot; with
+    --snapshot-append the survivors fold back in via the spark-submit
+    main(), so re-running the same increment is a no-op."""
+    from aloha_spark.operators.snapshot import write_dedup_snapshot
+
+    old = spark.createDataFrame(
+        [(100, GOOD + " today")], "doc_id long, text string")
+    snap = str(tmp_path / "snap")
+    write_dedup_snapshot(old, snap)
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, GOOD + " today"),             # exact dup of snapshot
+         (1, GOOD + " tomorrow"),          # fresh
+         (2, GOOD + " tomorrow")],         # in-batch dup of 1
+        "doc_id long, text string").write.mode("overwrite").parquet(docs)
+
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o"),
+        "--lineage", str(tmp_path / "l"), "--stage-counts",
+        "--dedup-snapshot", snap])
+    x, _, report = curate_job.curate(spark, args)
+    assert sorted(r["doc_id"] for r in x.collect()) == [1]
+    assert {"stage": "snapshot_exact_dedup", "rows": 1} \
+        in report["stages"]
+
+    # drive the real job with --snapshot-append: survivors fold in
+    curate_job.main([
+        "--docs", docs, "--out", str(tmp_path / "o2"),
+        "--lineage", str(tmp_path / "l2"),
+        "--dedup-snapshot", snap, "--snapshot-append"])
+    args2 = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o3"),
+        "--lineage", str(tmp_path / "l3"),
+        "--dedup-snapshot", snap])
+    y, _, _ = curate_job.curate(spark, args2)
+    assert y.count() == 0                  # increment fully absorbed
+
+
+def test_curate_snapshot_neardup_stage(spark, tmp_path):
+    from aloha_spark.operators.snapshot import write_dedup_snapshot
+
+    old = spark.createDataFrame(
+        [(100, GOOD + " today")], "doc_id long, text string")
+    snap = str(tmp_path / "mh_snap")
+    write_dedup_snapshot(old, snap, minhash=True)
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, GOOD + " yesterday"),         # near-dup of snapshot doc
+         (1, "a completely different document that is long enough to "
+             "pass any band and talks about the sea and ships")],
+        "doc_id long, text string").write.mode("overwrite").parquet(docs)
+    args = curate_job.parse_args([
+        "--docs", docs, "--out", str(tmp_path / "o"),
+        "--lineage", str(tmp_path / "l"), "--stage-counts",
+        "--dedup-snapshot", snap,
+        "--snapshot-neardup-threshold", "0.5"])
+    x, _, report = curate_job.curate(spark, args)
+    assert sorted(r["doc_id"] for r in x.collect()) == [1]
+    assert {"stage": "snapshot_neardup_dedup", "rows": 1} \
+        in report["stages"]
+
+
+def test_curate_snapshot_flag_contracts(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    _write_docs(spark, docs)
+    for extra, msg in (
+            (["--snapshot-neardup-threshold", "0.5"], "dedup-snapshot"),
+            (["--snapshot-append"], "dedup-snapshot")):
+        args = curate_job.parse_args([
+            "--docs", docs, "--out", str(tmp_path / "o"),
+            "--lineage", str(tmp_path / "l"), *extra])
+        with pytest.raises(SystemExit, match=msg):
+            curate_job.curate(spark, args)
