@@ -40,7 +40,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .dedup import content_digest, with_minhash
+from .dedup import _track_intermediates, content_digest, with_minhash
 
 _META = "meta.json"
 _DIGESTS = "digests.parquet"
@@ -163,12 +163,18 @@ def incremental_neardup_old_pairs(new_docs: DataFrame, path: str, *,
             "minhash=True — rebuild it with signatures/bands")
     id_col = id_col or meta["id_col"]
     text = text or meta["text"]
+    # persisted: the signature frame feeds BOTH the banding branch and
+    # the estimate join — without the cache the minhash UDF shingles
+    # the whole new batch twice.  Auto-released when the result frame
+    # is garbage-collected (or eagerly via
+    # dedup.release_intermediates(result)).
     new_sigs = (with_minhash(new_docs, text=text,
                              num_hashes=meta["num_hashes"],
                              shingle_n=meta["shingle_n"],
                              seed=meta["seed"])
                 .select(F.col(id_col).alias("new_id"),
-                        F.col("minhash").alias("new_mh")))
+                        F.col("minhash").alias("new_mh"))
+                .persist())
     new_bands = _band_keys(new_sigs, "new_id", "new_mh",
                            meta["bands"], meta["rows_per_band"]) \
         .withColumnRenamed("id", "new_id")
@@ -195,7 +201,7 @@ def incremental_neardup_old_pairs(new_docs: DataFrame, path: str, *,
                / F.size("new_mh"))
            .where(F.col("est_jaccard") >= threshold)
            .select("new_id", "old_id", "est_jaccard"))
-    return est
+    return _track_intermediates(est, new_sigs)
 
 
 def incremental_neardup_dedup(new_docs: DataFrame, path: str, *,
@@ -208,11 +214,16 @@ def incremental_neardup_dedup(new_docs: DataFrame, path: str, *,
     ``minhash_dedup_pairs`` + ``dedup_keep_canonical`` for that)."""
     meta = load_snapshot_meta(path)
     id_col = id_col or meta["id_col"]
-    hits = incremental_neardup_old_pairs(
+    pairs = incremental_neardup_old_pairs(
         new_docs, path, id_col=id_col, text=text, threshold=threshold,
-        max_bucket_size=max_bucket_size) \
-        .select(F.col("new_id").alias(id_col)).distinct()
-    return new_docs.join(hits, id_col, "left_anti")
+        max_bucket_size=max_bucket_size)
+    hits = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    result = new_docs.join(hits, id_col, "left_anti")
+    # pin the pairs frame (and its tracked signature cache) to the
+    # result's lifetime — its unpersist finalizer would otherwise fire
+    # as soon as this function returns
+    result._snapshot_keep_alive = pairs
+    return result
 
 
 def append_to_snapshot(kept_docs: DataFrame, path: str) -> None:
