@@ -140,3 +140,36 @@ class TestPruning:
         assert read < total
         # and the physical plan carries the partition filter
         assert "cell" in plan
+
+
+class TestBuildJob:
+    def test_job_main_builds_and_reports(self, spark, embs, tmp_path,
+                                         capsys):
+        """jobs/ann_index.py end-to-end embedded: artifact published,
+        occupancy summary printed, shared session left running."""
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "ann_index_job", os.path.join(
+                os.path.dirname(__file__), "..", "jobs", "ann_index.py"))
+        job = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(job)
+
+        src = str(tmp_path / "embs")
+        embs.write.mode("overwrite").parquet(src)
+        out = str(tmp_path / "idx")
+        job.main(["--corpus", src, "--out", out,
+                  "--n-centroids", "8", "--m-sub", "4",
+                  "--train-sample", str(N)])
+        import json
+        report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["rows"] == N
+        assert 1 <= report["cells_used"] <= 8
+        assert report["max_cell"] >= report["median_cell"] \
+            >= report["min_cell"] >= 1
+        # the artifact is loadable and serves queries
+        idx = load_ann_index(spark, out)
+        q = embs.where("vec_id < 3")
+        got = ivf_topk_indexed(q, idx, k=2, nprobe=8)
+        want = brute_force_topk_sql(q, embs, k=2)
+        assert _pairs(got) == _pairs(want)
+        assert spark.sparkContext._jsc is not None   # session survived
