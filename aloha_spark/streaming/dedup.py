@@ -45,6 +45,46 @@ def streaming_exact_dedup(stream: DataFrame,
             .dropDuplicatesWithinWatermark(["content_hash"]))
 
 
+def streaming_snapshot_dedup(stream: DataFrame, snapshot_path: str,
+                             cols: Sequence[str] = ("text",),
+                             ts_col: str = "ts",
+                             watermark: str = "2 hours",
+                             in_stream: bool = True) -> DataFrame:
+    """Streaming tail of the continuous-crawl contract
+    (operators/snapshot.py): drop rows whose content already exists in
+    the PERSISTED corpus snapshot — a stream-static LEFT ANTI join on
+    the digest table (Catalyst re-plans the static side per micro-batch,
+    so a snapshot appended between batches is picked up without a
+    restart) — then, with ``in_stream`` (default), also drop in-stream
+    re-deliveries within the watermark horizon.
+
+    Three engines, one duplicate definition: batch ``exact_dedup``, the
+    streaming tails here, and the snapshot increments all hash through
+    ``content_digest``.  The stream NEVER holds snapshot state — the
+    anti-join probes the parquet digest table (broadcast or shuffled by
+    AQE's measured size), and the only streaming state is the
+    watermark-bounded in-stream digest set."""
+    import os
+
+    from ..operators.snapshot import _DIGESTS, load_snapshot_meta
+
+    meta = load_snapshot_meta(snapshot_path)
+    if list(cols) != meta["cols"]:
+        raise ValueError(
+            f"streaming_snapshot_dedup: digest cols {list(cols)} != "
+            f"snapshot's {meta['cols']} — the digests would be "
+            f"incomparable")
+    old = stream.sparkSession.read.parquet(
+        os.path.join(snapshot_path, _DIGESTS))
+    out = (stream
+           .withColumn("content_hash", content_digest(cols))
+           .join(old, "content_hash", "left_anti"))
+    if in_stream:
+        out = (out.withWatermark(ts_col, watermark)
+                  .dropDuplicatesWithinWatermark(["content_hash"]))
+    return out.drop("content_hash")
+
+
 def streaming_event_dedup(stream: DataFrame,
                           id_cols: Sequence[str] = ("conv_id", "turn_idx"),
                           ts_col: str = "ts",

@@ -60,3 +60,55 @@ def test_streaming_event_dedup_idempotent(spark, tmp_path):
     got = spark.sql("select conv_id, turn_idx from ededup").toPandas()
     assert len(got) == df.count()            # doubled input -> one each
     assert got.duplicated().sum() == 0
+
+
+def test_streaming_snapshot_dedup(spark, tmp_path):
+    """Stream-static anti-join against the persisted snapshot: content
+    already in the snapshot never reaches the sink; fresh content
+    passes once (in-stream re-deliveries collapsed); appending to the
+    snapshot between runs absorbs previously-fresh content."""
+    from aloha_spark.operators.snapshot import (
+        append_to_snapshot, write_dedup_snapshot)
+    from aloha_spark.streaming.dedup import streaming_snapshot_dedup
+
+    old = spark.createDataFrame(
+        [(100, "content 3"), (101, "content 7")],
+        "doc_id long, text string")
+    snap = str(tmp_path / "snap")
+    write_dedup_snapshot(old, snap)
+
+    src = str(tmp_path / "turns3")
+    _write_turns_with_dups(spark, src)   # texts: content 0..19 (+NULLs)
+
+    out = streaming_snapshot_dedup(
+        read_transcript_stream(spark, src), snap, cols=["text"])
+    _drain(out, "snapdedup")
+    got = spark.sql("select text from snapdedup").toPandas()
+    texts = set(got["text"].dropna())
+    assert "content 3" not in texts and "content 7" not in texts
+    assert "content 0" in texts and "content 19" in texts
+    # in-stream duplicates collapsed: one row per surviving content
+    assert len(got) == len(set(got["text"].fillna("\0NULL\0")))
+
+    # fold the survivors into the snapshot -> a re-run absorbs them all
+    surv = spark.createDataFrame(
+        [(200 + i, t) for i, t in enumerate(sorted(texts))] + [(999, None)],
+        "doc_id long, text string")
+    append_to_snapshot(surv, snap)
+    out2 = streaming_snapshot_dedup(
+        read_transcript_stream(spark, src), snap, cols=["text"])
+    _drain(out2, "snapdedup2")
+    assert spark.sql("select * from snapdedup2").count() == 0
+
+
+def test_streaming_snapshot_dedup_cols_contract(spark, tmp_path):
+    from aloha_spark.operators.snapshot import write_dedup_snapshot
+    from aloha_spark.streaming.dedup import streaming_snapshot_dedup
+    import pytest as _pytest
+
+    old = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    snap = str(tmp_path / "snap_c")
+    write_dedup_snapshot(old, snap)
+    stream = read_transcript_stream(spark, snap)  # any stream handle
+    with _pytest.raises(ValueError, match="incomparable"):
+        streaming_snapshot_dedup(stream, snap, cols=["role"])
