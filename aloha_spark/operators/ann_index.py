@@ -82,6 +82,7 @@ def build_ann_index(corpus: DataFrame, path: str, *,
 
     The sample is the same xxhash64-TakeOrdered draw as ``ivf_topk`` —
     uniform, reproducible, O(n log sample), no full-sort shuffle."""
+    _require_local(path, "build_ann_index")
     spark = corpus.sparkSession
     samp = (corpus.select(c_id, c_vec)
             .orderBy(F.xxhash64(F.col(c_id).cast("string"), F.lit(seed)),
@@ -164,7 +165,20 @@ def build_ann_index(corpus: DataFrame, path: str, *,
     return AnnIndex(spark, path, meta, cent, books)
 
 
+def _require_local(path: str, op: str) -> None:
+    """meta.json goes through local open()/os.replace while the data
+    artifacts go through Spark — on a remote filesystem the full corpus
+    scan would succeed and THEN the publish would crash.  Refuse up
+    front (same stance as plans/lineage.py's scheme guard)."""
+    if "://" in path and not path.startswith("file://"):
+        raise NotImplementedError(
+            f"{op}: index paths must be on a locally-mounted filesystem "
+            f"(got {path!r}) — the meta.json commit marker is written "
+            f"with local file APIs; mount the store or use file://")
+
+
 def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
+    _require_local(path, "load_ann_index")
     meta_path = os.path.join(path, _META)
     if not os.path.exists(meta_path):
         raise FileNotFoundError(
@@ -278,41 +292,78 @@ def pq_topk_indexed(queries: DataFrame, index: AnnIndex, k: int = 5, *,
     m_sub, _, dsub = books.shape
     lut = np.einsum("qmd,mjd->qmj",
                     qn.reshape(len(q_ids), m_sub, dsub), books)
-    bc = spark.sparkContext.broadcast((q_ids, lut))
     id_t = index.meta["id_type"]
 
     coded = index.corpus()
+    cells = None
+    cell_queries = None
     if nprobe is not None:
         sims = qn @ index.centroids.T
         npb = min(nprobe, sims.shape[1])
         probes = np.argsort(-sims, axis=1)[:, :npb]
         cells = sorted({int(c) for row in probes for c in row})
         coded = coded.where(F.col("cell").isin(cells))
-    coded = coded.select(F.col("id").alias("neighbor_id"), "codes")
+        # per-cell query lists: a batch's rows from cell c are scored
+        # ONLY against the queries that probed c — without this, file
+        # pruning bounds the IO but every query's lookup table still
+        # runs over the probed UNION (Q x N work for divergent probes)
+        cell_queries = {}
+        for qi, row in enumerate(probes):
+            for c in row:
+                cell_queries.setdefault(int(c), []).append(qi)
+        cell_queries = {c: np.asarray(v, dtype=np.int64)
+                        for c, v in cell_queries.items()}
+    bc = spark.sparkContext.broadcast((q_ids, lut, cell_queries))
+    keep = ["codes"] + (["cell"] if cells is not None else [])
+    coded = coded.select(F.col("id").alias("neighbor_id"), *keep)
+
+    def _emit(ids, tables, qidx, codes, cid):
+        n = codes.shape[0]
+        sims_ = np.zeros((len(qidx), n))
+        sub = tables[qidx]                        # (q', M, K)
+        for mi in range(codes.shape[1]):
+            sims_ += sub[:, mi, codes[:, mi]]
+        kk = min(rerank + 1, n)
+        top = np.argpartition(-sims_, kk - 1, axis=1)[:, :kk] \
+            if kk < n else np.broadcast_to(
+                np.arange(n), (len(qidx), n))
+        out_q, out_c, out_s = [], [], []
+        for row_i, qi in enumerate(qidx):
+            rows = top[row_i]
+            out_q.extend([ids[qi]] * len(rows))
+            out_c.extend(cid[rows].tolist())
+            out_s.extend(sims_[row_i, rows].tolist())
+        return out_q, out_c, out_s
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, tables = bc.value                    # (Q, M, K)
-        nq = len(ids)
+        ids, tables, per_cell = bc.value          # tables: (Q, M, K)
+        all_q = np.arange(len(ids), dtype=np.int64)
         for pdf in batches:
             if pdf.empty:
                 continue
-            codes = np.asarray([np.asarray(c, dtype=np.int64)
-                                for c in pdf["codes"]])
-            n = codes.shape[0]
-            sims_ = np.zeros((nq, n))
-            for mi in range(codes.shape[1]):
-                sims_ += tables[:, mi, codes[:, mi]]
-            cid = pdf["neighbor_id"].to_numpy()
-            kk = min(rerank + 1, n)
-            top = np.argpartition(-sims_, kk - 1, axis=1)[:, :kk]
-            out_q, out_c, out_s = [], [], []
-            for qi in range(nq):
-                rows = top[qi]
-                out_q.extend([ids[qi]] * len(rows))
-                out_c.extend(cid[rows].tolist())
-                out_s.extend(sims_[qi, rows].tolist())
-            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_c,
-                                "approx": out_s})
+            out_q: list = []
+            out_c: list = []
+            out_s: list = []
+            if per_cell is None:
+                groups = [(None, pdf)]
+            else:
+                groups = pdf.groupby("cell", sort=False)
+            for cell, grp in groups:
+                qidx = all_q if per_cell is None \
+                    else per_cell.get(cell)
+                if qidx is None or not len(qidx):
+                    continue
+                codes = np.asarray([np.asarray(c, dtype=np.int64)
+                                    for c in grp["codes"]])
+                q_, c_, s_ = _emit(ids, tables, qidx, codes,
+                                   grp["neighbor_id"].to_numpy())
+                out_q.extend(q_)
+                out_c.extend(c_)
+                out_s.extend(s_)
+            if out_q:
+                yield pd.DataFrame({"query_id": out_q,
+                                    "neighbor_id": out_c,
+                                    "approx": out_s})
 
     cands = coded.mapInPandas(
         score, schema=f"query_id {id_t}, neighbor_id {id_t}, approx double")
@@ -325,8 +376,14 @@ def pq_topk_indexed(queries: DataFrame, index: AnnIndex, k: int = 5, *,
     qdf = spark.createDataFrame(
         [(i, v.tolist()) for i, v in zip(q_ids, qn)],
         f"query_id {id_t}, qv array<double>")
-    cv = index.corpus().select(F.col("id").alias("neighbor_id"),
-                               F.col("vector").alias("cv"))
+    # the rerank corpus read prunes to the probed cells too — every
+    # shortlist id comes from them, and without the filter the join
+    # would open every cell's files to read the wide vector column
+    cv = index.corpus()
+    if cells is not None:
+        cv = cv.where(F.col("cell").isin(cells))
+    cv = cv.select(F.col("id").alias("neighbor_id"),
+                   F.col("vector").alias("cv"))
     exact = (cv.join(F.broadcast(shortlist), "neighbor_id")
                .join(F.broadcast(qdf), "query_id")
                .withColumn("cosine", _cosine_expr("qv", "cv")))

@@ -65,6 +65,19 @@ def _band_keys(df: DataFrame, id_col: str, minhash_col: str,
                       F.col("b.sig").alias("sig")))
 
 
+def _require_local(path: str, op: str) -> None:
+    """The meta.json commit marker goes through local open()/os.replace;
+    data artifacts go through Spark.  On a remote filesystem the build
+    would succeed for hours and then fail at publish — refuse UP FRONT
+    instead (the same stance as plans/lineage.py's scheme guard)."""
+    if "://" in path and not path.startswith("file://"):
+        raise NotImplementedError(
+            f"{op}: snapshot paths must be on a locally-mounted "
+            f"filesystem (got {path!r}) — the meta.json commit marker "
+            f"is written with local file APIs; mount the store or use "
+            f"a file:// path")
+
+
 def write_dedup_snapshot(df: DataFrame, path: str, *,
                          cols: Sequence[str] = ("text",),
                          id_col: str = "doc_id",
@@ -73,14 +86,17 @@ def write_dedup_snapshot(df: DataFrame, path: str, *,
                          seed: int = 1, bands: int = 16,
                          rows_per_band: int = 4) -> dict:
     """Publish the fingerprint snapshot of an (already deduped) corpus."""
+    _require_local(path, "write_dedup_snapshot")
+    # validate EVERYTHING before the first corpus scan — a parameter
+    # error after the digest write wastes a full pass over the corpus
+    if minhash and num_hashes != bands * rows_per_band:
+        raise ValueError(
+            f"write_dedup_snapshot: num_hashes={num_hashes} != "
+            f"bands*rows_per_band={bands * rows_per_band}")
     digests = (df.select(content_digest(cols).alias("content_hash"))
                  .distinct())
     digests.write.mode("overwrite").parquet(os.path.join(path, _DIGESTS))
     if minhash:
-        if num_hashes != bands * rows_per_band:
-            raise ValueError(
-                f"write_dedup_snapshot: num_hashes={num_hashes} != "
-                f"bands*rows_per_band={bands * rows_per_band}")
         sigs = (with_minhash(df, text=text, num_hashes=num_hashes,
                              shingle_n=shingle_n, seed=seed)
                 .select(F.col(id_col).alias("id"), "minhash"))
@@ -105,6 +121,7 @@ def write_dedup_snapshot(df: DataFrame, path: str, *,
 
 
 def load_snapshot_meta(path: str) -> dict:
+    _require_local(path, "load_snapshot_meta")
     meta_path = os.path.join(path, _META)
     if not os.path.exists(meta_path):
         raise FileNotFoundError(
@@ -144,17 +161,13 @@ def incremental_exact_dedup(new_docs: DataFrame, path: str, *,
                  .drop("content_hash", "__keep"))
 
 
-def incremental_neardup_old_pairs(new_docs: DataFrame, path: str, *,
-                                  id_col: Optional[str] = None,
-                                  text: Optional[str] = None,
-                                  threshold: float = 0.8,
-                                  max_bucket_size: int = 1000) -> DataFrame:
-    """(new_id, old_id, est_jaccard) for new documents near-duplicating
-    SNAPSHOT documents: band the new batch with the snapshot's minhash
-    params, equi-join its band keys against the stored band table, and
-    estimate Jaccard as minhash component agreement (the old corpus is
-    never re-read or re-shingled).  Pairs at or above ``threshold``
-    only."""
+def _neardup_old_pairs(new_docs: DataFrame, path: str, *,
+                       id_col: Optional[str], text: Optional[str],
+                       threshold: float, max_bucket_size: int):
+    """Internal: returns (pairs, persisted_new_sigs) with NO lifetime
+    tracking — each public wrapper attaches the cache to the frame it
+    actually returns (tracking an intermediate would let its finalizer
+    unpersist the cache as soon as the intermediate is GC'd)."""
     spark = new_docs.sparkSession
     meta = load_snapshot_meta(path)
     if not meta["minhash"]:
@@ -201,6 +214,25 @@ def incremental_neardup_old_pairs(new_docs: DataFrame, path: str, *,
                / F.size("new_mh"))
            .where(F.col("est_jaccard") >= threshold)
            .select("new_id", "old_id", "est_jaccard"))
+    return est, new_sigs
+
+
+def incremental_neardup_old_pairs(new_docs: DataFrame, path: str, *,
+                                  id_col: Optional[str] = None,
+                                  text: Optional[str] = None,
+                                  threshold: float = 0.8,
+                                  max_bucket_size: int = 1000) -> DataFrame:
+    """(new_id, old_id, est_jaccard) for new documents near-duplicating
+    SNAPSHOT documents: band the new batch with the snapshot's minhash
+    params, equi-join its band keys against the stored band table, and
+    estimate Jaccard as minhash component agreement (the old corpus is
+    never re-read or re-shingled).  Pairs at or above ``threshold``
+    only.  The increment's signature cache auto-releases when the
+    returned frame is garbage-collected (or eagerly via
+    ``dedup.release_intermediates``)."""
+    est, new_sigs = _neardup_old_pairs(
+        new_docs, path, id_col=id_col, text=text, threshold=threshold,
+        max_bucket_size=max_bucket_size)
     return _track_intermediates(est, new_sigs)
 
 
@@ -214,33 +246,39 @@ def incremental_neardup_dedup(new_docs: DataFrame, path: str, *,
     ``minhash_dedup_pairs`` + ``dedup_keep_canonical`` for that)."""
     meta = load_snapshot_meta(path)
     id_col = id_col or meta["id_col"]
-    pairs = incremental_neardup_old_pairs(
+    pairs, new_sigs = _neardup_old_pairs(
         new_docs, path, id_col=id_col, text=text, threshold=threshold,
         max_bucket_size=max_bucket_size)
     hits = pairs.select(F.col("new_id").alias(id_col)).distinct()
     result = new_docs.join(hits, id_col, "left_anti")
-    # pin the pairs frame (and its tracked signature cache) to the
-    # result's lifetime — its unpersist finalizer would otherwise fire
-    # as soon as this function returns
-    result._snapshot_keep_alive = pairs
-    return result
+    # the signature cache rides the RETURNED frame's lifetime — the
+    # intermediate pairs frame is free to be GC'd immediately
+    return _track_intermediates(result, new_sigs)
 
 
-def append_to_snapshot(kept_docs: DataFrame, path: str) -> None:
+def append_to_snapshot(kept_docs: DataFrame, path: str, *,
+                       id_col: Optional[str] = None) -> None:
     """Fold an increment's SURVIVING rows into the snapshot so the next
     increment dedups against them too.  Parquet append — no rewrite of
-    the existing fingerprint tables."""
+    the existing fingerprint tables.
+
+    Crash-safety ordering: signatures and bands append FIRST, digests
+    LAST.  The digest table is what ``incremental_exact_dedup`` keys on,
+    so an increment only becomes "absorbed" once its digests land; a
+    crash before that means the rerun simply re-appends — duplicate
+    signature/band rows from the aborted attempt are harmless (banding
+    candidates are ``distinct``-ed and duplicate estimate rows carry
+    identical values).  ``id_col`` overrides the snapshot's recorded id
+    column for frames keyed differently (the same override the
+    incremental_* functions accept)."""
     meta = load_snapshot_meta(path)
-    digests = (kept_docs
-               .select(content_digest(meta["cols"]).alias("content_hash"))
-               .distinct())
-    digests.write.mode("append").parquet(os.path.join(path, _DIGESTS))
+    id_col = id_col or meta["id_col"]
     if meta["minhash"]:
         sigs = (with_minhash(kept_docs, text=meta["text"],
                              num_hashes=meta["num_hashes"],
                              shingle_n=meta["shingle_n"],
                              seed=meta["seed"])
-                .select(F.col(meta["id_col"]).alias("id"), "minhash"))
+                .select(F.col(id_col).alias("id"), "minhash"))
         sigs.persist()
         try:
             sigs.write.mode("append") \
@@ -250,3 +288,7 @@ def append_to_snapshot(kept_docs: DataFrame, path: str) -> None:
                 .write.mode("append").parquet(os.path.join(path, _BANDS))
         finally:
             sigs.unpersist()
+    digests = (kept_docs
+               .select(content_digest(meta["cols"]).alias("content_hash"))
+               .distinct())
+    digests.write.mode("append").parquet(os.path.join(path, _DIGESTS))

@@ -53,10 +53,18 @@ def streaming_snapshot_dedup(stream: DataFrame, snapshot_path: str,
     """Streaming tail of the continuous-crawl contract
     (operators/snapshot.py): drop rows whose content already exists in
     the PERSISTED corpus snapshot — a stream-static LEFT ANTI join on
-    the digest table (Catalyst re-plans the static side per micro-batch,
-    so a snapshot appended between batches is picked up without a
-    restart) — then, with ``in_stream`` (default), also drop in-stream
-    re-deliveries within the watermark horizon.
+    the digest table — then, with ``in_stream`` (default), also drop
+    in-stream re-deliveries within the watermark horizon.
+
+    Snapshot-append visibility: a query START reads the digest table as
+    of that moment; for a RUNNING query the static side's file listing
+    is pinned at plan time (plain-parquet ``InMemoryFileIndex``), so
+    digests appended mid-run are only guaranteed visible after the
+    query restarts (cheap with a checkpoint — offsets and dedup state
+    resume).  Restart-per-append is the deliberate contract here; a
+    catalog table format (Iceberg/Delta) would refresh per batch, and
+    the watermark-bounded in-stream stage already bounds how much a
+    stale listing can admit between restarts.
 
     Three engines, one duplicate definition: batch ``exact_dedup``, the
     streaming tails here, and the snapshot increments all hash through

@@ -505,7 +505,12 @@ def curate(spark, args):
     if args.dedup_snapshot and args.snapshot_append:
         # the fingerprint to fold back is the curated DOCUMENT set —
         # captured before chunking/packing rewrites rows; main() appends
-        # it only after the shard write succeeds
+        # it only after the shard write succeeds.  Persisted: without
+        # the cache the append would re-execute the whole curation
+        # chain a second time (and the chunk stage downstream reads
+        # from this cache too); released with the other stage caches.
+        x = x.persist()
+        caches.append(x)
         report["_snapshot_docs"] = x
     if args.chunk_budget or args.pack_budget:
         # ---- output stage: curated corpus -> training shards ----
@@ -612,7 +617,8 @@ def main(argv=None):
         # only after the write succeeded: a failed run must not poison
         # the snapshot with fingerprints of documents never shipped
         from aloha_spark.operators.snapshot import append_to_snapshot
-        append_to_snapshot(snap_docs, args.dedup_snapshot)
+        append_to_snapshot(snap_docs, args.dedup_snapshot,
+                           id_col=args.id_col)
         report["snapshot_appended"] = True
     x.unpersist()
     release_intermediates(x)      # the components label cache

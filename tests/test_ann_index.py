@@ -173,3 +173,31 @@ class TestBuildJob:
         want = brute_force_topk_sql(q, embs, k=2)
         assert _pairs(got) == _pairs(want)
         assert spark.sparkContext._jsc is not None   # session survived
+
+
+class TestPqPerCellMasking:
+    def test_narrow_probe_pq_recall_and_probe_scope(self, spark, embs,
+                                                    index):
+        """nprobe=2 PQ: per-cell masking must score each query only
+        against its own probed cells, and recall stays high on the
+        clustered fixture."""
+        import numpy as np
+        q = embs.where("vec_id < 20")
+        got = pq_topk_indexed(q, index, k=3, rerank=50, nprobe=2)
+        got_pairs = got.select("query_id", "neighbor_id").collect()
+        want = set(map(tuple, brute_force_topk_sql(q, embs, k=3)
+                       .select("query_id", "neighbor_id").collect()))
+        recall = len(set(map(tuple, got_pairs)) & want) / len(want)
+        assert recall >= 0.8, recall
+
+        # scope invariant: every returned neighbor lives in a cell the
+        # query actually probed
+        inv = index.corpus().toPandas().set_index("id")["cell"]
+        qrows = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                 for r in q.collect()}
+        for r in got_pairs:
+            qv = qrows[r.query_id]
+            qv = qv / np.linalg.norm(qv)
+            probed = set(np.argsort(-(qv @ index.centroids.T))[:2]
+                         .tolist())
+            assert int(inv[r.neighbor_id]) in probed, r
