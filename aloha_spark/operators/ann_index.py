@@ -394,3 +394,32 @@ def pq_topk_indexed(queries: DataFrame, index: AnnIndex, k: int = 5, *,
                  .select("query_id", "neighbor_id",
                          (F.round("cosine", round_to) if round_to is not None
                           else F.col("cosine")).alias("cosine"), "rank"))
+
+
+def incremental_embedding_dedup(new_docs: DataFrame, index: AnnIndex,
+                                *, id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                threshold: float = 0.95,
+                                nprobe: int = 2,
+                                round_to: Optional[int] = None,
+                                max_queries: int = 100_000) -> DataFrame:
+    """Embedding-space counterpart of
+    ``operators/snapshot.py::incremental_exact_dedup``: rows of
+    ``new_docs`` whose nearest INDEXED vector stays below the cosine
+    ``threshold`` — today's embeddings dedup against yesterday's corpus
+    without rescanning it (the index IS the persisted state; fold an
+    increment in by rebuilding or maintaining the index offline).
+
+    Recall follows ``nprobe`` exactly as in :func:`ivf_topk_indexed`
+    (a near-dup whose indexed twin lives in an unprobed cell is missed
+    — raise nprobe for recall, ``nprobe=n_centroids`` is exact); the
+    exact-cosine verify means NO false drops at any nprobe.  Id spaces
+    must be disjoint between the index and the increment (the underlying
+    query skips identical-id pairs as self-matches)."""
+    hits = (ivf_topk_indexed(new_docs, index, k=1, q_id=id_col,
+                             q_vec=vec_col, nprobe=nprobe,
+                             round_to=round_to,
+                             max_queries=max_queries)
+            .where(F.col("cosine") >= threshold)
+            .select(F.col("query_id").alias(id_col)).distinct())
+    return new_docs.join(hits, id_col, "left_anti")

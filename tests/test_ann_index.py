@@ -201,3 +201,44 @@ class TestPqPerCellMasking:
             probed = set(np.argsort(-(qv @ index.centroids.T))[:2]
                          .tolist())
             assert int(inv[r.neighbor_id]) in probed, r
+
+
+class TestIncrementalEmbeddingDedup:
+    def test_near_copies_dropped_fresh_kept(self, spark, embs, index):
+        from aloha_spark.operators.ann_index import (
+            incremental_embedding_dedup)
+        import numpy as np
+        base = np.asarray(embs.where("vec_id = 0").first().embedding)
+        rng = np.random.default_rng(99)
+        rows = [
+            (1000, [float(x) for x in base * 1.01]),       # near-copy
+            (1001, [float(x) for x in rng.normal(size=DIM)]),  # fresh
+        ]
+        new = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+        kept = incremental_embedding_dedup(
+            new, index, threshold=0.95, nprobe=8)
+        assert sorted(r.vec_id for r in kept.collect()) == [1001]
+
+    def test_low_nprobe_never_false_drops(self, spark, embs, index):
+        """Whatever nprobe misses, the exact verify guarantees anything
+        DROPPED really had an indexed twin at >= threshold."""
+        from aloha_spark.operators.ann_index import (
+            incremental_embedding_dedup)
+        from aloha_spark.operators.similarity import brute_force_topk_sql
+        import numpy as np
+        rng = np.random.default_rng(7)
+        rows = [(2000 + i, [float(x) for x in rng.normal(size=DIM)])
+                for i in range(8)]
+        new = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+        kept = {r.vec_id for r in incremental_embedding_dedup(
+            new, index, threshold=0.8, nprobe=1).collect()}
+        dropped = {v for v, _ in rows} - kept
+        if dropped:
+            # each dropped id must have a true neighbor >= threshold
+            best = {r.query_id: r.cosine
+                    for r in brute_force_topk_sql(new, embs, k=1)
+                    .collect()}
+            for d in dropped:
+                assert best[d] >= 0.8
