@@ -170,6 +170,38 @@ spark.stop()
 """
 
 
+def _measure_streaming(spark, n_convs: int = 5000,
+                       turns_per_conv: int = 100, files: int = 8,
+                       files_per_batch: int = 2) -> dict:
+    """Streaming-tail throughput: the stateful per-turn feature operator
+    (applyInPandasWithState) over a multi-file source drained with
+    availableNow into a checkpointed parquet sink — the production
+    shape, including cross-micro-batch state carry.  Measured once
+    (streaming setup dominates short reps; the number is a floor)."""
+    import shutil
+    import tempfile
+
+    from aloha_spark.data.transcripts import make_transcripts
+    from aloha_spark.streaming.stateful import run_turn_features_to_sink
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = os.path.join(root, "src")
+        n = n_convs * turns_per_conv
+        make_transcripts(spark, n_convs, turns_per_conv) \
+            .repartitionByRange(files, "ts") \
+            .write.mode("overwrite").parquet(src)
+        t0 = time.time()
+        run_turn_features_to_sink(
+            spark, src, os.path.join(root, "out"),
+            os.path.join(root, "ckpt"), max_files=files_per_batch)
+        wall = time.time() - t0
+        return {"rows": n, "wall_sec": round(wall, 3),
+                "rows_per_sec": round(n / wall, 1)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _measure_2m_subprocess(cpus: int, n_turns: int) -> tuple:
     import subprocess
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -277,6 +309,12 @@ def main():
             fn = qdefs[name]
             timings[name] = round(best_of(lambda: fn(spark, sf_dir)), 3)
 
+        try:
+            streaming = _measure_streaming(spark)
+            timings["streaming_featurize_200k"] = streaming["wall_sec"]
+        except Exception as e:           # never let the streaming probe
+            streaming = {"error": str(e)[:200]}   # sink the whole bench
+
         t2, w2 = _measure_2m_subprocess(cpus, big_n)
         walls_2m = walls_2m + w2
         # If the two spaced windows disagree by >1.5x, at least one sat
@@ -305,6 +343,9 @@ def main():
             "turns": n_turns,
             "turns_per_sec": round(n_turns / t_flag, 1),
             "turns_per_sec_at_2m": round(big_n / t_big, 1),
+            # streaming tail (stateful per-turn features, availableNow
+            # drain, checkpointed sink): rows/s floor incl. setup
+            "streaming": streaming,
             # every raw 2M wall across the spaced windows, disclosed:
             # this host's episodes inflate single walls up to ~10x
             "featurize_2m_walls": walls_2m,
