@@ -1364,6 +1364,63 @@ def q_temperature_sample(spark, sf_dir):
         .select("doc_id", "source")
 
 
+def q_token_budget(spark, sf_dir):
+    """Per-stratum sampling to an exact TOKEN budget (not a row
+    fraction): keep the minimal prefix of the stratum's deterministic
+    md5-priority order whose token sum reaches the budget.  The engine
+    locates the budget boundary on a coarse (stratum, bucket) relation
+    so no per-stratum global window ever runs; the oracle replays the
+    contract naively with one window — a green hash certifies the
+    scalable plan computes exactly the naive definition."""
+    from aloha_spark.operators.mixture import token_budget_sample
+
+    budgets = {"src0": 4000, "src1": 1500, "src2": 0}
+    return token_budget_sample(_docs(spark, sf_dir), budgets,
+                               default_budget=800) \
+        .select("doc_id", "source")
+
+
+def q_epoch_mix(spark, sf_dir):
+    """Fractional epoch repetition factors (2.4 epochs of src0, 0.7 of
+    src1, 0 of src2, 1.0 default): floor(e) unconditional copies plus a
+    deterministic md5-bucket fraction receiving one more — a
+    zero-shuffle map-side explode.  The oracle replays copy counts and
+    UNNESTs a range, so copy multiplicity is certified row-for-row."""
+    from aloha_spark.operators.mixture import epoch_mix
+
+    return epoch_mix(_docs(spark, sf_dir),
+                     {"src0": 2.4, "src1": 0.7, "src2": 0.0},
+                     default_epochs=1.0) \
+        .select("doc_id", "source", "copy_idx")
+
+
+def q_shuffle_order(spark, sf_dir):
+    """Seeded deterministic global shuffle into ordered training
+    shards: shard membership and within-shard position both derive from
+    md5(seed || id), so the whole training stream order is a pure
+    content function.  The oracle recomputes shard + ROW_NUMBER from
+    the same hash — a green hash certifies bit-reproducible order."""
+    from aloha_spark.operators.mixture import with_shuffle_order
+
+    x = with_shuffle_order(_docs(spark, sf_dir), n_shards=8, seed=7)
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return x.select("doc_id", "shard",
+                    F.row_number().over(w).alias("pos"))
+
+
+def q_corpus_report(spark, sf_dir):
+    """Data-card aggregate per source: doc/token counts, exact
+    duplicate fraction (16-byte digest distinct), dominant language
+    with deterministic tie-break.  Every statistic is an integer sum or
+    an exact ratio of integer sums, so the report replays exactly in
+    any engine."""
+    from aloha_spark.operators.mixture import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir), lang_col="lang").select(
+        "source", "n_docs", "total_tokens", "n_unique_texts",
+        "mean_tokens", "dup_frac", "top_lang", "top_lang_frac")
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition signals per document: top-token
     fraction and duplicate bigram/trigram fractions, all pure-JVM
@@ -1657,6 +1714,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # paragraph dedup, DSIR weighting, unigram-LM cross-entropy
         "shard_stats": q_shard_stats,
         "temperature_sample": q_temperature_sample,
+        # new in round 4d: corpus mixing / training-order family
+        # (token-budget sampling, fractional epochs, deterministic
+        # shuffle shards, data-card report); vw_labeled /
+        # libsvm_labeled / csv_columnar / multilabel_downsampled
+        # (driver-green r1-r3) rotate past the window to make room
+        "token_budget": q_token_budget,
+        "epoch_mix": q_epoch_mix,
+        "shuffle_order": q_shuffle_order,
+        "corpus_report": q_corpus_report,
         "repetition_stats": q_repetition_stats,
         "dedup_paragraphs": q_dedup_paragraphs,
         "line_filter": q_line_filter,
@@ -1684,13 +1750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_indexed": q_ann_topk_indexed,
         "embed_neardup": q_embed_neardup,
         # featurization / sinks
-        "vw_labeled": q_vw_labeled,
         "multilabel_blocks": q_multilabel_blocks,
-        "multilabel_downsampled": q_multilabel_downsampled,
-        "libsvm_labeled": q_libsvm_labeled,
         "regression_spline": q_regression_spline,
         "feature_vectors_jvm": q_feature_vectors_jvm,
-        "csv_columnar": q_csv_columnar,
         "error_swallow": q_error_swallow,
         "model_tree_leaves": q_model_tree_leaves,
         # ---- past the driver's 50-query window (oracle-checked by
@@ -1703,6 +1765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontam_bloom/quality_clf_score above; jaccard_pairs
         # rotated out for line_filter; tree_risk for ann_topk_indexed;
         # order_segment for incremental_dedup) ----
+        "vw_labeled": q_vw_labeled,
+        "libsvm_labeled": q_libsvm_labeled,
+        "csv_columnar": q_csv_columnar,
+        "multilabel_downsampled": q_multilabel_downsampled,
         "order_segment": q_order_segment,
         "tree_risk": q_tree_risk,
         "audit_tree": q_audit_tree,
@@ -1743,8 +1809,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_encode": q_bpe_encode,
         "semdedup": q_semdedup,
-        "decontam_bloom": q_decontam_bloom,
-        "quality_clf_score": q_quality_clf_score,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "media_features": q_media_features,
         "pack_stats": q_pack_stats,
@@ -2539,6 +2603,77 @@ FROM documents d JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
 WHERE ('0x' || substr(md5('temp' || CAST(d.doc_id AS VARCHAR)),
                       1, 15))::BIGINT % 10000
       < FLOOR(r.kr * 10000 + 1e-9)""",
+        # naive replay of token_budget_sample's keep contract: ONE
+        # per-stratum window — the thing the engine deliberately avoids
+        # at scale; a green hash proves the coarse-bucket plan computes
+        # exactly this definition
+        "token_budget": r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\s+')) END AS tok,
+         ('0x' || substr(md5('budget' || CAST(doc_id AS VARCHAR)),
+                         1, 15))::BIGINT % 10000 AS b
+  FROM documents),
+c AS (
+  SELECT doc_id, source,
+         COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY b, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cumb
+  FROM t)
+SELECT doc_id, source FROM c
+WHERE cumb < CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 1500
+                         WHEN 'src2' THEN 0 ELSE 800 END""",
+        # copy counts replayed from the same md5 bucket + hardcoded
+        # floor/threshold literals epoch_mix derives (2.4 -> 2+4000,
+        # 0.7 -> 0+7000 with the +1e-9 epsilon, 0 -> drop, 1.0 default)
+        "epoch_mix": """
+WITH t AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('epoch' || CAST(doc_id AS VARCHAR)),
+                         1, 15))::BIGINT % 10000 AS b,
+         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                     WHEN 'src2' THEN 0 ELSE 1 END AS nfull,
+         CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 7000
+                     WHEN 'src2' THEN 0 ELSE 0 END AS thr
+  FROM documents),
+n AS (SELECT doc_id, source,
+             nfull + CASE WHEN b < thr THEN 1 ELSE 0 END AS n_copies
+      FROM t)
+SELECT doc_id, source, UNNEST(range(n_copies)) AS copy_idx
+FROM n WHERE n_copies > 0""",
+        "shuffle_order": """
+WITH t AS (
+  SELECT doc_id,
+         md5('shuffle7:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents),
+s AS (SELECT doc_id, k,
+             ('0x' || substr(k, 1, 15))::BIGINT % 8 AS shard
+      FROM t)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+FROM s""",
+        "corpus_report": r"""
+WITH base AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(string_split_regex(TRIM(text), '\s+')) END)
+              AS BIGINT) AS total_tokens,
+         COUNT(DISTINCT md5(COALESCE(text, chr(0) || 'null')))
+             AS n_unique_texts
+  FROM documents GROUP BY source),
+langs AS (
+  SELECT source, lang, COUNT(*) AS lc,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY COUNT(*) DESC, lang ASC NULLS LAST)
+             AS rk
+  FROM documents GROUP BY source, lang)
+SELECT b.source, b.n_docs, b.total_tokens, b.n_unique_texts,
+       b.total_tokens / b.n_docs AS mean_tokens,
+       1.0 - b.n_unique_texts / b.n_docs AS dup_frac,
+       l.lang AS top_lang, l.lc / b.n_docs AS top_lang_frac
+FROM base b LEFT JOIN langs l
+  ON b.source IS NOT DISTINCT FROM l.source AND l.rk = 1""",
         "repetition_stats": """
 WITH toks AS (
   SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ts

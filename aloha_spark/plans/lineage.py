@@ -99,6 +99,8 @@ def write_with_lineage(
     num_buckets: int = 32,
     group_size: int = 8,
     fail_after_groups: Optional[int] = None,
+    bucket_col: Optional[str] = None,
+    sort_cols: Optional[Sequence[str]] = None,
 ) -> WriteReport:
     """Write ``df`` partitioned by stable bucket with per-bucket lineage;
     resume-safe.  ``fail_after_groups`` injects a crash for testing.
@@ -107,11 +109,30 @@ def write_with_lineage(
     rows are then aggregated from the files just written — a partition-
     pruned re-read of the output, so the checksum records what is
     actually on disk and the pipeline is never recomputed for metadata.
+
+    ``bucket_col`` names a PRECOMPUTED bucket assignment already on
+    ``df`` (values must lie in ``[0, num_buckets)`` — e.g. the ``shard``
+    column of ``operators/mixture.with_shuffle_order``) instead of
+    deriving one from ``key``; resume stability is then the caller's
+    contract (a pure content function keeps it).  ``sort_cols`` makes
+    the write ORDER-PRESERVING: each group is hash-partitioned on the
+    bucket and sorted within partitions, so every bucket directory
+    holds exactly one file whose row order is (bucket, *sort_cols) —
+    the layout a training data loader replays without sorting.
     """
     spark = df.sparkSession
     if checksum_cols is None:
-        checksum_cols = [c for c in df.columns]
-    b = with_bucket(df, key, num_buckets)
+        # a precomputed bucket_col is renamed to BUCKET_COL below, so it
+        # cannot appear under its original name in the checksum
+        checksum_cols = [c for c in df.columns if c != bucket_col]
+    if bucket_col is None:
+        b = with_bucket(df, key, num_buckets)
+    else:
+        # rename-to-contract: downstream (partitionBy, lineage rows,
+        # resume filter) all speak BUCKET_COL
+        b = df.withColumn(BUCKET_COL,
+                          F.col(bucket_col).cast("int")) \
+            .drop(*([bucket_col] if bucket_col != BUCKET_COL else []))
     done = completed_buckets(spark, lineage_path)
     todo = [x for x in range(num_buckets) if x not in done]
     skipped = sorted(done)
@@ -123,6 +144,11 @@ def write_with_lineage(
             raise RuntimeError("injected failure for resume test")
         group = todo[gi:gi + group_size]
         part = b.where(F.col(BUCKET_COL).isin(group))
+        if sort_cols:
+            # all rows of a bucket hash to ONE partition, so each bucket
+            # directory below gets exactly one internally-sorted file
+            part = (part.repartition(len(group), F.col(BUCKET_COL))
+                        .sortWithinPartitions(BUCKET_COL, *sort_cols))
         # drop the group's bucket dirs first: dynamic overwrite only
         # replaces partitions PRESENT in the written data, so a bucket
         # rewritten (post-repair) with zero rows would otherwise keep

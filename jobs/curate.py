@@ -14,8 +14,12 @@ wants them):
     corpus-LM perplexity gate (CCNet-style)  ->
     benchmark decontamination  ->
     stratified OR temperature-mixture sampling  ->
-    train/val/test split assignment  ->  chunk -> pack ->
+    per-stratum token-budget sampling  ->
+    train/val/test split assignment  ->
+    epoch repetition mixing (fractional epochs)  ->  chunk -> pack ->
     bucketed/sharded write with per-bucket lineage
+    (optionally --shuffle-seed: deterministic global shuffle, one
+    ordered file per bucket; --data-card: per-source corpus report)
 
 Usage:
     spark-submit --py-files aloha_spark.zip jobs/curate.py \
@@ -187,6 +191,22 @@ def parse_args(argv):
                    help="comma list stratum=fraction, e.g. src0=0.4")
     p.add_argument("--sample-default", type=float, default=1.0,
                    help="fraction for strata not in --sample-fracs")
+    p.add_argument("--token-budgets", default=None,
+                   help="comma list stratum=tokens, e.g. "
+                        "src0=4000000 — sample each stratum of "
+                        "--sample-col down to an exact whitespace-token "
+                        "budget (deterministic md5-priority prefix; "
+                        "overshoot at most one document)")
+    p.add_argument("--token-budget-default", type=int, default=0,
+                   help="token budget for strata not listed (0 = drop)")
+    p.add_argument("--epochs", default=None,
+                   help="comma list stratum=epochs, e.g. "
+                        "wiki=2.4,cc=0.7 — repetition factors over "
+                        "--sample-col; fractional epochs pick a "
+                        "deterministic md5 fraction of documents for "
+                        "the extra copy.  Copies get id 'origid:copy' "
+                        "so every downstream identity stays unique")
+    p.add_argument("--epochs-default", type=float, default=1.0)
     p.add_argument("--temperature-alpha", type=float, default=None,
                    help="temperature-flattened mixture sampling: "
                         "stratum weights proportional to n^alpha over "
@@ -212,6 +232,19 @@ def parse_args(argv):
                         "is given, and shards are written keyed on "
                         "pack_id so a pack never splits across buckets")
     p.add_argument("--pack-partitions", type=int, default=None)
+    p.add_argument("--shuffle-seed", type=int, default=None,
+                   help="deterministic global shuffle of the output: "
+                        "shard membership AND within-shard row order "
+                        "derive from md5(seed || key), the write "
+                        "becomes order-preserving (one sorted file per "
+                        "bucket), and a data loader reading buckets in "
+                        "order replays the exact shuffled stream")
+    p.add_argument("--data-card", action="store_true",
+                   help="include a per---sample-col corpus report "
+                        "(docs, tokens, dup fraction, dominant lang) "
+                        "in the job report.  Describes the SHIPPED "
+                        "stream: after --epochs, repetition copies "
+                        "deliberately count as duplicates")
     p.add_argument("--num-buckets", type=int, default=256)
     p.add_argument("--group-size", type=int, default=32)
     p.add_argument("--stage-counts", action="store_true",
@@ -496,6 +529,16 @@ def curate(spark, args):
                                target_frac=args.temperature_frac,
                                id_col=id_col)
         checkpoint("temperature_sample")
+    if args.token_budgets:
+        from aloha_spark.operators.mixture import token_budget_sample
+        if not args.sample_col:
+            raise SystemExit("--token-budgets requires --sample-col")
+        budgets = dict(parse_kv_list(args.token_budgets,
+                                     "--token-budgets", cast=int))
+        x = token_budget_sample(x, budgets, strata_col=args.sample_col,
+                                id_col=id_col, text=text_col,
+                                default_budget=args.token_budget_default)
+        checkpoint("token_budget")
     if args.split:
         from aloha_spark.operators.corpus import deterministic_split
         weights = parse_kv_list(args.split, "--split")
@@ -512,6 +555,22 @@ def curate(spark, args):
         x = x.persist()
         caches.append(x)
         report["_snapshot_docs"] = x
+    if args.epochs:
+        # AFTER split (copies inherit their document's split — an eval
+        # doc must never leak a train copy) and AFTER the snapshot
+        # capture (the snapshot fingerprints unique documents, not
+        # repetition copies); BEFORE chunking so chunk ids stay unique.
+        from aloha_spark.operators.mixture import epoch_mix
+        if not args.sample_col:
+            raise SystemExit("--epochs requires --sample-col")
+        eps = dict(parse_kv_list(args.epochs, "--epochs"))
+        x = epoch_mix(x, eps, strata_col=args.sample_col, id_col=id_col,
+                      default_epochs=args.epochs_default)
+        x = x.withColumn(
+            id_col, F.concat_ws(":", F.col(id_col).cast("string"),
+                                F.col("copy_idx").cast("string"))) \
+             .drop("copy_idx")
+        checkpoint("epoch_mix")
     if args.chunk_budget or args.pack_budget:
         # ---- output stage: curated corpus -> training shards ----
         # chunk (map-only JVM pass) -> pack (ids-only BFD + ONE join to
@@ -609,9 +668,32 @@ def main(argv=None):
     # pure function of the pack, so a pack's chunks always land (and
     # resume) together in one shard directory
     shard_key = "pack_id" if args.pack_budget else args.id_col
+    if args.data_card and args.sample_col:
+        from aloha_spark.operators.mixture import corpus_report
+        card = corpus_report(
+            x, strata_col=args.sample_col, text=args.text_col,
+            lang_col="lang" if "lang" in x.columns else None)
+        report["data_card"] = [
+            {k: (round(v, 6) if isinstance(v, float) else v)
+             for k, v in r.asDict().items()} for r in card.collect()]
+    wx, bucket_col, sort_cols = x, None, None
+    if args.shuffle_seed is not None:
+        # shard membership + within-shard order both derive from
+        # md5(seed || shard_key): resume keeps working (bucket is a
+        # pure content function) and each bucket directory lands as one
+        # internally-ordered file — the deterministic training stream
+        from aloha_spark.operators.mixture import with_shuffle_order
+        wx = with_shuffle_order(x, n_shards=args.num_buckets,
+                                seed=args.shuffle_seed, id_col=shard_key)
+        bucket_col = "shard"
+        sort_cols = ["shuffle_key", shard_key] + (
+            ["pack_slot"] if args.pack_budget else [])
+        report["shuffle"] = {"seed": args.shuffle_seed,
+                             "n_shards": args.num_buckets}
     wr = write_with_lineage(
-        x, args.out, args.lineage, key=shard_key, ts_col=shard_key,
-        num_buckets=args.num_buckets, group_size=args.group_size)
+        wx, args.out, args.lineage, key=shard_key, ts_col=shard_key,
+        num_buckets=args.num_buckets, group_size=args.group_size,
+        bucket_col=bucket_col, sort_cols=sort_cols)
     snap_docs = report.pop("_snapshot_docs", None)
     if snap_docs is not None:
         # only after the write succeeded: a failed run must not poison
