@@ -256,6 +256,11 @@ BENCH_QUERIES = [
     # (build -> publish -> load -> partition-pruned query)
     "ann_topk_pq", "decontam_bloom", "quality_clf_score",
     "ann_topk_indexed",
+    # round 4d: corpus mixing / training-order family — token-budget
+    # sampling (coarse-bucket boundary, broadcast verdicts), epoch
+    # repetition mixing (map-side explode), deterministic shuffle
+    # order (one exchange), data-card report (two partial aggs)
+    "token_budget", "epoch_mix", "shuffle_order", "corpus_report",
 ]
 
 

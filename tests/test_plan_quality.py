@@ -195,3 +195,41 @@ def test_chunk_documents_is_map_only(spark, sf_dir):
     plan = _plan(chunk_documents(docs, budget=32, overlap=8), "simple")
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_epoch_mix_is_map_only(spark, sf_dir):
+    """Epoch repetition mixing is a CASE + explode projection: no
+    exchange, no Python — it runs at scan speed on any corpus size."""
+    from aloha_spark.operators.mixture import epoch_mix
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(epoch_mix(docs, {"src0": 2.4, "src1": 0.7}), "simple")
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_shuffle_order_projection_and_single_exchange(spark, sf_dir):
+    """The shuffle key/shard are pure projections (re-shuffling with a
+    new seed recomputes nothing upstream); materializing the order
+    costs exactly ONE exchange, which doubles as the write layout."""
+    from aloha_spark.operators.mixture import (shuffle_shards,
+                                               with_shuffle_order)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key_plan = _plan(with_shuffle_order(docs, n_shards=16), "simple")
+    assert "Exchange" not in key_plan, key_plan
+    shard_plan = _plan(shuffle_shards(docs, n_shards=16), "simple")
+    assert shard_plan.count("Exchange") == 1, shard_plan
+    assert "ArrowEvalPython" not in shard_plan
+
+
+def test_token_budget_no_global_stratum_window(spark, sf_dir):
+    """The budget boundary must come from the coarse-bucket relation
+    (broadcast back), never a sort-merge join or cartesian — and the
+    only corpus-wide window runs on the boundary-bucket subset."""
+    from aloha_spark.operators.mixture import token_budget_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(token_budget_sample(docs, {"src0": 1000},
+                                     default_budget=100), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
