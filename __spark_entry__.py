@@ -1421,6 +1421,29 @@ def q_corpus_report(spark, sf_dir):
         "mean_tokens", "dup_frac", "top_lang", "top_lang_frac")
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval (range) join via binned-expansion equi-join: error
+    events open a 2-hour per-user window; click/view events join
+    into every window containing them.  A naive range predicate would
+    compile to BroadcastNestedLoopJoin (O(L×R)); the rewrite bins both
+    sides so the match is a hash join (plan-gated in
+    tests/test_intervals.py).  The oracle runs the naive non-equi join
+    — a green hash certifies the rewrite computes exactly it."""
+    from aloha_spark.operators.intervals import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ivs = (ev.where(F.col("event_type") == "error")
+             .select(F.col("event_id").alias("iv_id"), "user_id",
+                     F.col("ts").alias("start_ts"),
+                     (F.col("ts") + F.expr("INTERVAL 7200 SECONDS"))
+                     .alias("end_ts")))
+    pts = (ev.where(F.col("event_type").isin("click", "view"))
+             .select(F.col("event_id").alias("pid"), "user_id", "ts"))
+    return interval_join(pts, ivs, on=["user_id"],
+                         bin_width_seconds=3600) \
+        .select("pid", "iv_id")
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition signals per document: top-token
     fraction and duplicate bigram/trigram fractions, all pure-JVM
@@ -1723,6 +1746,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mix": q_epoch_mix,
         "shuffle_order": q_shuffle_order,
         "corpus_report": q_corpus_report,
+        # new in round 4d: interval/range join (binned-expansion
+        # equi-join rewrite); doc_scrub rotates past the window (the
+        # scrub stage stays driver-exercised inside doc_curate)
+        "interval_join": q_interval_join,
         "repetition_stats": q_repetition_stats,
         "dedup_paragraphs": q_dedup_paragraphs,
         "line_filter": q_line_filter,
@@ -1731,7 +1758,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         # windows / as-of (SURVEY §2.4, §2.6) — core families keep a
         # driver row every round
-        "doc_scrub": q_doc_scrub,
         "asof_state": q_asof_state,
         "asof_salted": q_asof_salted,
         "pit_pipeline": q_pit_pipeline,
@@ -1765,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontam_bloom/quality_clf_score above; jaccard_pairs
         # rotated out for line_filter; tree_risk for ann_topk_indexed;
         # order_segment for incremental_dedup) ----
+        "doc_scrub": q_doc_scrub,
         "vw_labeled": q_vw_labeled,
         "libsvm_labeled": q_libsvm_labeled,
         "csv_columnar": q_csv_columnar,
@@ -2653,6 +2680,17 @@ s AS (SELECT doc_id, k,
 SELECT doc_id, shard,
        ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
 FROM s""",
+        # the oracle runs the NAIVE non-equi range join the operator's
+        # binned rewrite must equal exactly
+        "interval_join": """
+WITH iv AS (SELECT event_id AS iv_id, user_id, ts AS start_ts,
+                   ts + INTERVAL 7200 SECOND AS end_ts
+            FROM events WHERE event_type = 'error'),
+pt AS (SELECT event_id AS pid, user_id, ts FROM events
+       WHERE event_type IN ('click', 'view'))
+SELECT pt.pid, iv.iv_id
+FROM pt JOIN iv ON pt.user_id = iv.user_id
+     AND pt.ts BETWEEN iv.start_ts AND iv.end_ts""",
         "corpus_report": r"""
 WITH base AS (
   SELECT source, COUNT(*) AS n_docs,

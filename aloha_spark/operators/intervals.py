@@ -1,0 +1,158 @@
+"""Interval (range) join: attach point-in-time rows to the time
+intervals containing them — ``left.ts BETWEEN right.start AND
+right.end`` with optional equi-keys.
+
+Spark has no native range-join strategy: a plain non-equi join compiles
+to BroadcastNestedLoopJoin (or a cartesian product with per-pair
+filtering) — O(|L| x |R|) work that is the single most common way a
+correct-looking temporal query melts down at scale.  This operator
+implements the standard bucketized-expansion rewrite (the same family
+as Databricks' range-join optimization, described publicly, and the
+binned overlap joins of time-series stores): both sides are binned on a
+fixed time width, intervals explode into the bins they cover, and the
+match becomes an EQUI-join on (keys..., bin) plus a residual
+``BETWEEN`` — hash-joinable, partition-parallel, skew-manageable.
+
+Exactly-once pairing: a point row has exactly ONE bin, so a qualifying
+(point, interval) pair meets in exactly one bin — no post-join dedup
+pass, unlike rewrites that bin both sides symmetrically.
+
+Scale knobs (the 100 TB story):
+* ``bin_width`` should approximate the TYPICAL interval length: too
+  small and long intervals explode into many bins (write amplification
+  on the build side), too large and each bin carries unrelated rows
+  (residual-filter waste).  The operator measures nothing — binning is
+  a pure projection — but it REFUSES (loudly, with the offending span)
+  intervals covering more than ``max_bins_per_interval`` bins, because
+  a silent million-row explode from one malformed open-ended interval
+  is exactly the failure mode this rewrite must not have.
+* the join itself is a plain equi-join: AQE picks broadcast vs shuffle,
+  handles skewed bins, and the usual salting applies if one (key, bin)
+  is pathological.
+
+Reference parity note: the reference engine has no join layer at all
+(models see one already-joined row; SURVEY §2.4) — this extends the
+engine's as-of family (operators/asof.py) with the other temporal-join
+shape a transcript pipeline needs (session windows, promotion windows,
+outage windows).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 2^53: beyond this a double-typed exact integer division would lose
+# ulps; micros-since-epoch stays below it until the year ~2255
+_EXACT_DOUBLE = 1 << 53
+
+
+def _bin_of(ts_col: Column, width_us: int) -> Column:
+    """Floor-division bin of a timestamp in exact integer arithmetic:
+    ``(um - pmod(um, w)) / w`` — pmod is non-negative, so this floors
+    correctly for pre-1970 timestamps too, and the division is exact
+    (the numerator is a multiple of w).  The ltz cast handles
+    TIMESTAMP_NTZ (parquet default in Spark 4, rejected by
+    unix_micros); NTZ is interpreted in the session time zone, which
+    only shifts every bin uniformly — pairing is unaffected."""
+    um = F.unix_micros(ts_col.cast("timestamp_ltz"))
+    return ((um - F.pmod(um, F.lit(width_us))) / F.lit(width_us)) \
+        .cast("long")
+
+
+def interval_join(points: DataFrame, intervals: DataFrame, *,
+                  on: Optional[Sequence[str]] = None,
+                  point_ts: str = "ts",
+                  start_ts: str = "start_ts",
+                  end_ts: str = "end_ts",
+                  bin_width_seconds: int = 300,
+                  max_bins_per_interval: int = 10_000,
+                  how: str = "inner") -> DataFrame:
+    """Join point rows into the intervals containing them.
+
+    Emits one output row per (point, interval) pair with
+    ``interval.start <= point.ts <= interval.end`` (inclusive on both
+    ends) and equality on every ``on`` key; a point inside k
+    overlapping intervals appears k times.  ``how="left"`` keeps
+    unmatched points with NULL interval columns.  Rows with NULL
+    timestamps never match (NULL never satisfies BETWEEN); empty
+    intervals (``end < start``) match nothing.
+
+    Column contract: the two frames must not share column names apart
+    from the ``on`` keys (raise otherwise — silent duplicate-name
+    output is how downstream ``select``s pick the wrong side).
+
+    Scale: binned-expansion equi-join — see the module docstring.  An
+    interval spanning more than ``max_bins_per_interval`` bins raises
+    with the offending span; raise ``bin_width_seconds`` (or fix the
+    open-ended interval) rather than the cap.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left': {how!r}")
+    if bin_width_seconds < 1:
+        raise ValueError(
+            f"bin_width_seconds must be >= 1: {bin_width_seconds}")
+    on = list(on or [])
+    overlap = (set(points.columns) & set(intervals.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"column name collision outside the join keys: "
+            f"{sorted(overlap)} — rename one side first")
+    width_us = int(bin_width_seconds) * 1_000_000
+
+    p = points.withColumn("_pbin", _bin_of(F.col(point_ts), width_us))
+    s_bin = _bin_of(F.col(start_ts), width_us)
+    e_bin = _bin_of(F.col(end_ts), width_us)
+    span = (e_bin - s_bin + F.lit(1)).alias("_span")
+    iv = (intervals
+          .where(F.col(start_ts).isNotNull()
+                 & F.col(end_ts).isNotNull()
+                 & (F.col(end_ts) >= F.col(start_ts)))
+          .withColumn("_sbin", s_bin).withColumn("_ebin", e_bin))
+    # loud guard BEFORE the explode: one malformed open-ended interval
+    # must not silently fan out into millions of rows.  assert_true
+    # keeps the check distributed (no extra action/collect).
+    iv = iv.withColumn(
+        "_guard",
+        F.assert_true(
+            (F.col("_ebin") - F.col("_sbin")) < max_bins_per_interval,
+            F.concat(
+                F.lit("interval_join: interval spans too many bins ("),
+                (F.col("_ebin") - F.col("_sbin") + 1).cast("string"),
+                F.lit(f" > {max_bins_per_interval}); raise "
+                      f"bin_width_seconds or fix the interval: start="),
+                F.col(start_ts).cast("string"), F.lit(" end="),
+                F.col(end_ts).cast("string")))).drop("_guard")
+    iv = iv.withColumn(
+        "_pbin", F.explode(F.sequence(F.col("_sbin"), F.col("_ebin")))) \
+        .drop("_sbin", "_ebin")
+
+    cond = F.col(point_ts).between(F.col(start_ts), F.col(end_ts))
+    joined = p.join(iv, on + ["_pbin"], "inner").where(cond).drop("_pbin")
+    if how == "inner":
+        return joined
+    # left: matched pairs + unmatched points with NULL interval columns
+    matched_keys = joined.select(*points.columns)
+    unmatched = p.drop("_pbin").join(
+        matched_keys, points.columns, "left_anti")
+    return joined.unionByName(unmatched, allowMissingColumns=True)
+
+
+def sessionize_intervals(df: DataFrame, *,
+                         key: str = "conv_id",
+                         ts: str = "ts",
+                         gap_seconds: int = 1800) -> DataFrame:
+    """Collapse per-row gap sessionization into one row per session:
+    ``(key, session_start, session_end, n_rows)`` — the interval table
+    an ``interval_join`` then probes (e.g. attach outage windows or
+    promo windows to sessions).  One window exchange on ``key`` plus a
+    partial-aggregated groupBy on (key, session start).
+    """
+    from .windows import with_session_id
+
+    s = with_session_id(df, ts=ts, by=key, gap_seconds=gap_seconds)
+    return (s.groupBy(key, "session_id").agg(
+                F.min(ts).alias("session_start"),
+                F.max(ts).alias("session_end"),
+                F.count(F.lit(1)).alias("n_rows")))

@@ -261,6 +261,8 @@ BENCH_QUERIES = [
     # repetition mixing (map-side explode), deterministic shuffle
     # order (one exchange), data-card report (two partial aggs)
     "token_budget", "epoch_mix", "shuffle_order", "corpus_report",
+    # round 4d: interval/range join (binned-expansion equi-join)
+    "interval_join",
 ]
 
 
