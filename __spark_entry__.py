@@ -1421,6 +1421,21 @@ def q_corpus_report(spark, sf_dir):
         "mean_tokens", "dup_frac", "top_lang", "top_lang_frac")
 
 
+def q_length_quantiles(spark, sf_dir):
+    """EXACT per-source token-length quantiles (p50/p90/p99) on the
+    distinct-value histogram — no global sort, no percentile_approx
+    (whose sketch answers cannot be verified across engines).  The
+    oracle replays the discrete-quantile contract (max(1, ceil(q*n))-th
+    smallest) over the same histogram."""
+    from aloha_spark.operators.mixture import exact_group_quantiles
+    from aloha_spark.operators.textstats import tokens_col
+
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tok", F.size(tokens_col("text")).cast("long"))
+    return exact_group_quantiles(d, "n_tok", [0.5, 0.9, 0.99],
+                                 by="source")
+
+
 def q_interval_join(spark, sf_dir):
     """Interval (range) join via binned-expansion equi-join: error
     events open a 2-hour per-user window; click/view events join
@@ -1750,6 +1765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equi-join rewrite); doc_scrub rotates past the window (the
         # scrub stage stays driver-exercised inside doc_curate)
         "interval_join": q_interval_join,
+        # new in round 4d: exact histogram quantiles (error_swallow
+        # rotates out; the error family keeps error_model in-window)
+        "length_quantiles": q_length_quantiles,
         "repetition_stats": q_repetition_stats,
         "dedup_paragraphs": q_dedup_paragraphs,
         "line_filter": q_line_filter,
@@ -1779,7 +1797,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multilabel_blocks": q_multilabel_blocks,
         "regression_spline": q_regression_spline,
         "feature_vectors_jvm": q_feature_vectors_jvm,
-        "error_swallow": q_error_swallow,
         "model_tree_leaves": q_model_tree_leaves,
         # ---- past the driver's 50-query window (oracle-checked by
         # tools/selfcheck.py every round; driver-green r1-r3;
@@ -1792,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out for line_filter; tree_risk for ann_topk_indexed;
         # order_segment for incremental_dedup) ----
         "doc_scrub": q_doc_scrub,
+        "error_swallow": q_error_swallow,
         "vw_labeled": q_vw_labeled,
         "libsvm_labeled": q_libsvm_labeled,
         "csv_columnar": q_csv_columnar,
@@ -2680,6 +2698,27 @@ s AS (SELECT doc_id, k,
 SELECT doc_id, shard,
        ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
 FROM s""",
+        # discrete-quantile contract replay: max(1, ceil(q*n))-th
+        # smallest over the same distinct-value histogram
+        "length_quantiles": r"""
+WITH t AS (SELECT source,
+                  CASE WHEN TRIM(text) = '' THEN 0
+                       ELSE len(string_split_regex(TRIM(text), '\s+'))
+                  END AS v
+           FROM documents),
+h AS (SELECT source, v, COUNT(*) AS c FROM t GROUP BY source, v),
+cum AS (SELECT source, v,
+               SUM(c) OVER (PARTITION BY source ORDER BY v) AS cumc,
+               SUM(c) OVER (PARTITION BY source) AS n
+        FROM h)
+SELECT source,
+       MIN(CASE WHEN cumc >= GREATEST(1, CEIL(0.5 * n)) THEN v END)
+           AS q_0_5,
+       MIN(CASE WHEN cumc >= GREATEST(1, CEIL(0.9 * n)) THEN v END)
+           AS q_0_9,
+       MIN(CASE WHEN cumc >= GREATEST(1, CEIL(0.99 * n)) THEN v END)
+           AS q_0_99
+FROM cum GROUP BY source""",
         # the oracle runs the NAIVE non-equi range join the operator's
         # binned rewrite must equal exactly
         "interval_join": """

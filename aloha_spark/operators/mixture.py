@@ -277,6 +277,62 @@ def shuffle_shards(df: DataFrame, *,
              .sortWithinPartitions(shard_col, key_col, id_col))
 
 
+def exact_group_quantiles(df: DataFrame, value_col: str,
+                          qs: Sequence[float], *,
+                          by: str = "source") -> DataFrame:
+    """EXACT per-group quantiles without a global sort — and without
+    ``percentile_approx``, whose answers are sketch-dependent and
+    therefore unverifiable across engines (a data card should say the
+    true p99, not an approximation of it).
+
+    Contract (discrete / "lower" quantile, replayable anywhere): for a
+    group of n values, quantile q is the ``max(1, ceil(q*n))``-th
+    smallest value — q=0 is the minimum, q=1 the maximum, no
+    interpolation (the answer is always a value that actually occurs).
+    Output: one row per group with one ``q_<q>`` column per requested
+    quantile (dots become underscores: q=0.5 -> ``q_0_5``).  NULL
+    values are ignored; a group with only NULLs yields NULL quantiles.
+
+    Scale: the classic exact-quantile trap is a per-group global sort
+    (or collect).  This runs on the DISTINCT-VALUE HISTOGRAM instead:
+    one partially-aggregated groupBy on (group, value) — a billion
+    repeated doc-lengths collapse map-side to one row — then a window
+    over each group's distinct values (thousands, not billions) finds
+    the ranked value per quantile.  Right-sized for the integer-ish
+    distributions a corpus pipeline measures (token counts, scores,
+    n-gram stats); for continuous high-cardinality values the
+    histogram degenerates toward row count and a t-digest sketch is
+    the honest tool — which is exactly when exactness stops being
+    verifiable anyway.
+    """
+    qs = [float(q) for q in qs]
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile must be in [0, 1]: {q}")
+    if not qs:
+        raise ValueError("qs must be non-empty")
+
+    counts = (df.where(F.col(value_col).isNotNull())
+                .groupBy(by, value_col)
+                .agg(F.count(F.lit(1)).alias("_c")))
+    w_cum = Window.partitionBy(by).orderBy(value_col) \
+                  .rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(by)
+    h = (counts.withColumn("_cum", F.sum("_c").over(w_cum))
+               .withColumn("_n", F.sum("_c").over(w_all)))
+    aggs = []
+    for q in qs:
+        name = "q_" + repr(q).replace(".", "_").replace("-", "m")
+        rank = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("_n")))
+        aggs.append(F.min(F.when(F.col("_cum") >= rank,
+                                 F.col(value_col))).alias(name))
+    out = h.groupBy(by).agg(*aggs)
+    # groups whose every value is NULL vanish from `counts`; restore
+    # them with NULL quantiles so the output covers every input group
+    all_groups = df.select(by).distinct()
+    return all_groups.join(out, by, "left")
+
+
 def corpus_report(df: DataFrame, *,
                   strata_col: str = "source",
                   text: str = "text",

@@ -261,8 +261,9 @@ BENCH_QUERIES = [
     # repetition mixing (map-side explode), deterministic shuffle
     # order (one exchange), data-card report (two partial aggs)
     "token_budget", "epoch_mix", "shuffle_order", "corpus_report",
-    # round 4d: interval/range join (binned-expansion equi-join)
-    "interval_join",
+    # round 4d: interval/range join (binned-expansion equi-join) and
+    # exact histogram quantiles (distinct-value collapse, no sort)
+    "interval_join", "length_quantiles",
 ]
 
 

@@ -221,3 +221,46 @@ class TestCorpusReport:
         r = corpus_report(df).collect()[0]
         assert r.n_docs == 2 and r.n_unique_texts == 1
         assert "top_lang" not in corpus_report(df).columns
+
+
+class TestExactQuantiles:
+    def test_matches_numpy_sorted_rank(self, spark):
+        import math as _math
+
+        rng = random.Random(5)
+        rows = [(i, rng.choice(["a", "b"]), None,
+                 rng.choice([1, 2, 2, 3, 7, 7, 7, 50]))
+                for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string, v long")
+        from aloha_spark.operators.mixture import exact_group_quantiles
+        got = {r.source: r for r in exact_group_quantiles(
+            df, "v", [0.0, 0.5, 0.9, 1.0], by="source").collect()}
+        by_src = {}
+        for _, s, _, v in rows:
+            by_src.setdefault(s, []).append(v)
+        for s, vals in by_src.items():
+            vals.sort()
+            n = len(vals)
+            for q, col in [(0.0, "q_0_0"), (0.5, "q_0_5"),
+                           (0.9, "q_0_9"), (1.0, "q_1_0")]:
+                want = vals[max(1, _math.ceil(q * n)) - 1]
+                assert got[s][col] == want, (s, q)
+
+    def test_null_only_group_and_null_values(self, spark):
+        from aloha_spark.operators.mixture import exact_group_quantiles
+        df = spark.createDataFrame(
+            [("a", 1), ("a", None), ("b", None)],
+            "source string, v int")
+        got = {r.source: r for r in exact_group_quantiles(
+            df, "v", [0.5], by="source").collect()}
+        assert got["a"].q_0_5 == 1
+        assert got["b"].q_0_5 is None
+
+    def test_invalid_q_raises(self, spark):
+        from aloha_spark.operators.mixture import exact_group_quantiles
+        df = spark.createDataFrame([("a", 1)], "source string, v int")
+        with pytest.raises(ValueError):
+            exact_group_quantiles(df, "v", [1.5])
+        with pytest.raises(ValueError):
+            exact_group_quantiles(df, "v", [])
