@@ -83,7 +83,8 @@ def token_budget_sample(df: DataFrame,
                         tokens_col_name: Optional[str] = None,
                         text: str = "text",
                         default_budget: int = 0,
-                        salt: str = "budget") -> DataFrame:
+                        salt: str = "budget",
+                        broadcast_verdicts: bool = True) -> DataFrame:
     """Deterministic per-stratum sampling to an exact TOKEN budget.
 
     Contract (engine-portable, replayed verbatim by the oracle SQL): a
@@ -118,6 +119,11 @@ def token_budget_sample(df: DataFrame,
        filter; only BOUNDARY-bucket rows (~1/N_BUCKETS of each
        stratum) take a fine window, partitioned by (stratum, bucket)
        so no reducer sees more than a bucket.
+
+    The verdict relation is <= n_strata x N_BUCKETS rows; the default
+    broadcast is right for the usual tens-of-sources mixture.  With
+    thousands of strata pass ``broadcast_verdicts=False`` and let AQE
+    pick the join strategy instead of forcing a driver-side build.
     """
     budgets = {k: int(v) for k, v in dict(budgets or {}).items()}
     for k, v in list(budgets.items()) + [("default", int(default_budget))]:
@@ -146,9 +152,11 @@ def token_budget_sample(df: DataFrame,
                | ((end == F.col("_budget")) & (F.col("_bmin") > 0)),
                F.lit("keep"))
          .otherwise(F.lit("boundary")))
-    verdicts = F.broadcast(coarse.select(
+    verdicts = coarse.select(
         F.col(strata_col).alias("_vs"), F.col("_b").alias("_vb"),
-        "_cum0", "_verdict", "_budget"))
+        "_cum0", "_verdict", "_budget")
+    if broadcast_verdicts:
+        verdicts = F.broadcast(verdicts)
 
     j = d.join(verdicts,
                F.col(strata_col).eqNullSafe(F.col("_vs"))
