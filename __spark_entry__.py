@@ -1436,6 +1436,19 @@ def q_length_quantiles(spark, sf_dir):
                                  by="source")
 
 
+def q_pps_tokens(spark, sf_dir):
+    """Systematic PPS sampling: exactly 50 token-weighted grid hits per
+    source, deterministic md5 order, exact decimal-38 integral
+    division (no float keys whose last-ulp ordering could differ
+    across libms).  The oracle replays cumulative weights and the
+    floor-grid rule in HUGEINT — a green hash certifies the
+    coarse-bucket offset decomposition equals the naive definition."""
+    from aloha_spark.operators.mixture import pps_sample
+
+    return pps_sample(_docs(spark, sf_dir), 50) \
+        .select("doc_id", "source", "n_hits")
+
+
 def q_interval_join(spark, sf_dir):
     """Interval (range) join via binned-expansion equi-join: error
     events open a 2-hour per-user window; click/view events join
@@ -1768,6 +1781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4d: exact histogram quantiles (error_swallow
         # rotates out; the error family keeps error_model in-window)
         "length_quantiles": q_length_quantiles,
+        # new in round 4d: systematic PPS sampling (ann_topk_ivf
+        # rotates out; ANN family keeps ann_topk_pq + ann_topk_indexed)
+        "pps_tokens": q_pps_tokens,
         "repetition_stats": q_repetition_stats,
         "dedup_paragraphs": q_dedup_paragraphs,
         "line_filter": q_line_filter,
@@ -1789,7 +1805,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "media_meta": q_media_meta,
         # embeddings
-        "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_indexed": q_ann_topk_indexed,
         "embed_neardup": q_embed_neardup,
@@ -1810,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # order_segment for incremental_dedup) ----
         "doc_scrub": q_doc_scrub,
         "error_swallow": q_error_swallow,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "vw_labeled": q_vw_labeled,
         "libsvm_labeled": q_libsvm_labeled,
         "csv_columnar": q_csv_columnar,
@@ -2698,6 +2714,28 @@ s AS (SELECT doc_id, k,
 SELECT doc_id, shard,
        ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
 FROM s""",
+        # systematic-PPS contract replay: cumulative token weights in
+        # md5 order, floor-grid hits in exact HUGEINT arithmetic
+        "pps_tokens": r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\s+')) END AS w,
+         ('0x' || substr(md5('pps' || CAST(doc_id AS VARCHAR)),
+                         1, 15))::BIGINT % 10000 AS b
+  FROM documents),
+c AS (
+  SELECT doc_id, source, w,
+         SUM(w) OVER (PARTITION BY source ORDER BY b, doc_id) AS cum,
+         SUM(w) OVER (PARTITION BY source) AS tw
+  FROM t),
+h AS (
+  SELECT doc_id, source,
+         CAST((CAST(cum AS HUGEINT) * 50) // CAST(tw AS HUGEINT)
+              - (CAST(cum - w AS HUGEINT) * 50) // CAST(tw AS HUGEINT)
+              AS BIGINT) AS n_hits
+  FROM c WHERE tw > 0)
+SELECT doc_id, source, n_hits FROM h WHERE n_hits > 0""",
         # discrete-quantile contract replay: max(1, ceil(q*n))-th
         # smallest over the same distinct-value histogram
         "length_quantiles": r"""

@@ -87,6 +87,13 @@ def interval_join(points: DataFrame, intervals: DataFrame, *,
     interval spanning more than ``max_bins_per_interval`` bins raises
     with the offending span; raise ``bin_width_seconds`` (or fix the
     open-ended interval) rather than the cap.
+
+    Streaming: ``points`` may be a STREAMING DataFrame with a static
+    ``intervals`` side (``how="inner"`` only — stream-static anti-join
+    is unsupported upstream): the rewrite is projection + stream-static
+    equi-join + filter, all streamable, so late-arriving points join
+    their (static) windows per micro-batch with no state.  Verified in
+    tests/test_intervals.py.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left': {how!r}")

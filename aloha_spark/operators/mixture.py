@@ -285,6 +285,100 @@ def shuffle_shards(df: DataFrame, *,
              .sortWithinPartitions(shard_col, key_col, id_col))
 
 
+def pps_sample(df: DataFrame, k: int, *,
+               weight_col: Optional[str] = None,
+               strata_col: str = "source",
+               id_col: str = "doc_id",
+               text: str = "text",
+               salt: str = "pps",
+               hits_col: str = "n_hits") -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: draw
+    EXACTLY ``k`` grid points per stratum, each document hit in
+    proportion to its weight — the classical survey-sampling design
+    (systematic PPS over a randomized order), deterministic and
+    integer-exact here.
+
+    Contract (engine-portable): per stratum, order documents by
+    ``(hash_bucket(id, salt), id)``; with integer weights ``w_i`` and
+    total ``W``, document i is hit
+
+        ``n_hits_i = floor(cum_i * k / W) - floor(cum_{i-1} * k / W)``
+
+    times, where ``cum_i`` is the cumulative weight through document i.
+    All arithmetic is exact integer (decimal-38 product + integral
+    division), so membership replays bit-for-bit in any engine — no
+    float keys whose last-ulp ordering could differ across libms (the
+    reason this is systematic PPS rather than Efraimidis–Spirakis
+    exponential keys).  Properties: ``sum(n_hits) == k`` exactly per
+    stratum with ``W > 0``; a document with ``w_i <= W/k`` is selected
+    with probability exactly ``k * w_i / W``; heavier documents can be
+    hit multiple times (``n_hits > 1``) — the honest PPS semantics for
+    e.g. token-weighted corpus subsampling, where ``n_hits`` becomes a
+    repetition count.  NULL/non-positive weights and NULL ids are
+    never selected; weights default to whitespace token counts.
+
+    Scale: the per-document cumulative weight reuses the
+    token_budget_sample decomposition — ONE partially-aggregated
+    (stratum, bucket) scan gives exact bucket offsets via a window
+    over the tiny coarse relation; each document's within-bucket
+    cumsum is a window partitioned by (stratum, bucket), so no reducer
+    ever sees more than ~1/N_BUCKETS of a stratum.  Everything after
+    the offsets broadcast is map-side arithmetic.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w_expr = (F.col(weight_col) if weight_col
+              else F.size(tokens_col(text))).cast("long")
+    d = (df.where(F.col(id_col).isNotNull())
+           .withColumn("_w", F.greatest(F.lit(0),
+                                        F.coalesce(w_expr, F.lit(0))))
+           .withColumn("_b", hash_bucket(F.col(id_col), salt=salt)))
+
+    coarse = d.groupBy(strata_col, "_b").agg(F.sum("_w").alias("_bsum"))
+    w_off = Window.partitionBy(strata_col).orderBy("_b") \
+                  .rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.partitionBy(strata_col)
+    coarse = coarse \
+        .withColumn("_off", F.coalesce(F.sum("_bsum").over(w_off),
+                                       F.lit(0))) \
+        .withColumn("_W", F.sum("_bsum").over(w_tot))
+    offsets = F.broadcast(coarse.select(
+        F.col(strata_col).alias("_os"), F.col("_b").alias("_ob"),
+        "_off", "_W"))
+
+    # within-bucket cumsum BEFORE the join (partitioned by (stratum,
+    # bucket): ~1/N_BUCKETS of a stratum per reducer); the join then
+    # only attaches the bucket offset + stratum total, map-side.
+    # Explicit L/R aliases: offsets derives from d, and Spark 4's
+    # self-join dedup otherwise reports every shared-lineage column as
+    # AMBIGUOUS_REFERENCE.
+    w_in = Window.partitionBy(strata_col, "_b").orderBy(id_col) \
+                 .rowsBetween(Window.unboundedPreceding, 0)
+    d = d.withColumn("_cumin", F.sum("_w").over(w_in))
+    j = d.alias("L").join(
+        offsets.alias("R"),
+        F.col(f"L.{strata_col}").eqNullSafe(F.col("R._os"))
+        & (F.col("L._b") == F.col("R._ob")), "inner")
+    j = j.withColumn("_cum", F.col("R._off") + F.col("L._cumin"))
+    # exact integral division on decimal(38,0): cum*k <= W*k — far
+    # below 10^38 for any real corpus, and `div` truncates exactly
+    # (no decimal-division rounding anywhere near the grid boundaries)
+    dec = "decimal(38,0)"
+    j = j.withColumn(
+        hits_col,
+        F.when(
+            F.col("R._W") > 0,
+            F.expr(f"(CAST(_cum AS {dec}) * CAST({int(k)} AS {dec})) "
+                   f"div CAST(R.`_W` AS {dec})")
+            - F.expr(f"(CAST(_cum - L.`_w` AS {dec}) "
+                     f"* CAST({int(k)} AS {dec})) "
+                     f"div CAST(R.`_W` AS {dec})"))
+        .otherwise(F.lit(0)).cast("long"))
+    return (j.where(F.col(hits_col) > 0)
+             .select(*[F.col(f"L.{c}").alias(c) for c in df.columns],
+                     F.col(hits_col)))
+
+
 def exact_group_quantiles(df: DataFrame, value_col: str,
                           qs: Sequence[float], *,
                           by: str = "source") -> DataFrame:
@@ -344,7 +438,8 @@ def exact_group_quantiles(df: DataFrame, value_col: str,
 def corpus_report(df: DataFrame, *,
                   strata_col: str = "source",
                   text: str = "text",
-                  lang_col: Optional[str] = None) -> DataFrame:
+                  lang_col: Optional[str] = None,
+                  length_quantiles: Sequence[float] = ()) -> DataFrame:
     """Per-source data-card aggregate: the numbers a dataset release
     documents per subset.
 
@@ -353,6 +448,9 @@ def corpus_report(df: DataFrame, *,
     ``dup_frac`` (1 - unique/docs), and — when ``lang_col`` is given —
     ``top_lang`` + ``top_lang_frac`` (dominant language, ties broken by
     language string so the answer is deterministic).
+    ``length_quantiles`` adds exact token-length quantile columns
+    (``q_0_5`` etc.) via :func:`exact_group_quantiles` — the true
+    p50/p99, not a sketch.
 
     All statistics are chosen to be exactly reproducible in any engine:
     integer sums/counts and their ratios (no approximate percentiles,
@@ -377,6 +475,14 @@ def corpus_report(df: DataFrame, *,
               .withColumn("dup_frac",
                           F.lit(1.0) - F.col("n_unique_texts")
                           / F.col("n_docs")))
+    if length_quantiles:
+        qs = exact_group_quantiles(
+            df.withColumn("_ntok", toks), "_ntok",
+            list(length_quantiles), by=strata_col) \
+            .withColumnRenamed(strata_col, "_qs")
+        base = base.join(F.broadcast(qs),
+                         F.col(strata_col).eqNullSafe(F.col("_qs")),
+                         "left").drop("_qs")
     if lang_col is None:
         return base
     lw = Window.partitionBy(strata_col).orderBy(

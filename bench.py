@@ -264,6 +264,9 @@ BENCH_QUERIES = [
     # round 4d: interval/range join (binned-expansion equi-join) and
     # exact histogram quantiles (distinct-value collapse, no sort)
     "interval_join", "length_quantiles",
+    # round 4d: systematic PPS sampling (coarse-bucket offsets,
+    # exact decimal arithmetic)
+    "pps_tokens",
 ]
 
 

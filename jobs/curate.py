@@ -199,6 +199,12 @@ def parse_args(argv):
                         "overshoot at most one document)")
     p.add_argument("--token-budget-default", type=int, default=0,
                    help="token budget for strata not listed (0 = drop)")
+    p.add_argument("--pps-k", type=int, default=None,
+                   help="systematic PPS sampling: exactly K token-"
+                        "weighted grid hits per --sample-col stratum "
+                        "(deterministic md5 order, exact integer "
+                        "arithmetic); documents hit at least once are "
+                        "kept")
     p.add_argument("--epochs", default=None,
                    help="comma list stratum=epochs, e.g. "
                         "wiki=2.4,cc=0.7 — repetition factors over "
@@ -539,6 +545,16 @@ def curate(spark, args):
                                 id_col=id_col, text=text_col,
                                 default_budget=args.token_budget_default)
         checkpoint("token_budget")
+    if args.pps_k:
+        from aloha_spark.operators.mixture import pps_sample
+        if not args.sample_col:
+            raise SystemExit("--pps-k requires --sample-col")
+        # keep each document hit at least once; the multiplicity
+        # column is a repetition weight users can re-derive via the
+        # operator directly (epoch-style replication is --epochs' job)
+        x = pps_sample(x, args.pps_k, strata_col=args.sample_col,
+                       id_col=id_col, text=text_col).drop("n_hits")
+        checkpoint("pps_sample")
     if args.split:
         from aloha_spark.operators.corpus import deterministic_split
         weights = parse_kv_list(args.split, "--split")
@@ -672,7 +688,8 @@ def main(argv=None):
         from aloha_spark.operators.mixture import corpus_report
         card = corpus_report(
             x, strata_col=args.sample_col, text=args.text_col,
-            lang_col="lang" if "lang" in x.columns else None)
+            lang_col="lang" if "lang" in x.columns else None,
+            length_quantiles=(0.5, 0.95, 0.99))
         report["data_card"] = [
             {k: (round(v, 6) if isinstance(v, float) else v)
              for k, v in r.asDict().items()} for r in card.collect()]

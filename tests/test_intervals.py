@@ -158,3 +158,26 @@ def test_sessionize_intervals_roundtrip(spark):
         end_ts="session_end", bin_width_seconds=600) \
         .where(F.col("conv_id") == F.col("cid"))
     assert back.count() == 4
+
+
+def test_stream_static_interval_join(spark, tmp_path):
+    """points as a stream, intervals static: same pairs as batch."""
+    prows = [(i, i % 3, _ts(i * 7)) for i in range(60)]
+    ivrows = [(i, i % 3, _ts(40 * i), _ts(40 * i + 25))
+              for i in range(10)]
+    src = str(tmp_path / "pts")
+    pdf = _points(spark, prows)
+    pdf.write.mode("overwrite").parquet(src)
+
+    stream_pts = (spark.readStream.schema(pdf.schema).parquet(src))
+    out = interval_join(stream_pts, _ivs(spark, ivrows),
+                        on=["user_id"], bin_width_seconds=30)
+    q = (out.writeStream.format("memory").queryName("sij")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.pid, r.iv_id)
+           for r in spark.sql("select pid, iv_id from sij").collect()}
+    want = {(r.pid, r.iv_id) for r in interval_join(
+        pdf, _ivs(spark, ivrows), on=["user_id"],
+        bin_width_seconds=30).collect()}
+    assert got == want and len(want) > 0

@@ -264,3 +264,74 @@ class TestExactQuantiles:
             exact_group_quantiles(df, "v", [1.5])
         with pytest.raises(ValueError):
             exact_group_quantiles(df, "v", [])
+
+    def test_length_quantiles_in_report(self, spark):
+        rows = [(i, "a", " ".join(["w"] * (i + 1))) for i in range(10)]
+        r = corpus_report(_mkdocs(spark, rows),
+                          length_quantiles=[0.5, 1.0]).collect()[0]
+        # lengths 1..10: p50 = 5th smallest = 5, p100 = max = 10
+        assert (r.q_0_5, r.q_1_0) == (5, 10)
+        assert r.n_docs == 10
+
+
+def _naive_pps(rows, k, salt="pps"):
+    """Independent replica: per stratum, md5 order, exact integer
+    floor-grid hits."""
+    out = {}
+    by_src = {}
+    for i, src, w in rows:
+        by_src.setdefault(src, []).append((i, max(0, w)))
+    for src, docs in by_src.items():
+        W = sum(w for _, w in docs)
+        if W == 0:
+            continue
+        docs.sort(key=lambda d: (_bucket(d[0], salt), d[0]))
+        cum = 0
+        for i, w in docs:
+            h = (cum + w) * k // W - cum * k // W
+            cum += w
+            if h > 0:
+                out[i] = h
+    return out
+
+
+class TestPpsSample:
+    @pytest.mark.parametrize("seed,k", [(1, 5), (2, 1), (3, 17)])
+    def test_matches_integer_replica(self, spark, seed, k):
+        from aloha_spark.operators.mixture import pps_sample
+        rng = random.Random(seed)
+        rows = [(i, rng.choice(["a", "b", None]), rng.randrange(0, 40))
+                for i in range(120)]
+        df = spark.createDataFrame(
+            [(i, s, w) for i, s, w in rows],
+            "doc_id long, source string, w long")
+        got = {r.doc_id: r.n_hits for r in pps_sample(
+            df, k, weight_col="w").collect()}
+        assert got == _naive_pps(rows, k)
+
+    def test_exactly_k_hits_and_pps_property(self, spark):
+        from aloha_spark.operators.mixture import pps_sample
+        rows = [(i, "a", 1 + i % 7) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                         "w long")
+        k = 20
+        got = pps_sample(df, k, weight_col="w").collect()
+        assert sum(r.n_hits for r in got) == k
+        # a doc with weight > W/k is guaranteed at least one hit
+        W = sum(w for _, _, w in rows)
+        heavy = [(0, "b", W)]  # one doc holding all of stratum b's mass
+        df2 = spark.createDataFrame(rows + heavy,
+                                    "doc_id long, source string, w long")
+        got2 = {(r.source, r.doc_id): r.n_hits
+                for r in pps_sample(df2, k, weight_col="w").collect()}
+        assert got2[("b", 0)] == k    # sole doc takes all k hits
+
+    def test_zero_weight_stratum_and_defaults(self, spark):
+        from aloha_spark.operators.mixture import pps_sample
+        df = spark.createDataFrame(
+            [(1, "a", "w w w"), (2, "b", "")],
+            "doc_id long, source string, text string")
+        got = pps_sample(df, 3).collect()   # weights = token counts
+        assert [(r.doc_id, r.n_hits) for r in got] == [(1, 3)]
+        with pytest.raises(ValueError):
+            pps_sample(df, 0)

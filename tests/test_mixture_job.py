@@ -81,6 +81,10 @@ def test_shuffle_write_and_data_card(spark, tmp_path, capsys):
     card = {c["source"]: c for c in report["data_card"]}
     assert set(card) == {"src0", "src1", "src2"}
     assert card["src0"]["n_docs"] == 20
+    # exact token-length quantiles ride the card (docs cycle 5..11
+    # tokens; every source sees the full cycle, so p100 >= p50 >= 5)
+    assert card["src0"]["q_0_5"] >= 5
+    assert card["src0"]["q_0_99"] <= 11
     assert card["src0"]["dup_frac"] == 0.0
     assert card["src0"]["top_lang"] == "en"
     # one internally-ordered file per bucket; shard == bucket == the

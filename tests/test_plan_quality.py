@@ -233,3 +233,17 @@ def test_token_budget_no_global_stratum_window(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_pps_sample_broadcasts_offsets(spark, sf_dir):
+    """PPS cumulative weights come from the coarse-bucket offsets
+    relation broadcast back — no sort-merge join, no cartesian, no
+    Python, and the only corpus-wide window is partitioned by
+    (stratum, bucket)."""
+    from aloha_spark.operators.mixture import pps_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(pps_sample(docs, 10), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
