@@ -151,6 +151,20 @@ def q_asof_state(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "state_score")
 
 
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness bound (pd.merge_asof tolerance
+    parity): state older than 600 s must not decorate the turn — the
+    feature-store freshness rule.  One map-side comparison after the
+    same one-exchange window fill; the oracle replays it as ASOF JOIN
+    + age CASE."""
+    from aloha_spark.operators.asof import asof_join
+    t = transcripts_from_events(spark, sf_dir)
+    s = state_from_events(spark, sf_dir)
+    out = asof_join(t, s, on="ts", by="conv_id",
+                    state_cols=["state_score"], tolerance=600.0)
+    return out.select("conv_id", "turn_idx", "state_score")
+
+
 def q_asof_salted(spark, sf_dir):
     from aloha_spark.operators.asof import asof_join
     t = transcripts_from_events(spark, sf_dir)
@@ -1436,6 +1450,18 @@ def q_length_quantiles(spark, sf_dir):
                                  by="source")
 
 
+def q_top_docs(spark, sf_dir):
+    """Deterministic grouped top-k (3 longest documents per source,
+    ties by doc_id): the rank filter compiles to WindowGroupLimit
+    (plan-gated), so each map task pre-prunes to its local top-k and a
+    billion-row source ships k rows per partition, never the group."""
+    from aloha_spark.operators.windows import top_k_per_group
+
+    return top_k_per_group(_docs(spark, sf_dir), 3, by="source",
+                           value="n_chars", tie_by=["doc_id"]) \
+        .select("source", "doc_id", "n_chars", "rk")
+
+
 def q_pps_tokens(spark, sf_dir):
     """Systematic PPS sampling: exactly 50 token-weighted grid hits per
     source, deterministic md5 order, exact decimal-38 integral
@@ -1784,6 +1810,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4d: systematic PPS sampling (ann_topk_ivf
         # rotates out; ANN family keeps ann_topk_pq + ann_topk_indexed)
         "pps_tokens": q_pps_tokens,
+        # new in round 4d: grouped top-k with the WindowGroupLimit
+        # pushdown (media_meta rotates out; the media family keeps the
+        # media_features determinism gate + selfcheck row)
+        "top_docs": q_top_docs,
         "repetition_stats": q_repetition_stats,
         "dedup_paragraphs": q_dedup_paragraphs,
         "line_filter": q_line_filter,
@@ -1793,17 +1823,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windows / as-of (SURVEY §2.4, §2.6) — core families keep a
         # driver row every round
         "asof_state": q_asof_state,
+        # new in round 4d: staleness-bounded as-of (dedup_components
+        # rotates out; dedup family keeps dedup_exact +
+        # incremental_dedup in-window)
+        "asof_tolerance": q_asof_tolerance,
         "asof_salted": q_asof_salted,
         "pit_pipeline": q_pit_pipeline,
-        # relational / aggregation
-        "dedup_components": q_dedup_components,
         # corpus curation family
         "decontam": q_decontam,
         "decontam_bloom": q_decontam_bloom,
         "quality_clf_score": q_quality_clf_score,
         "dedup_exact": q_dedup_exact,
         "incremental_dedup": q_incremental_dedup,
-        "media_meta": q_media_meta,
         # embeddings
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_indexed": q_ann_topk_indexed,
@@ -1826,6 +1857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_scrub": q_doc_scrub,
         "error_swallow": q_error_swallow,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "dedup_components": q_dedup_components,
+        "media_meta": q_media_meta,
         "vw_labeled": q_vw_labeled,
         "libsvm_labeled": q_libsvm_labeled,
         "csv_columnar": q_csv_columnar,
@@ -1935,6 +1968,14 @@ FROM transcripts t ASOF LEFT JOIN state s
   ON t.conv_id = s.conv_id AND t.ts >= s.ts""",
         "asof_salted": f"""{T}
 SELECT t.conv_id, t.turn_idx, s.state_score
+FROM transcripts t ASOF LEFT JOIN state s
+  ON t.conv_id = s.conv_id AND t.ts >= s.ts""",
+        # staleness bound: the ASOF match survives only within the
+        # 600 s tolerance window (inclusive), else NULL
+        "asof_tolerance": f"""{T}
+SELECT t.conv_id, t.turn_idx,
+       CASE WHEN t.ts - s.ts <= INTERVAL 600 SECOND
+            THEN s.state_score END AS state_score
 FROM transcripts t ASOF LEFT JOIN state s
   ON t.conv_id = s.conv_id AND t.ts >= s.ts""",
         "asof_strict": f"""{T}
@@ -2714,6 +2755,13 @@ s AS (SELECT doc_id, k,
 SELECT doc_id, shard,
        ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
 FROM s""",
+        "top_docs": """
+SELECT source, doc_id, n_chars, rk
+FROM (SELECT source, doc_id, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
+      FROM documents) t
+WHERE rk <= 3""",
         # systematic-PPS contract replay: cumulative token weights in
         # md5 order, floor-grid hits in exact HUGEINT arithmetic
         "pps_tokens": r"""

@@ -172,6 +172,7 @@ def asof_join(
     salt_buckets: int = 8,
     mode: str = "window",
     direction: str = "backward",
+    tolerance: Optional[float] = None,
 ) -> DataFrame:
     """As-of join: attach ``state_cols`` per ``by`` along ``direction``
     (``pd.merge_asof`` semantics):
@@ -210,9 +211,26 @@ def asof_join(
     (by, on) the one with the greatest tiebreaker wins (deterministic).
     ``hot_keys`` / ``hot_key_threshold``: enable skew salting for the
     given (or detected) hot keys.
+
+    ``tolerance`` (pd.merge_asof parity): maximum allowed |state[on] -
+    turns[on]| for a match, INCLUSIVE — state older (backward) /
+    farther (forward/nearest) than this yields NULL state columns, the
+    staleness bound every point-in-time feature store needs ("a score
+    from last month must not decorate today's turn").  Units: seconds
+    for timestamp/date ``on`` columns, the column's own units for
+    numeric ``on``.  Window mode only (the state struct carries its
+    own timestamp, so the bound is one map-side comparison after the
+    fill; the streaming merge kernel does not carry state timestamps).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction: {direction!r}")
+    if tolerance is not None:
+        if mode != "window":
+            raise ValueError("tolerance requires mode='window' (the "
+                             "merge kernel does not carry state "
+                             "timestamps)")
+        if not tolerance >= 0:
+            raise ValueError(f"tolerance must be >= 0: {tolerance}")
     spark = turns.sparkSession
     if state_cols is None:
         state_cols = [c for c in state.columns if c not in (by, on)]
@@ -310,22 +328,23 @@ def asof_join(
                  .rowsBetween(Window.unboundedPreceding, 0))
             return F.last("__state", ignorenulls=True).over(w)
 
+        # distance arithmetic needs a numeric: timestamps (incl.
+        # TIMESTAMP_NTZ, which cannot cast to double) go through
+        # unix_micros, plain numerics cast directly
+        on_tn = unioned.schema[on].dataType.typeName()
+        on_is_time = on_tn.startswith("timestamp") or on_tn == "date"
+
+        def num(c: Column) -> Column:
+            if on_is_time:
+                return F.unix_micros(c.cast("timestamp"))
+            return c.cast("double")
+
         if direction == "nearest":
             # both fills partition identically -> ONE exchange, two
             # sorts; pick per row by |state ts - turn ts|, exact ties
             # to the backward row (pandas' rule: strictly-closer wins)
             filled = (packed.withColumn("__fb", fill(True))
                             .withColumn("__ff", fill(False)))
-
-            # distance arithmetic needs a numeric: timestamps (incl.
-            # TIMESTAMP_NTZ, which cannot cast to double) go through
-            # unix_micros, plain numerics cast directly
-            on_tn = unioned.schema[on].dataType.typeName()
-
-            def num(c: Column) -> Column:
-                if on_tn.startswith("timestamp") or on_tn == "date":
-                    return F.unix_micros(c.cast("timestamp"))
-                return c.cast("double")
 
             dist_b = num(F.col(on)) - num(F.col("__fb.__s_ts"))
             dist_f = num(F.col("__ff.__s_ts")) - num(F.col(on))
@@ -336,6 +355,18 @@ def asof_join(
                 F.when(choose_f, F.col("__ff")).otherwise(F.col("__fb")))
         else:
             filled = packed.withColumn("__filled", fill(ts_asc))
+        if tolerance is not None:
+            # staleness bound, applied AFTER the fill: |Δ| <= tolerance
+            # keeps the match (inclusive, pd.merge_asof semantics); one
+            # map-side comparison, no extra exchange.  The fill always
+            # returns the closest candidate in its direction, so a
+            # filtered match can never hide an in-tolerance one.
+            tol = float(tolerance) * (1e6 if on_is_time else 1.0)
+            dist = F.abs(num(F.col(on)) - num(F.col("__filled.__s_ts")))
+            filled = filled.withColumn(
+                "__filled",
+                F.when(F.col("__filled").isNotNull() & (dist <= tol),
+                       F.col("__filled")))
         out = filled.where(F.col(_SIDE) == turn_side).select(
             *turn_cols,
             *[F.col("__filled")[c].alias(c) for c in state_cols])

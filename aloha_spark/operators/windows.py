@@ -113,3 +113,36 @@ def stable_output_order(df: DataFrame, by: str = "conv_id",
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     return (df.repartitionByRange(n, F.col(by), F.col(order))
               .sortWithinPartitions(by, order))
+
+
+def top_k_per_group(df: DataFrame, k: int, *,
+                    by: str = "conv_id",
+                    value: str = "ts",
+                    descending: bool = True,
+                    tie_by: Optional[Sequence[str]] = None,
+                    rank_col: str = "rk") -> DataFrame:
+    """Exactly the k best rows per group, deterministically.
+
+    Orders each ``by`` group on ``value`` (descending by default), ties
+    broken by ``tie_by`` ascending (pass a unique column — without a
+    total order "top k" is not a well-defined set and cannot be
+    verified against any oracle), keeps ``row_number() <= k`` and emits
+    the rank in ``rank_col``.
+
+    Scale: a rank-filter window is the textbook hot-reducer trap (every
+    group's full row set crosses to one reducer before the filter).
+    Spark >= 3.5's WindowGroupLimit rewrite pushes the limit BELOW the
+    exchange — each map task pre-prunes to its local top-k per group,
+    so at most ``k x num_partitions`` rows per group shuffle no matter
+    how large the group is.  The plan gate in
+    tests/test_plan_quality.py asserts the rewrite actually fires (it
+    silently does NOT for rank functions other than
+    row_number/rank/dense_rank or for frames that reference other
+    window functions — keep this operator's window minimal)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    order = [F.col(value).desc() if descending else F.col(value).asc()]
+    order += [F.col(c).asc() for c in (tie_by or [])]
+    w = Window.partitionBy(by).orderBy(*order)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+              .where(F.col(rank_col) <= k))

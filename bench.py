@@ -267,6 +267,8 @@ BENCH_QUERIES = [
     # round 4d: systematic PPS sampling (coarse-bucket offsets,
     # exact decimal arithmetic)
     "pps_tokens",
+    # round 4d: staleness-bounded as-of and WindowGroupLimit top-k
+    "asof_tolerance", "top_docs",
 ]
 
 

@@ -362,3 +362,67 @@ class TestMergeKernelFuzz:
         want_norm = {i: (None if s is None else float(s), t)
                      for i, (s, t) in want.items()}
         assert got_map == want_norm
+
+
+class TestAsofTolerance:
+    """pd.merge_asof(tolerance=...) parity: the staleness bound."""
+
+    @pytest.mark.parametrize("direction", ["backward", "forward",
+                                           "nearest"])
+    @pytest.mark.parametrize("tol_s", [1.0, 90.0, 3600.0])
+    def test_matches_pandas_tolerance(self, spark, small, direction,
+                                      tol_s):
+        turns, state, turns_pd, state_pd = small
+        # equal-(conv_id, ts) duplicate state rows are tiebreaker
+        # territory (covered separately) — dedup keeps this about the
+        # tolerance rule, same convention as the direction parity test
+        sp2 = (state_pd.sort_values("state_score")
+               .drop_duplicates(["conv_id", "ts"], keep="last")
+               .reset_index(drop=True))
+        got = _collect_sorted(asof_join(
+            spark.createDataFrame(turns_pd),
+            spark.createDataFrame(sp2), state_cols=["state_score"],
+            direction=direction, tolerance=tol_s))
+        t = turns_pd.sort_values(["ts", "conv_id"]).reset_index(drop=True)
+        s = sp2.sort_values(["ts", "conv_id"]).reset_index(drop=True)
+        exp = pd.merge_asof(
+            t, s[["conv_id", "ts", "state_score"]], on="ts",
+            by="conv_id", direction=direction,
+            tolerance=pd.Timedelta(seconds=tol_s)) \
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        _assert_frames_match(got, exp, ["state_score"])
+
+    def test_tolerance_inclusive_boundary(self, spark):
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1)
+        turns = spark.createDataFrame(
+            [("c", 0, t0 + dt.timedelta(seconds=10))],
+            "conv_id string, turn_idx long, ts timestamp")
+        state = spark.createDataFrame(
+            [("c", t0, 1.0)],
+            "conv_id string, ts timestamp, state_score double")
+        # state is exactly 10s old: tolerance 10 keeps it, 9.999 drops
+        keep = asof_join(turns, state, state_cols=["state_score"],
+                         tolerance=10.0).collect()[0]
+        assert keep.state_score == 1.0
+        drop = asof_join(turns, state, state_cols=["state_score"],
+                         tolerance=9.999).collect()[0]
+        assert drop.state_score is None
+
+    def test_tolerance_contract_errors(self, spark, small):
+        turns, state, _, _ = small
+        with pytest.raises(ValueError, match="mode='window'"):
+            asof_join(turns, state, state_cols=["state_score"],
+                      mode="merge", tolerance=5.0)
+        with pytest.raises(ValueError, match=">= 0"):
+            asof_join(turns, state, state_cols=["state_score"],
+                      tolerance=-1.0)
+
+    def test_salted_tolerance_equals_unsalted(self, spark, small):
+        turns, state, _, _ = small
+        a = _collect_sorted(asof_join(
+            turns, state, state_cols=["state_score"], tolerance=60.0))
+        b = _collect_sorted(asof_join(
+            turns, state, state_cols=["state_score"], tolerance=60.0,
+            hot_keys=["mega"], salt_buckets=4))
+        _assert_frames_match(a, b, ["state_score"])

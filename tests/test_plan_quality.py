@@ -247,3 +247,15 @@ def test_pps_sample_broadcasts_offsets(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_top_k_per_group_window_group_limit(spark, sf_dir):
+    """The rank filter must push below the exchange (WindowGroupLimit,
+    Spark 3.5+): each map task pre-prunes to its local top-k so a
+    billion-row group ships k rows per partition, not the group."""
+    from aloha_spark.operators.windows import top_k_per_group
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = top_k_per_group(docs, 3, by="source", value="n_chars",
+                        tie_by=["doc_id"])
+    plan = _plan(q, "simple")
+    assert "WindowGroupLimit" in plan, plan

@@ -90,3 +90,34 @@ def test_text_equality_survives_pipeline(spark):
         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+class TestTopKPerGroup:
+    def test_matches_sorted_replica(self, spark):
+        import random
+        from aloha_spark.operators.windows import top_k_per_group
+        rng = random.Random(3)
+        rows = [(i, f"g{i % 5}", rng.randrange(100)) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        got = top_k_per_group(df, 4, by="g", value="v",
+                              tie_by=["id"]).collect()
+        by_g = {}
+        for i, g, v in rows:
+            by_g.setdefault(g, []).append((i, v))
+        for g, items in by_g.items():
+            want = sorted(items, key=lambda x: (-x[1], x[0]))[:4]
+            got_g = sorted(((r.id, r.v) for r in got if r.g == g),
+                           key=lambda x: (-x[1], x[0]))
+            assert got_g == want, g
+        assert all(1 <= r.rk <= 4 for r in got)
+
+    def test_ascending_and_k_validation(self, spark):
+        import pytest
+        from aloha_spark.operators.windows import top_k_per_group
+        df = spark.createDataFrame(
+            [(1, "a", 5), (2, "a", 3)], "id long, g string, v long")
+        lo = top_k_per_group(df, 1, by="g", value="v", descending=False,
+                             tie_by=["id"]).collect()
+        assert lo[0].id == 2
+        with pytest.raises(ValueError):
+            top_k_per_group(df, 0, by="g", value="v")
