@@ -381,7 +381,8 @@ def pps_sample(df: DataFrame, k: int, *,
 
 def exact_group_quantiles(df: DataFrame, value_col: str,
                           qs: Sequence[float], *,
-                          by: str = "source") -> DataFrame:
+                          by: str = "source",
+                          weight_col: Optional[str] = None) -> DataFrame:
     """EXACT per-group quantiles without a global sort — and without
     ``percentile_approx``, whose answers are sketch-dependent and
     therefore unverifiable across engines (a data card should say the
@@ -394,6 +395,15 @@ def exact_group_quantiles(df: DataFrame, value_col: str,
     Output: one row per group with one ``q_<q>`` column per requested
     quantile (dots become underscores: q=0.5 -> ``q_0_5``).  NULL
     values are ignored; a group with only NULLs yields NULL quantiles.
+
+    ``weight_col`` generalizes to WEIGHTED quantiles: with integer
+    weights ``w_i`` and total ``W``, quantile q is the smallest value
+    whose cumulative weight reaches ``max(1, ceil(q*W))`` — e.g.
+    token-weighted document-length percentiles ("half the CORPUS
+    TOKENS live in documents shorter than this"), which row-counted
+    quantiles misstate badly on long-tailed web data.  NULL/negative
+    weights count as 0; an all-zero-weight group yields NULL
+    quantiles.
 
     Scale: the classic exact-quantile trap is a per-group global sort
     (or collect).  This runs on the DISTINCT-VALUE HISTOGRAM instead:
@@ -414,9 +424,12 @@ def exact_group_quantiles(df: DataFrame, value_col: str,
     if not qs:
         raise ValueError("qs must be non-empty")
 
+    wexpr = (F.lit(1) if weight_col is None
+             else F.greatest(F.lit(0), F.coalesce(
+                 F.col(weight_col).cast("long"), F.lit(0))))
     counts = (df.where(F.col(value_col).isNotNull())
                 .groupBy(by, value_col)
-                .agg(F.count(F.lit(1)).alias("_c")))
+                .agg(F.sum(wexpr).alias("_c")))
     w_cum = Window.partitionBy(by).orderBy(value_col) \
                   .rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy(by)

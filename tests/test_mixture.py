@@ -335,3 +335,17 @@ class TestPpsSample:
         assert [(r.doc_id, r.n_hits) for r in got] == [(1, 3)]
         with pytest.raises(ValueError):
             pps_sample(df, 0)
+
+    def test_weighted_quantiles(self, spark):
+        from aloha_spark.operators.mixture import exact_group_quantiles
+        rows = [("a", 1, 1), ("a", 2, 1), ("a", 3, 1), ("a", 4, 7),
+                ("z", 9, 0), ("z", 10, None)]
+        df = spark.createDataFrame(rows,
+                                   "source string, v int, w int")
+        got = {r.source: r for r in exact_group_quantiles(
+            df, "v", [0.5, 1.0], by="source", weight_col="w").collect()}
+        # W=10, rank(0.5)=5: cum 1,2,3,10 -> first >=5 is v=4 (a
+        # row-counted p50 would say 2 — the token-weighted story)
+        assert (got["a"].q_0_5, got["a"].q_1_0) == (4, 4)
+        # all-zero/NULL weights: NULL quantiles but the group survives
+        assert got["z"].q_0_5 is None
