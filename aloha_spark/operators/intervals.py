@@ -139,11 +139,26 @@ def interval_join(points: DataFrame, intervals: DataFrame, *,
     joined = p.join(iv, on + ["_pbin"], "inner").where(cond).drop("_pbin")
     if how == "inner":
         return joined
-    # left: matched pairs + unmatched points with NULL interval columns
-    matched_keys = joined.select(*points.columns)
-    unmatched = p.drop("_pbin").join(
-        matched_keys, points.columns, "left_anti")
-    return joined.unionByName(unmatched, allowMissingColumns=True)
+    # left: matched pairs + unmatched points with NULL interval
+    # columns.  The match-detection anti-join must be NULL-SAFE on
+    # every point column — with plain equality a matched point carrying
+    # a NULL payload column would never equal itself and be emitted a
+    # second time as "unmatched".  Persisted: both the union branch and
+    # the anti-join's build side read `joined`, and without the cache
+    # the whole binned join would execute twice (released with the
+    # result via the intermediate tracker).
+    from .dedup import _track_intermediates
+
+    joined = joined.persist()
+    matched_keys = joined.select(*points.columns).alias("M")
+    pl = p.drop("_pbin").alias("P")
+    anti_cond = None
+    for c in points.columns:
+        eq = F.col(f"P.{c}").eqNullSafe(F.col(f"M.{c}"))
+        anti_cond = eq if anti_cond is None else (anti_cond & eq)
+    unmatched = pl.join(matched_keys, anti_cond, "left_anti")
+    out = joined.unionByName(unmatched, allowMissingColumns=True)
+    return _track_intermediates(out, joined)
 
 
 def sessionize_intervals(df: DataFrame, *,

@@ -129,8 +129,13 @@ def token_budget_sample(df: DataFrame,
     for k, v in list(budgets.items()) + [("default", int(default_budget))]:
         if v < 0:
             raise ValueError(f"budget for {k!r} must be >= 0: {v}")
-    tok = (F.col(tokens_col_name) if tokens_col_name
-           else F.size(tokens_col(text))).cast("long")
+    # NULL token counts (NULL text) contribute 0 — made explicit here
+    # so the coarse classifier's min-token boundary guard sees the 0
+    # instead of min() skipping the NULL (a NULL-token row at an exact
+    # budget boundary must drop, same as a 0-token row)
+    tok = F.coalesce((F.col(tokens_col_name) if tokens_col_name
+                      else F.size(tokens_col(text))).cast("long"),
+                     F.lit(0))
     budget = _case_over_strata(strata_col, budgets, int(default_budget))
     d = (df.where(F.col(id_col).isNotNull())
            .withColumn("_tok", tok)
@@ -443,9 +448,14 @@ def exact_group_quantiles(df: DataFrame, value_col: str,
                                  F.col(value_col))).alias(name))
     out = h.groupBy(by).agg(*aggs)
     # groups whose every value is NULL vanish from `counts`; restore
-    # them with NULL quantiles so the output covers every input group
-    all_groups = df.select(by).distinct()
-    return all_groups.join(out, by, "left")
+    # them with NULL quantiles so the output covers every input group.
+    # NULL-SAFE join: a NULL group name is still a group, and a plain
+    # equality join would discard its computed quantiles
+    all_groups = df.select(by).distinct().alias("G")
+    return (all_groups.join(
+                out.alias("O"),
+                F.col(f"G.{by}").eqNullSafe(F.col(f"O.{by}")), "left")
+            .drop(F.col(f"O.{by}")))
 
 
 def corpus_report(df: DataFrame, *,

@@ -141,8 +141,13 @@ def top_k_per_group(df: DataFrame, k: int, *,
     window functions — keep this operator's window minimal)."""
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    if not tie_by:
+        raise ValueError(
+            "top_k_per_group requires tie_by (a unique column or "
+            "combination): without a total order the selected set is "
+            "partition-arrival-dependent and unverifiable")
     order = [F.col(value).desc() if descending else F.col(value).asc()]
-    order += [F.col(c).asc() for c in (tie_by or [])]
+    order += [F.col(c).asc() for c in tie_by]
     w = Window.partitionBy(by).orderBy(*order)
     return (df.withColumn(rank_col, F.row_number().over(w))
               .where(F.col(rank_col) <= k))

@@ -684,10 +684,21 @@ def main(argv=None):
     # pure function of the pack, so a pack's chunks always land (and
     # resume) together in one shard directory
     shard_key = "pack_id" if args.pack_budget else args.id_col
-    if args.data_card and args.sample_col:
+    if args.data_card and not args.sample_col:
+        raise SystemExit("--data-card requires --sample-col")
+    if args.data_card:
         from aloha_spark.operators.mixture import corpus_report
+        # after chunking the text column is chunk_text: the card then
+        # describes the shipped chunk stream, same post-transform
+        # posture as the epoch-copy duplicate accounting
+        card_text = args.text_col if args.text_col in x.columns \
+            else "chunk_text"
+        if card_text not in x.columns:
+            raise SystemExit(
+                f"--data-card: no text column ({args.text_col} or "
+                f"chunk_text) on the output frame")
         card = corpus_report(
-            x, strata_col=args.sample_col, text=args.text_col,
+            x, strata_col=args.sample_col, text=card_text,
             lang_col="lang" if "lang" in x.columns else None,
             length_quantiles=(0.5, 0.95, 0.99))
         report["data_card"] = [
@@ -703,8 +714,14 @@ def main(argv=None):
         wx = with_shuffle_order(x, n_shards=args.num_buckets,
                                 seed=args.shuffle_seed, id_col=shard_key)
         bucket_col = "shard"
-        sort_cols = ["shuffle_key", shard_key] + (
-            ["pack_slot"] if args.pack_budget else [])
+        # all chunks of one document share its shuffle_key: without a
+        # within-document key the chunk order inside a shard would be
+        # shuffle-fetch order — nondeterministic across runs
+        sort_cols = ["shuffle_key", shard_key]
+        if args.pack_budget:
+            sort_cols.append("pack_slot")
+        elif args.chunk_budget:
+            sort_cols.append("chunk_idx")
         report["shuffle"] = {"seed": args.shuffle_seed,
                              "n_shards": args.num_buckets}
     wr = write_with_lineage(

@@ -181,3 +181,19 @@ def test_stream_static_interval_join(spark, tmp_path):
         pdf, _ivs(spark, ivrows), on=["user_id"],
         bin_width_seconds=30).collect()}
     assert got == want and len(want) > 0
+
+
+def test_left_join_null_payload_no_duplicates(spark):
+    """A matched point carrying a NULL payload column must not be
+    re-emitted as unmatched (the anti-join is null-safe)."""
+    prows = pd.DataFrame(
+        [(0, 1, _ts(50), None), (1, 1, _ts(50), "m"),
+         (2, 1, _ts(5000), None)],
+        columns=["pid", "user_id", "ts", "meta"])
+    ivs = _ivs(spark, [(0, 1, _ts(0), _ts(100))])
+    got = interval_join(spark.createDataFrame(prows), ivs,
+                        on=["user_id"], how="left").toPandas()
+    assert len(got) == 3
+    by_pid = got.set_index("pid").iv_id
+    assert by_pid[0] == 0 and by_pid[1] == 0
+    assert pd.isna(by_pid[2])

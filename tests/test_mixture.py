@@ -349,3 +349,29 @@ class TestPpsSample:
         assert (got["a"].q_0_5, got["a"].q_1_0) == (4, 4)
         # all-zero/NULL weights: NULL quantiles but the group survives
         assert got["z"].q_0_5 is None
+
+    def test_null_group_with_values(self, spark):
+        """A NULL group name is still a group: the restore join must be
+        null-safe, matching the DuckDB GROUP BY semantics."""
+        from aloha_spark.operators.mixture import exact_group_quantiles
+        df = spark.createDataFrame(
+            [(None, 5), (None, 9), ("a", 1)], "source string, v int")
+        got = {r.source: r for r in exact_group_quantiles(
+            df, "v", [1.0], by="source").collect()}
+        assert got[None].q_1_0 == 9
+        assert got["a"].q_1_0 == 1
+
+    def test_null_text_counts_as_zero_tokens(self, spark):
+        """NULL text contributes 0 tokens and at an exact budget
+        boundary must drop exactly like a 0-token row."""
+        from aloha_spark.operators.mixture import token_budget_sample
+        rows = [(1, "a", "x y"), (2, "a", None), (3, "a", "x y z"),
+                (4, "a", ""), (5, "a", "q")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        naive_rows = [(i, s, t or "") for i, s, t in rows]
+        for budget in (1, 2, 3, 5, 6, 100):
+            got = {r.doc_id for r in token_budget_sample(
+                df, {"a": budget}).collect()}
+            assert got == _naive_budget_keep(
+                naive_rows, {"a": budget}, 0), budget

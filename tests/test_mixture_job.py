@@ -141,3 +141,42 @@ def test_ordered_lineage_write_resume_midway(spark, tmp_path):
         assert len(files) == 1
         pdf = pd.read_parquet(files[0])
         assert list(pdf.shuffle_key) == sorted(pdf.shuffle_key)
+
+
+def test_shuffle_with_chunks_deterministic_and_card(spark, tmp_path,
+                                                    capsys):
+    """--chunk-budget + --shuffle-seed + --data-card: the card reads
+    chunk_text (this combo used to crash on the dropped text column)
+    and a document's chunks land in a deterministic within-shard order
+    across runs."""
+    docs = str(tmp_path / "docs")
+    rows = [(i, f"src{i % 2}",
+             " ".join(f"t{i}w{j}" for j in range(11)), "en")
+            for i in range(30)]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, lang string") \
+        .write.mode("overwrite").parquet(docs)
+
+    def run(out, lin):
+        curate_job.main([
+            "--docs", docs, "--out", out, "--lineage", lin,
+            "--sample-col", "source", "--chunk-budget", "4",
+            "--shuffle-seed", "3", "--data-card",
+            "--num-buckets", "4", "--group-size", "2"])
+        return json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+
+    import pandas as pd
+    r1 = run(str(tmp_path / "o1"), str(tmp_path / "l1"))
+    assert "data_card" in r1 and r1["data_card"][0]["total_tokens"] > 0
+    r2 = run(str(tmp_path / "o2"), str(tmp_path / "l2"))
+    for b in range(4):
+        f1 = glob.glob(f"{tmp_path}/o1/bucket={b}/*.parquet")
+        f2 = glob.glob(f"{tmp_path}/o2/bucket={b}/*.parquet")
+        assert len(f1) == 1 and len(f2) == 1
+        p1 = pd.read_parquet(f1[0])[["doc_id", "chunk_idx"]]
+        p2 = pd.read_parquet(f2[0])[["doc_id", "chunk_idx"]]
+        # identical row ORDER across runs, chunks contiguous ascending
+        assert p1.values.tolist() == p2.values.tolist()
+        for _, g in p1.groupby("doc_id", sort=False):
+            assert list(g.chunk_idx) == sorted(g.chunk_idx)

@@ -121,3 +121,11 @@ class TestTopKPerGroup:
         assert lo[0].id == 2
         with pytest.raises(ValueError):
             top_k_per_group(df, 0, by="g", value="v")
+
+    def test_tie_by_required(self, spark):
+        import pytest
+        from aloha_spark.operators.windows import top_k_per_group
+        df = spark.createDataFrame(
+            [(1, "a", 5)], "id long, g string, v long")
+        with pytest.raises(ValueError, match="tie_by"):
+            top_k_per_group(df, 1, by="g", value="v")
