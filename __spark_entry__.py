@@ -1462,6 +1462,26 @@ def q_top_docs(spark, sf_dir):
         .select("source", "doc_id", "n_chars", "rk")
 
 
+def q_interval_anti(spark, sf_dir):
+    """Time-window filtering via the anti interval join: click/view
+    events NOT inside any 2-hour post-error window of their user (the
+    outage/embargo-drop shape).  Hash semi/anti join with the BETWEEN
+    residual riding the join condition — never a nested-loop.  The
+    oracle is the naive NOT EXISTS."""
+    from aloha_spark.operators.intervals import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ivs = (ev.where(F.col("event_type") == "error")
+             .select("user_id", F.col("ts").alias("start_ts"),
+                     (F.col("ts") + F.expr("INTERVAL 7200 SECONDS"))
+                     .alias("end_ts")))
+    pts = (ev.where(F.col("event_type").isin("click", "view"))
+             .select(F.col("event_id").alias("pid"), "user_id", "ts"))
+    return interval_join(pts, ivs, on=["user_id"],
+                         bin_width_seconds=3600, how="left_anti") \
+        .select("pid", "user_id")
+
+
 def q_pps_tokens(spark, sf_dir):
     """Systematic PPS sampling: exactly 50 token-weighted grid hits per
     source, deterministic md5 order, exact decimal-38 integral
@@ -1856,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # order_segment for incremental_dedup) ----
         "doc_scrub": q_doc_scrub,
         "error_swallow": q_error_swallow,
+        "interval_anti": q_interval_anti,
         "ann_topk_ivf": q_ann_topk_ivf,
         "dedup_components": q_dedup_components,
         "media_meta": q_media_meta,
@@ -2755,6 +2776,16 @@ s AS (SELECT doc_id, k,
 SELECT doc_id, shard,
        ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
 FROM s""",
+        "interval_anti": """
+WITH iv AS (SELECT user_id, ts AS start_ts,
+                   ts + INTERVAL 7200 SECOND AS end_ts
+            FROM events WHERE event_type = 'error'),
+pt AS (SELECT event_id AS pid, user_id, ts FROM events
+       WHERE event_type IN ('click', 'view'))
+SELECT pt.pid, pt.user_id
+FROM pt WHERE NOT EXISTS (
+  SELECT 1 FROM iv WHERE iv.user_id = pt.user_id
+    AND pt.ts BETWEEN iv.start_ts AND iv.end_ts)""",
         "top_docs": """
 SELECT source, doc_id, n_chars, rk
 FROM (SELECT source, doc_id, n_chars,

@@ -75,8 +75,12 @@ def interval_join(points: DataFrame, intervals: DataFrame, *,
     ``interval.start <= point.ts <= interval.end`` (inclusive on both
     ends) and equality on every ``on`` key; a point inside k
     overlapping intervals appears k times.  ``how="left"`` keeps
-    unmatched points with NULL interval columns.  Rows with NULL
-    timestamps never match (NULL never satisfies BETWEEN); empty
+    unmatched points with NULL interval columns.  ``how="left_semi"`` /
+    ``"left_anti"`` turn the join into time-window FILTERING: keep /
+    drop each point (once, point columns only) iff it falls inside ANY
+    matching interval — outage windows, embargo periods, session
+    membership tests.  Rows with NULL timestamps never match (NULL
+    never satisfies BETWEEN; they survive ``left_anti``); empty
     intervals (``end < start``) match nothing.
 
     Column contract: the two frames must not share column names apart
@@ -95,8 +99,9 @@ def interval_join(points: DataFrame, intervals: DataFrame, *,
     their (static) windows per micro-batch with no state.  Verified in
     tests/test_intervals.py.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left': {how!r}")
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError("how must be 'inner', 'left', 'left_semi' or "
+                         f"'left_anti': {how!r}")
     if bin_width_seconds < 1:
         raise ValueError(
             f"bin_width_seconds must be >= 1: {bin_width_seconds}")
@@ -134,6 +139,21 @@ def interval_join(points: DataFrame, intervals: DataFrame, *,
     iv = iv.withColumn(
         "_pbin", F.explode(F.sequence(F.col("_sbin"), F.col("_ebin")))) \
         .drop("_sbin", "_ebin")
+
+    if how in ("left_semi", "left_anti"):
+        # time-window FILTERING (keep / drop points inside any
+        # interval — outage windows, embargo periods): the residual
+        # BETWEEN must live in the join condition itself (a semi join
+        # has no post-filterable right columns), which Spark's hash
+        # joins support as an extra condition.  Each point is emitted
+        # at most once by semi/anti semantics — no dedup pass.
+        pl, ivl = p.alias("P"), iv.alias("IV")
+        cond = F.col("P._pbin") == F.col("IV._pbin")
+        for c in on:
+            cond &= F.col(f"P.{c}") == F.col(f"IV.{c}")
+        cond &= F.col(f"P.{point_ts}").between(
+            F.col(f"IV.{start_ts}"), F.col(f"IV.{end_ts}"))
+        return pl.join(ivl, cond, how).drop("_pbin")
 
     cond = F.col(point_ts).between(F.col(start_ts), F.col(end_ts))
     joined = p.join(iv, on + ["_pbin"], "inner").where(cond).drop("_pbin")

@@ -197,3 +197,23 @@ def test_left_join_null_payload_no_duplicates(spark):
     by_pid = got.set_index("pid").iv_id
     assert by_pid[0] == 0 and by_pid[1] == 0
     assert pd.isna(by_pid[2])
+
+
+def test_semi_and_anti_window_filtering(spark):
+    """left_semi keeps each in-window point exactly once (even inside
+    overlapping intervals); left_anti is the exact complement and keeps
+    NULL-ts points."""
+    prows = [(0, 1, _ts(50)), (1, 1, _ts(55)), (2, 1, _ts(500)),
+             (3, 2, _ts(50)), (4, 1, None)]
+    ivrows = [(0, 1, _ts(0), _ts(100)), (1, 1, _ts(40), _ts(60))]
+    pts, ivs = _points(spark, prows), _ivs(spark, ivrows)
+    semi = interval_join(pts, ivs, on=["user_id"], how="left_semi")
+    anti = interval_join(pts, ivs, on=["user_id"], how="left_anti")
+    assert sorted(r.pid for r in semi.collect()) == [0, 1]
+    assert set(semi.columns) == {"pid", "user_id", "ts"}
+    assert sorted(r.pid for r in anti.collect()) == [2, 3, 4]
+    # plan stays a hash join (the residual rides the join condition)
+    plan = semi._sc._jvm.PythonSQLUtils.explainString(
+        semi._jdf.queryExecution(), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
