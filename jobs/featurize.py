@@ -41,6 +41,11 @@ def parse_args(argv):
     p.add_argument("--gap-seconds", type=float, default=1800.0)
     p.add_argument("--hot-key-threshold", type=int, default=None)
     p.add_argument("--salt-buckets", type=int, default=16)
+    p.add_argument("--asof-tolerance", type=float, default=None,
+                   help="staleness bound in seconds: state older than "
+                        "this yields NULL state columns instead of "
+                        "decorating the turn (pd.merge_asof tolerance "
+                        "semantics, inclusive)")
     p.add_argument("--num-buckets", type=int, default=256)
     p.add_argument("--group-size", type=int, default=32)
     p.add_argument("--repair", action="store_true",
@@ -114,7 +119,8 @@ def main(argv=None):
         x = asof_join(x, state, on=args.on, by=args.by,
                       state_cols=state_cols,
                       hot_key_threshold=args.hot_key_threshold,
-                      salt_buckets=args.salt_buckets)
+                      salt_buckets=args.salt_buckets,
+                      tolerance=args.asof_tolerance)
 
     keep = [args.by, args.order, args.on]
     # featurization is row-local; rebalance away from conv-hash
