@@ -335,13 +335,14 @@ Throughput-scaling efficiency = throughput_4N / (4 x throughput_N):
 (target >= 0.8 between two cluster sizes, north rule; evidenced here at
 two parallelism levels per the sandbox rule)
 
-Same-round 16M-turn measurement of the identical pipeline, taken
-earlier under a healthier host phase (fresh JVMs, same interleaved
-protocol, walls disclosed in git history of this file): local[2]
-180,370 / local[8] 626,191 / local[32] 872,467 turns/sec — 2->8 =
-0.868, 8->32 = 0.348.  The capability picture (what the plan does when
-the box isn't stealing cycles) is that row; the table above is the
-current checkout's freshest run and the honest day-of number.
+Historical capability row (measured 2026-08 in round 4, commit
+e6ac76e-era pipeline, under a healthier host phase; fresh JVMs, same
+interleaved protocol, walls disclosed in git history of this file):
+16M turns — local[2] 180,370 / local[8] 626,191 / local[32] 872,467
+turns/sec — 2->8 = 0.868, 8->32 = 0.348.  That row describes what the
+plan of THAT commit did when the box wasn't stealing cycles; it is not
+re-measured by this template, so if the pipeline has changed since,
+trust the freshest table above over it.
 
 Analysis: the qualifying N -> 4N pair is **{qual}** (efficiency above).
 Every stage of the plan — range-partitioned as-of merge, window

@@ -969,6 +969,117 @@ SELECT event_id, CAST(NULL AS INT) AS pos, CAST(NULL AS INT) AS idx,
 FROM f WHERE nmiss > 2"""
 
 
+# The documents generator draws from a FIXED 31-word vocabulary (stable
+# across every sf dir; asserted in tests/test_documents_gen.py), which is
+# what makes the text-feature sinks below hash-MATCHable: the murmur
+# hashes of every possible bag key are compile-time literals, same
+# technique as _feature_vectors_jvm_oracle, and the oracle re-derives
+# everything else (tokenization, counting, first-occurrence ordering,
+# VW/LibSVM/JSON rendering) independently in SQL.  The hash kernel
+# itself is golden-pinned against 23 reference hashes elsewhere.
+_DOC_VOCAB = (
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+_DOC_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _hash_values_clause(keys) -> str:
+    """(key, masked murmur hash) VALUES rows for an 18-bit hash map."""
+    from aloha_spark.functions.hashing import string_hash_array
+    mask = (1 << 18) - 1
+    hs = string_hash_array(list(keys))
+    pairs = list(zip(keys, (int(h) & mask for h in hs)))
+    assert len({h for _, h in pairs}) == len(pairs), \
+        "masked-hash collision would need last-wins dedup in the oracle"
+    return ",".join(f"('{k}', {h})" for k, h in pairs)
+
+
+def _vw_lines_oracle() -> str:
+    """DuckDB mirror of q_vw_lines: java-regex tokenization (texts are
+    single-space separated, asserted by the generator test), bag counts
+    in FIRST-OCCURRENCE order (Counter insertion order), count-1
+    elision, declaration-ordered namespaces, and the 17-digit label
+    formatter (printf %.17f = HALF_EVEN against the exact binary value,
+    trailing zeros stripped — decimal_format(v, 17))."""
+    return """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok,
+         UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS ord
+  FROM documents
+), grp AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt, MIN(ord) AS ford
+  FROM tok GROUP BY doc_id, tok
+), body AS (
+  SELECT doc_id,
+         string_agg('bow=' || tok ||
+                    CASE WHEN cnt = 1 THEN ''
+                         ELSE ':' || CAST(cnt AS VARCHAR) END,
+                    ' ' ORDER BY ford) AS bow
+  FROM grp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       rtrim(rtrim(printf('%.17f', CAST(d.n_chars AS DOUBLE)/1000),'0'),'.')
+       || ' ' ||
+       rtrim(rtrim(printf('%.17f', CAST(d.n_chars AS DOUBLE)/1000),'0'),'.')
+       || '|t ' || b.bow || ' |m lang=' || COALESCE(d.lang, 'UNK')
+       AS vw_line
+FROM documents d JOIN body b USING (doc_id)"""
+
+
+def _libsvm_lines_oracle() -> str:
+    """DuckDB mirror of q_libsvm_lines: bag counts hashed through the
+    literal 18-bit murmur map, emitted sorted by index with
+    java.lang.Double.toString values (integral counts -> 'N.0')."""
+    vals = _hash_values_clause([f"bow={t}" for t in _DOC_VOCAB])
+    return f"""
+WITH hmap(key, idx) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+), grp AS (
+  SELECT doc_id, 'bow=' || tok AS key, COUNT(*) AS cnt
+  FROM tok GROUP BY doc_id, tok
+)
+SELECT g.doc_id,
+       string_agg(CAST(m.idx AS VARCHAR) || ':' ||
+                  CAST(CAST(g.cnt AS DOUBLE) AS VARCHAR),
+                  ' ' ORDER BY m.idx) AS libsvm_line
+FROM grp g JOIN hmap m USING (key)
+GROUP BY g.doc_id"""
+
+
+def _feature_vectors_oracle() -> str:
+    """DuckDB mirror of q_feature_vectors (the ARROW sparse-vector
+    tier): bag + ind + clamp entries through the literal hash map,
+    index-sorted, rendered as the exact Spark to_json string."""
+    vals = _hash_values_clause(
+        [f"bow={t}" for t in _DOC_VOCAB]
+        + [f"lang={l}" for l in _DOC_LANGS] + ["lang=UNK", "nchars"])
+    return f"""
+WITH hmap(key, idx) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+), ent AS (
+  SELECT doc_id, 'bow=' || tok AS key, CAST(COUNT(*) AS DOUBLE) AS val
+  FROM tok GROUP BY doc_id, tok
+  UNION ALL
+  SELECT doc_id, 'lang=' || COALESCE(lang, 'UNK'), CAST(1 AS DOUBLE)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'nchars',
+         LEAST(GREATEST(CAST(COALESCE(n_chars, 0) AS DOUBLE), 0), 100000)
+  FROM documents
+)
+SELECT e.doc_id,
+       '{{"indices":[' || string_agg(CAST(m.idx AS VARCHAR), ',' ORDER BY m.idx)
+       || '],"values":[' || string_agg(CAST(e.val AS VARCHAR), ',' ORDER BY m.idx)
+       || ']}}' AS vec_json,
+       '' AS missing
+FROM ent e JOIN hmap m USING (key)
+GROUP BY e.doc_id"""
+
+
 def q_csv_columnar(spark, sf_dir):
     """S13/F19: columnar CSV sink with regular + hotOne encodings."""
     from aloha_spark.sinks.csv_sink import csv_columns
@@ -2590,6 +2701,11 @@ SELECT doc_id,
        AS score
 FROM documents""",
         "feature_vectors_jvm": _feature_vectors_jvm_oracle(),
+        # r5: formerly rows-only — promoted to hash-MATCH via the
+        # fixed-vocabulary literal-hash technique (see _DOC_VOCAB)
+        "feature_vectors": _feature_vectors_oracle(),
+        "vw_lines": _vw_lines_oracle(),
+        "libsvm_lines": _libsvm_lines_oracle(),
         "csv_columnar": """
 SELECT c_custkey AS key, c_name AS name,
        CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END

@@ -221,6 +221,44 @@ def _collect_queries(queries: DataFrame, q_id: str, q_vec: str,
     return q_ids, qm
 
 
+def _assign_probes(queries: DataFrame, q_id: str, q_vec: str,
+                   centroids: np.ndarray, nprobe: int) -> DataFrame:
+    """Distributed probe assignment: broadcast the (tiny) centroid
+    matrix and sweep the query frame with one Arrow pass — each query
+    row emits its ``nprobe`` nearest cells as ``(query_id, cell, qv)``
+    with ``qv`` unit-normalized.  This is the same broadcast-centroid
+    assignment shape as ``similarity.semantic_dedup``'s cluster pass:
+    the query side NEVER touches the driver, so a multi-million-row
+    daily increment is just another distributed scan."""
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    npb = min(nprobe, len(centroids))
+    id_t = queries.schema[q_id].dataType.simpleString()
+    out_schema = f"query_id {id_t}, cell int, qv array<double>"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qm = np.asarray([np.asarray(v, dtype=np.float64)
+                             for v in pdf["qv"]])
+            qn = qm / np.maximum(
+                np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+            sims = qn @ cent.T
+            probes = np.argsort(-sims, axis=1)[:, :npb]    # (q, npb)
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy().repeat(npb),
+                "cell": probes.reshape(-1).astype(np.int32),
+                "qv": [qn[i].tolist()
+                       for i in range(len(qn)) for _ in range(npb)],
+            })
+
+    return (queries.select(F.col(q_id).alias("query_id"),
+                           F.col(q_vec).cast("array<double>").alias("qv"))
+                   .mapInPandas(assign, schema=out_schema))
+
+
 def _empty_result(spark: SparkSession, id_type: str) -> DataFrame:
     return spark.createDataFrame(
         [], f"query_id {id_type}, neighbor_id {id_type}, "
@@ -230,32 +268,35 @@ def _empty_result(spark: SparkSession, id_type: str) -> DataFrame:
 def ivf_topk_indexed(queries: DataFrame, index: AnnIndex, k: int = 5, *,
                      q_id: str = "vec_id", q_vec: str = "embedding",
                      nprobe: int = 2, round_to: Optional[int] = 6,
-                     max_queries: int = 100_000) -> DataFrame:
-    """IVF search against a prebuilt index: probe cells are computed
-    driver-side (queries are the contractually small side), the corpus
-    read filters to exactly those cells (partition pruning), and the
-    probed slice verifies with exact JVM cosine + one top-k window.
+                     broadcast_queries: Optional[bool] = None) -> DataFrame:
+    """IVF search against a prebuilt index, fully distributed on the
+    query side: probe cells come from one broadcast-centroid Arrow
+    assignment pass over the query frame (``_assign_probes`` — no
+    driver collect, so the query side can be a multi-million-row daily
+    increment), the corpus read filters to exactly the probed cells
+    (static partition pruning — the only thing ever collected is the
+    DISTINCT cell list, bounded by ``n_centroids``), and the probed
+    slice verifies with exact JVM cosine + one top-k window.
+
+    ``broadcast_queries=True`` hints the cell join for the serving
+    shape (a handful of queries); the default leaves the choice to
+    Catalyst/AQE, which converts to broadcast at runtime when the
+    probe table turns out small.
 
     ``nprobe == n_centroids`` probes everything = exact brute force,
     which is the oracle gate."""
     spark = index.spark
-    q_ids, qn = _collect_queries(queries, q_id, q_vec, max_queries)
-    if not q_ids:
+    qdf = _assign_probes(queries, q_id, q_vec, index.centroids, nprobe)
+    # the distinct probed-cell list is <= n_centroids rows — the one
+    # bounded collect that buys static partition pruning on the read
+    cells = sorted(r[0] for r in qdf.select("cell").distinct().collect())
+    if not cells:
         return _empty_result(spark, index.meta["id_type"])
-    sims = qn @ index.centroids.T
-    npb = min(nprobe, sims.shape[1])
-    probes = np.argsort(-sims, axis=1)[:, :npb]            # (Q, nprobe)
-    pairs = [(qid, int(cell), vec.tolist())
-             for qid, cells, vec in zip(q_ids, probes, qn)
-             for cell in cells]
-    qdf = spark.createDataFrame(
-        pairs, f"query_id {index.meta['id_type']}, cell int, "
-               f"qv array<double>")
-    cells = sorted({int(c) for row in probes for c in row})
     # isin on the partition column -> Catalyst prunes unprobed cells'
     # files before any IO happens
     pruned = index.corpus().where(F.col("cell").isin(cells))
-    cands = (pruned.join(F.broadcast(qdf), "cell")
+    jq = F.broadcast(qdf) if broadcast_queries else qdf
+    cands = (pruned.join(jq, "cell")
                    .where(F.col("query_id") != F.col("id"))
                    .withColumn("cosine", _cosine_expr("qv", "vector"))
                    .withColumnRenamed("id", "neighbor_id"))
@@ -279,7 +320,14 @@ def pq_topk_indexed(queries: DataFrame, index: AnnIndex, k: int = 5, *,
     the exact-cosine rerank re-reads only the Q x rerank candidate ids.
 
     ``nprobe=None`` scans all cells' codes (classic PQ); ``rerank >=
-    |corpus|`` with full probing is exhaustive — the oracle gate."""
+    |corpus|`` with full probing is exhaustive — the oracle gate.
+
+    This is the SERVING path: the per-query ADC lookup tables are
+    built driver-side and broadcast, so the query side is contractually
+    small (``max_queries`` raises loudly past the cap).  For a large
+    increment use :func:`ivf_topk_indexed` /
+    :func:`incremental_embedding_dedup`, whose query side is fully
+    distributed."""
     if index.codebooks is None:
         raise ValueError(
             "pq_topk_indexed: index was built without PQ codes "
@@ -401,14 +449,19 @@ def incremental_embedding_dedup(new_docs: DataFrame, index: AnnIndex,
                                 vec_col: str = "embedding",
                                 threshold: float = 0.95,
                                 nprobe: int = 2,
-                                round_to: Optional[int] = None,
-                                max_queries: int = 100_000) -> DataFrame:
+                                round_to: Optional[int] = None) -> DataFrame:
     """Embedding-space counterpart of
     ``operators/snapshot.py::incremental_exact_dedup``: rows of
     ``new_docs`` whose nearest INDEXED vector stays below the cosine
     ``threshold`` — today's embeddings dedup against yesterday's corpus
     without rescanning it (the index IS the persisted state; fold an
     increment in by rebuilding or maintaining the index offline).
+
+    The increment side is fully distributed (``ivf_topk_indexed``'s
+    broadcast-centroid assignment pass) — a multi-million-row daily
+    crawl never touches the driver; the only collect anywhere in the
+    path is the distinct probed-cell list (<= n_centroids values),
+    machine-gated in ``tests/test_ann_index.py``.
 
     Recall follows ``nprobe`` exactly as in :func:`ivf_topk_indexed`
     (a near-dup whose indexed twin lives in an unprobed cell is missed
@@ -418,8 +471,7 @@ def incremental_embedding_dedup(new_docs: DataFrame, index: AnnIndex,
     query skips identical-id pairs as self-matches)."""
     hits = (ivf_topk_indexed(new_docs, index, k=1, q_id=id_col,
                              q_vec=vec_col, nprobe=nprobe,
-                             round_to=round_to,
-                             max_queries=max_queries)
+                             round_to=round_to)
             .where(F.col("cosine") >= threshold)
             .select(F.col("query_id").alias(id_col)).distinct())
     return new_docs.join(hits, id_col, "left_anti")

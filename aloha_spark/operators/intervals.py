@@ -102,6 +102,14 @@ def interval_join(points: DataFrame, intervals: DataFrame, *,
     if how not in ("inner", "left", "left_semi", "left_anti"):
         raise ValueError("how must be 'inner', 'left', 'left_semi' or "
                          f"'left_anti': {how!r}")
+    if points.isStreaming and how != "inner":
+        # fail at plan time with the real reason — otherwise the
+        # persist()/anti-join machinery below dies mid-query with an
+        # obscure unsupported-operation error
+        raise ValueError(
+            f"interval_join: streaming points support how='inner' only "
+            f"(got {how!r}) — stream-static anti/outer joins are "
+            f"unsupported upstream")
     if bin_width_seconds < 1:
         raise ValueError(
             f"bin_width_seconds must be >= 1: {bin_width_seconds}")

@@ -129,9 +129,21 @@ def write_with_lineage(
         b = with_bucket(df, key, num_buckets)
     else:
         # rename-to-contract: downstream (partitionBy, lineage rows,
-        # resume filter) all speak BUCKET_COL
+        # resume filter) all speak BUCKET_COL.  The caller promises
+        # values in [0, num_buckets); a violation would otherwise be
+        # SILENT ROW LOSS (todo only iterates range(num_buckets), so
+        # out-of-range rows never match any group's isin filter) —
+        # assert_true makes it a loud distributed failure instead.
+        casted = F.col(bucket_col).cast("int")
+        valid = casted.isNotNull() & (casted >= 0) & \
+            (casted < F.lit(num_buckets))
+        guard = F.assert_true(
+            valid, F.concat(
+                F.lit(f"write_with_lineage: precomputed bucket_col "
+                      f"{bucket_col!r} outside [0, {num_buckets}): "),
+                F.coalesce(casted.cast("string"), F.lit("NULL"))))
         b = df.withColumn(BUCKET_COL,
-                          F.col(bucket_col).cast("int")) \
+                          F.when(guard.isNull(), casted)) \
             .drop(*([bucket_col] if bucket_col != BUCKET_COL else []))
     done = completed_buckets(spark, lineage_path)
     todo = [x for x in range(num_buckets) if x not in done]

@@ -545,7 +545,9 @@ def curate(spark, args):
                                 id_col=id_col, text=text_col,
                                 default_budget=args.token_budget_default)
         checkpoint("token_budget")
-    if args.pps_k:
+    # `is not None`, not truthiness: an explicit --pps-k 0 must reach
+    # pps_sample's own k>=1 validation instead of being ignored
+    if args.pps_k is not None:
         from aloha_spark.operators.mixture import pps_sample
         if not args.sample_col:
             raise SystemExit("--pps-k requires --sample-col")

@@ -107,3 +107,29 @@ def test_corpus_workload_composition(spark, docs, tmp_path):
     # split: all rows assigned, train dominates
     assert set(out["split"].unique()) <= {"train", "val", "test"}
     assert (out["split"] == "train").mean() > 0.9
+
+
+def test_testdata_vocab_covered_by_oracle_literals(spark):
+    """The hash-MATCH oracles for vw_lines/libsvm_lines/feature_vectors
+    embed literal murmur hashes for every possible bag key — valid only
+    while the driver testdata's token/lang universe stays inside the
+    literal sets.  A testdata refresh that widens the vocabulary must
+    fail HERE (named assumption) rather than as a bare hash mismatch."""
+    import os
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("driver testdata not present")
+    import __spark_entry__ as entry
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = {r[0] for r in d.select(
+        F.explode(F.split("text", " ")).alias("t")).distinct().collect()}
+    langs = {r[0] for r in d.select("lang").distinct().collect()
+             if r[0] is not None}
+    assert toks <= set(entry._DOC_VOCAB), toks - set(entry._DOC_VOCAB)
+    assert langs <= set(entry._DOC_LANGS), langs - set(entry._DOC_LANGS)
+    # and no document needs java-regex tokenization beyond single-space
+    # splitting (leading/trailing/double spaces would diverge)
+    bad = d.where(F.col("text").rlike("^ | $|  ") |
+                  F.col("text").rlike("[\\t\\n]") |
+                  F.col("text").isNull()).count()
+    assert bad == 0

@@ -126,3 +126,40 @@ class TestRepair:
         rep = write_with_lineage(df, out, lin, num_buckets=16, group_size=8)
         assert rep.written_buckets == [int(victim.split("=")[1])]
         assert verify_lineage(spark, out, lin).count() == 0
+
+
+class TestPrecomputedBucketGuard:
+    """A precomputed bucket_col value outside [0, num_buckets) used to
+    be SILENT ROW LOSS (no group's isin filter matched it); now it is a
+    loud distributed assert at write time."""
+
+    def _df(self, spark, buckets):
+        from pyspark.sql import functions as F
+        return spark.createDataFrame(
+            [(i, b) for i, b in enumerate(buckets)], "id int, shard int") \
+            .withColumn("ts", F.col("id").cast("timestamp"))
+
+    def test_out_of_range_bucket_is_loud(self, spark, tmp_path):
+        df = self._df(spark, [0, 1, 9])       # 9 outside [0, 4)
+        with pytest.raises(Exception, match="outside \\[0, 4\\)"):
+            write_with_lineage(df, str(tmp_path / "o"),
+                               str(tmp_path / "l"), key="id", ts_col="ts",
+                               num_buckets=4, bucket_col="shard")
+
+    def test_null_bucket_is_loud(self, spark, tmp_path):
+        df = self._df(spark, [0, 1, None])
+        with pytest.raises(Exception, match="NULL"):
+            write_with_lineage(df, str(tmp_path / "o2"),
+                               str(tmp_path / "l2"), key="id", ts_col="ts",
+                               num_buckets=4, bucket_col="shard")
+
+    def test_in_range_buckets_unchanged(self, spark, tmp_path):
+        df = self._df(spark, [0, 1, 3, 2])
+        rep = write_with_lineage(df, str(tmp_path / "o3"),
+                                 str(tmp_path / "l3"), key="id",
+                                 ts_col="ts", num_buckets=4,
+                                 bucket_col="shard")
+        assert sorted(rep.written_buckets) == [0, 1, 2, 3]
+        got = sorted(r.id for r in
+                     spark.read.parquet(str(tmp_path / "o3")).collect())
+        assert got == [0, 1, 2, 3]

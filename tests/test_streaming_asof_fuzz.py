@@ -142,11 +142,14 @@ class TestStreamingAsofFuzz:
                                              max_size=6))
     def test_never_binds_future_state(self, events, chunk_cuts):
         """Leakage probe independent of the oracle: inject a poison
-        state far in the future of every turn; it must never bind."""
+        state far in the future of every turn; it must never bind.
+        The sentinel payload sits OUTSIDE the generated payload domain
+        (0-99) so a legitimate state can never collide with it."""
+        POISON = 10_000.0
         poisoned = [(b, k, ts, kind, pay)
                     for (b, k, ts, kind, pay) in events] + \
-                   [(0, "a", 10_000, "state", 66),
-                    (0, "b", 10_000, "state", 66)]
+                   [(0, "a", 10_000, "state", POISON),
+                    (0, "b", 10_000, "state", POISON)]
         uniq, seen_s = [], set()
         for i, (b, k, ts, kind, pay) in enumerate(poisoned):
             if kind == "turn":
@@ -155,4 +158,4 @@ class TestStreamingAsofFuzz:
                 uniq.append((b, k, ts, kind, pay))
                 seen_s.add((k, ts))
         got = _run(uniq, True, chunk_cuts)
-        assert 66.0 not in got.values()
+        assert POISON not in got.values()

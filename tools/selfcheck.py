@@ -438,7 +438,7 @@ def main():
         }
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))),
-            os.environ.get("SELFCHECK_OUT", "SELFCHECK_r4.json"))
+            os.environ.get("SELFCHECK_OUT", "SELFCHECK_r5.json"))
         with open(out, "w") as f:
             json.dump(report, f, indent=1)
     spark.stop()
