@@ -1080,6 +1080,54 @@ FROM ent e JOIN hmap m USING (key)
 GROUP BY e.doc_id"""
 
 
+def _doc_fingerprint_oracle() -> str:
+    """DuckDB mirror of q_doc_fingerprint — the 64-bit polynomial
+    rolling hash ``sum(h_j * B^(L-1-j)) mod 2^64`` re-derived with
+    integer-only SQL: token murmur hashes enter as literal (hi, lo)
+    32-bit halves, powers of B mod 2^64 as a literal table (with the
+    pre-shifted ``(p << 32) mod 2^64`` column), and each term's
+    128-bit-overflow-free product is the split multiply
+    ``(h_hi * p32 + h_lo * p) mod 2^64`` in HUGEINT; the HUGEINT sum
+    then folds back to the signed int64 two's-complement value."""
+    import numpy as np
+
+    from aloha_spark.functions.hashing import string_hash_array
+    B = 1099511628211            # FNV-1a prime (textstats._FP_BASE)
+    M = 1 << 64
+    hs = string_hash_array(list(_DOC_VOCAB)).astype(np.int64) \
+        .view(np.uint64)
+    hmap = ",".join(f"('{t}', {int(h) >> 32}, {int(h) & 0xFFFFFFFF})"
+                    for t, h in zip(_DOC_VOCAB, hs))
+    pows, p = [], 1
+    for e in range(256):         # max doc length gated in the vocab test
+        pows.append(f"({e}, {p}::HUGEINT, {(p << 32) % M}::HUGEINT)")
+        p = (p * B) % M
+    ptab = ",".join(pows)
+    return f"""
+WITH hmap(tok, h_hi, h_lo) AS (VALUES {hmap}),
+ptab(e, p, p32) AS (VALUES {ptab}),
+tok AS (
+  SELECT doc_id, UNNEST(string_split(text,' ')) AS tok,
+         UNNEST(range(1, len(string_split(text,' '))+1)) AS ord,
+         len(string_split(text,' ')) AS L
+  FROM documents
+), c AS (
+  SELECT t.doc_id,
+         ((CAST(h.h_hi AS HUGEINT) * pt.p32) % 18446744073709551616
+          + (CAST(h.h_lo AS HUGEINT) * pt.p) % 18446744073709551616)
+         % 18446744073709551616 AS contrib
+  FROM tok t JOIN hmap h USING (tok) JOIN ptab pt ON pt.e = t.L - t.ord
+), s AS (
+  SELECT doc_id, SUM(contrib) % 18446744073709551616 AS m
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN COALESCE(s.m, 0) >= 9223372036854775808
+                 THEN COALESCE(s.m, 0) - 18446744073709551616
+                 ELSE COALESCE(s.m, 0) END AS BIGINT) AS fingerprint
+FROM documents d LEFT JOIN s USING (doc_id)"""
+
+
 def q_csv_columnar(spark, sf_dir):
     """S13/F19: columnar CSV sink with regular + hotOne encodings."""
     from aloha_spark.sinks.csv_sink import csv_columns
@@ -1887,18 +1935,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-4 driver-window ROTATION: the driver records oracle rows for
-    # the FIRST 50 entries only.  Rows driver-green for three straight
-    # rounds (lag/lead, sessionize, backfill, doc token/bigram counts,
-    # csv scan, interval filter, text stats, sos2/csos2, minhash-trunc,
-    # vw-normalize, hashed-cat, epsilon/bootstrap pins) rotate PAST the
-    # window — they stay verified by the same oracle protocol in
-    # tools/selfcheck.py — and the 16 queries that had only ever had
-    # selfcheck rows (turn_delta .. doc_chunks) plus the new shard_stats
-    # rotate IN, so every oracle-checked query has a DRIVER row on file
-    # across rounds 3+4.
+    # Round-5 driver-window ROTATION: the driver records oracle rows
+    # for the FIRST 50 entries only.  This round the window takes (a)
+    # the 5 rows that had never been driver-hash-checked — interval_anti
+    # plus the four newly-ORACLED former rows-only queries
+    # (feature_vectors / vw_lines / libsvm_lines via the fixed-31-word-
+    # vocabulary literal-hash technique, doc_fingerprint via the
+    # split-multiply mod-2^64 rolling-hash oracle) — (b) all 40 rows
+    # whose last driver check was round 3, and (c) 5 family anchors so
+    # every SURVEY §2 family keeps a fresh driver row (asof_state +
+    # asof_salted for the as-of join family, pit_pipeline as the
+    # flagship composition, regression_spline for models/aggregation,
+    # doc_curate for the curation-job family).  Everything rotated past
+    # the window was driver-green in round 4 and stays oracle-checked
+    # by tools/selfcheck.py every round.
     return {
-        # never-driver-checked until this round (selfcheck-green in r3)
+        # (a) never driver-hash-checked before this round
+        "interval_anti": q_interval_anti,
+        "doc_fingerprint": q_doc_fingerprint,
+        "feature_vectors": q_feature_vectors,
+        "vw_lines": q_vw_lines,
+        "libsvm_lines": q_libsvm_lines,
+        # (c) family anchors
+        "asof_state": q_asof_state,
+        "asof_salted": q_asof_salted,
+        "pit_pipeline": q_pit_pipeline,
+        "regression_spline": q_regression_spline,
+        "doc_curate": q_doc_curate,
+        # (b) last driver-checked in round 3 — windows / projections
+        "window_lag_lead": q_window_lag_lead,
+        "backfill_last_tool": q_backfill_last_tool,
+        "sessionize": q_sessionize,
+        "interval_filter": q_interval_filter,
+        "indexed_paths": q_indexed_paths,
+        "featurize_bookkeeping": q_featurize_bookkeeping,
+        # (b) scans / sinks
+        "csv_lines": q_csv_lines,
+        "csv_columnar": q_csv_columnar,
+        "proto_roundtrip": q_proto_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
+        "vw_labeled": q_vw_labeled,
+        "libsvm_labeled": q_libsvm_labeled,
+        "cb_lines": q_cb_lines,
+        "multilabel_downsampled": q_multilabel_downsampled,
+        "vw_normalize": q_vw_normalize,
+        "media_meta": q_media_meta,
+        # (b) scalar feature functions
+        "doc_tokens": q_doc_tokens,
+        "doc_bigrams": q_doc_bigrams,
+        "sos2_weights": q_sos2_weights,
+        "csos2_weights": q_csos2_weights,
+        "minhash_trunc": q_minhash_trunc,
+        "hashed_cat": q_hashed_cat,
+        "densify": q_densify,
+        "price_bucket": q_price_bucket,
+        "bpe_tokens": q_bpe_tokens,
+        # (b) joins / aggregations / sorts
+        "broadcast_join": q_broadcast_join,
+        "linear_score": q_linear_score,
+        "order_segment": q_order_segment,
+        # (b) models
+        "tree_risk": q_tree_risk,
+        "audit_tree": q_audit_tree,
+        "error_swallow": q_error_swallow,
+        "epsilon_pin": q_epsilon_pin,
+        "bootstrap_pin": q_bootstrap_pin,
+        # (b) text / dedup / embeddings X-family
+        "doc_stats": q_doc_stats,
+        "lang_guess": q_lang_guess,
+        "doc_quality": q_doc_quality,
+        "doc_scrub": q_doc_scrub,
+        "jaccard_pairs": q_jaccard_pairs,
+        "dedup_components": q_dedup_components,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        # ---- past the driver's 50-query window (every row below was
+        # driver-green in round 4; all stay oracle-checked by
+        # tools/selfcheck.py every round) ----
         "turn_delta": q_turn_delta,
         "turn_reindex": q_turn_reindex,
         "session_stats": q_session_stats,
@@ -1907,43 +2019,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_merge": q_asof_merge,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
+        "asof_tolerance": q_asof_tolerance,
         "ann_topk": q_ann_topk,
         "constant_model": q_constant_model,
         "error_model": q_error_model,
-        "doc_curate": q_doc_curate,
         "pricing_summary": q_pricing_summary,
         "doc_skipgrams": q_doc_skipgrams,
         "split_assign": q_split_assign,
         "strat_sample": q_strat_sample,
         "top_tokens": q_top_tokens,
         "doc_chunks": q_doc_chunks,
-        # new this round: curate-job shard output stage invariants,
-        # temperature mixture sampling, Gopher repetition signals,
-        # paragraph dedup, DSIR weighting, unigram-LM cross-entropy
         "shard_stats": q_shard_stats,
         "temperature_sample": q_temperature_sample,
-        # new in round 4d: corpus mixing / training-order family
-        # (token-budget sampling, fractional epochs, deterministic
-        # shuffle shards, data-card report); vw_labeled /
-        # libsvm_labeled / csv_columnar / multilabel_downsampled
-        # (driver-green r1-r3) rotate past the window to make room
         "token_budget": q_token_budget,
         "epoch_mix": q_epoch_mix,
         "shuffle_order": q_shuffle_order,
         "corpus_report": q_corpus_report,
-        # new in round 4d: interval/range join (binned-expansion
-        # equi-join rewrite); doc_scrub rotates past the window (the
-        # scrub stage stays driver-exercised inside doc_curate)
         "interval_join": q_interval_join,
-        # new in round 4d: exact histogram quantiles (error_swallow
-        # rotates out; the error family keeps error_model in-window)
         "length_quantiles": q_length_quantiles,
-        # new in round 4d: systematic PPS sampling (ann_topk_ivf
-        # rotates out; ANN family keeps ann_topk_pq + ann_topk_indexed)
         "pps_tokens": q_pps_tokens,
-        # new in round 4d: grouped top-k with the WindowGroupLimit
-        # pushdown (media_meta rotates out; the media family keeps the
-        # media_features determinism gate + selfcheck row)
         "top_docs": q_top_docs,
         "repetition_stats": q_repetition_stats,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -1951,88 +2045,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weight": q_dsir_weight,
         "unigram_xent": q_unigram_xent,
         "span_dedup": q_span_dedup,
-        # windows / as-of (SURVEY §2.4, §2.6) — core families keep a
-        # driver row every round
-        "asof_state": q_asof_state,
-        # new in round 4d: staleness-bounded as-of (dedup_components
-        # rotates out; dedup family keeps dedup_exact +
-        # incremental_dedup in-window)
-        "asof_tolerance": q_asof_tolerance,
-        "asof_salted": q_asof_salted,
-        "pit_pipeline": q_pit_pipeline,
-        # corpus curation family
         "decontam": q_decontam,
         "decontam_bloom": q_decontam_bloom,
         "quality_clf_score": q_quality_clf_score,
         "dedup_exact": q_dedup_exact,
         "incremental_dedup": q_incremental_dedup,
-        # embeddings
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_indexed": q_ann_topk_indexed,
         "embed_neardup": q_embed_neardup,
-        # featurization / sinks
         "multilabel_blocks": q_multilabel_blocks,
-        "regression_spline": q_regression_spline,
         "feature_vectors_jvm": q_feature_vectors_jvm,
         "model_tree_leaves": q_model_tree_leaves,
-        # ---- past the driver's 50-query window (oracle-checked by
-        # tools/selfcheck.py every round; driver-green r1-r3;
-        # indexed_paths/densify/proto_roundtrip/avro_roundtrip/
-        # price_bucket/cb_lines/audit_tree/featurize_bookkeeping/
-        # bpe_tokens/broadcast_join/linear_score rotated out this round
-        # to make room for temperature_sample/repetition_stats/
-        # dedup_paragraphs/dsir_weight/unigram_xent/span_dedup/
-        # decontam_bloom/quality_clf_score above; jaccard_pairs
-        # rotated out for line_filter; tree_risk for ann_topk_indexed;
-        # order_segment for incremental_dedup) ----
-        "doc_scrub": q_doc_scrub,
-        "error_swallow": q_error_swallow,
-        "interval_anti": q_interval_anti,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "dedup_components": q_dedup_components,
-        "media_meta": q_media_meta,
-        "vw_labeled": q_vw_labeled,
-        "libsvm_labeled": q_libsvm_labeled,
-        "csv_columnar": q_csv_columnar,
-        "multilabel_downsampled": q_multilabel_downsampled,
-        "order_segment": q_order_segment,
-        "tree_risk": q_tree_risk,
-        "audit_tree": q_audit_tree,
-        "featurize_bookkeeping": q_featurize_bookkeeping,
-        "bpe_tokens": q_bpe_tokens,
-        "broadcast_join": q_broadcast_join,
-        "linear_score": q_linear_score,
-        "jaccard_pairs": q_jaccard_pairs,
-        "cb_lines": q_cb_lines,
-        "proto_roundtrip": q_proto_roundtrip,
-        "avro_roundtrip": q_avro_roundtrip,
-        "price_bucket": q_price_bucket,
-        "indexed_paths": q_indexed_paths,
-        "densify": q_densify,
-        "window_lag_lead": q_window_lag_lead,
-        "backfill_last_tool": q_backfill_last_tool,
-        "sessionize": q_sessionize,
-        "interval_filter": q_interval_filter,
-        "doc_tokens": q_doc_tokens,
-        "doc_bigrams": q_doc_bigrams,
-        "csv_lines": q_csv_lines,
-        "doc_stats": q_doc_stats,
-        "lang_guess": q_lang_guess,
-        "doc_quality": q_doc_quality,
-        "sos2_weights": q_sos2_weights,
-        "csos2_weights": q_csos2_weights,
-        "minhash_trunc": q_minhash_trunc,
-        "vw_normalize": q_vw_normalize,
-        "hashed_cat": q_hashed_cat,
-        "epsilon_pin": q_epsilon_pin,
-        "bootstrap_pin": q_bootstrap_pin,
-        # rows-only (hash parity / formats / approx)
-        "feature_vectors": q_feature_vectors,
-        "vw_lines": q_vw_lines,
-        "libsvm_lines": q_libsvm_lines,
+        # rows-only (approx algorithms / binary formats — each backed
+        # by a machine-checked property gate in tools/selfcheck.py)
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
-        "doc_fingerprint": q_doc_fingerprint,
         "bpe_encode": q_bpe_encode,
         "semdedup": q_semdedup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
@@ -2706,6 +2733,7 @@ FROM documents""",
         "feature_vectors": _feature_vectors_oracle(),
         "vw_lines": _vw_lines_oracle(),
         "libsvm_lines": _libsvm_lines_oracle(),
+        "doc_fingerprint": _doc_fingerprint_oracle(),
         "csv_columnar": """
 SELECT c_custkey AS key, c_name AS name,
        CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END

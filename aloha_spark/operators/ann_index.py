@@ -313,7 +313,8 @@ def pq_topk_indexed(queries: DataFrame, index: AnnIndex, k: int = 5, *,
                     q_id: str = "vec_id", q_vec: str = "embedding",
                     rerank: int = 32, nprobe: Optional[int] = None,
                     round_to: Optional[int] = 6,
-                    max_queries: int = 100_000) -> DataFrame:
+                    max_queries: int = 100_000,
+                    distributed: bool = False) -> DataFrame:
     """PQ/ADC search against prebuilt codes, optionally IVF-PQ: with
     ``nprobe`` set, the ADC scan first prunes to the probed cells
     (partition pruning), then scores codes via per-query lookup tables;
@@ -322,17 +323,28 @@ def pq_topk_indexed(queries: DataFrame, index: AnnIndex, k: int = 5, *,
     ``nprobe=None`` scans all cells' codes (classic PQ); ``rerank >=
     |corpus|`` with full probing is exhaustive — the oracle gate.
 
-    This is the SERVING path: the per-query ADC lookup tables are
-    built driver-side and broadcast, so the query side is contractually
-    small (``max_queries`` raises loudly past the cap).  For a large
-    increment use :func:`ivf_topk_indexed` /
-    :func:`incremental_embedding_dedup`, whose query side is fully
-    distributed."""
+    Two query-side shapes, identical results (parity-gated in
+    tests/test_ann_index.py):
+
+    * default — the SERVING path: per-query ADC lookup tables are
+      built driver-side and broadcast, the fastest shape for a small
+      query batch (``max_queries`` raises loudly past the cap);
+    * ``distributed=True`` — the INCREMENT path: probe cells come from
+      the same broadcast-centroid Arrow assignment pass as
+      :func:`ivf_topk_indexed`, the cell equi-join routes each coded
+      batch to exactly the queries that probed its cell, and lookup
+      tables are rebuilt executor-side per (query, batch) from the
+      broadcast codebooks (a dim x ksub einsum — trivial next to the
+      code scan).  No driver collect anywhere; the rerank tail joins
+      without forced broadcasts so AQE sizes them."""
     if index.codebooks is None:
         raise ValueError(
             "pq_topk_indexed: index was built without PQ codes "
             "(m_sub=0) — rebuild with m_sub > 0 or use ivf_topk_indexed")
     spark = index.spark
+    if distributed:
+        return _pq_topk_distributed(queries, index, k, q_id, q_vec,
+                                    rerank, nprobe, round_to)
     q_ids, qn = _collect_queries(queries, q_id, q_vec, max_queries)
     if not q_ids:
         return _empty_result(spark, index.meta["id_type"])
@@ -434,6 +446,87 @@ def pq_topk_indexed(queries: DataFrame, index: AnnIndex, k: int = 5, *,
                    F.col("vector").alias("cv"))
     exact = (cv.join(F.broadcast(shortlist), "neighbor_id")
                .join(F.broadcast(qdf), "query_id")
+               .withColumn("cosine", _cosine_expr("qv", "cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k)
+                 .select("query_id", "neighbor_id",
+                         (F.round("cosine", round_to) if round_to is not None
+                          else F.col("cosine")).alias("cosine"), "rank"))
+
+
+def _pq_topk_distributed(queries: DataFrame, index: AnnIndex, k: int,
+                         q_id: str, q_vec: str, rerank: int,
+                         nprobe: Optional[int],
+                         round_to: Optional[int]) -> DataFrame:
+    """Distributed query side for :func:`pq_topk_indexed` (see its
+    docstring).  ``nprobe=None`` assigns every query to every cell —
+    classic all-cells PQ, where the qv fan-out (n_centroids rows per
+    query) is negligible next to the Q x |corpus| code scan it feeds."""
+    spark = index.spark
+    books = index.codebooks
+    m_sub, _, dsub = books.shape
+    id_t = index.meta["id_type"]
+    npb = nprobe if nprobe is not None else len(index.centroids)
+    qdf = _assign_probes(queries, q_id, q_vec, index.centroids, npb)
+
+    cells = None
+    coded = index.corpus()
+    if nprobe is not None:
+        cells = sorted(r[0] for r in
+                       qdf.select("cell").distinct().collect())
+        if not cells:
+            return _empty_result(spark, id_t)
+        coded = coded.where(F.col("cell").isin(cells))
+    joined = (coded.select(F.col("id").alias("neighbor_id"),
+                           "codes", "cell")
+                   .join(qdf, "cell"))
+
+    bcb = spark.sparkContext.broadcast(books)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books_ = bcb.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # one LUT per DISTINCT query in the batch (factorize keeps
+            # first-appearance order, so `firsts` rows line up with the
+            # unique codes), then a fully vectorized gather per row
+            q_codes, uniq = pd.factorize(pdf["query_id"], sort=False)
+            firsts = ~pd.Series(q_codes).duplicated().to_numpy()
+            qmat = np.asarray([np.asarray(v, dtype=np.float64)
+                               for v in pdf["qv"].to_numpy()[firsts]])
+            luts = np.einsum("qmd,mjd->qmj",
+                             qmat.reshape(len(uniq), m_sub, dsub), books_)
+            codes = np.asarray([np.asarray(c, dtype=np.int64)
+                                for c in pdf["codes"]])
+            s = np.zeros(len(pdf))
+            for mi in range(m_sub):
+                s += luts[q_codes, mi, codes[:, mi]]
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy(),
+                "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                "approx": s})
+
+    cands = joined.mapInPandas(
+        score, schema=f"query_id {id_t}, neighbor_id {id_t}, approx double")
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc())
+    shortlist = (cands.where(F.col("query_id") != F.col("neighbor_id"))
+                      .withColumn("_r", F.row_number().over(wa))
+                      .where(F.col("_r") <= rerank)
+                      .select("query_id", "neighbor_id"))
+    qv_df = qdf.select("query_id", "qv").dropDuplicates(["query_id"])
+    cv = index.corpus()
+    if cells is not None:
+        cv = cv.where(F.col("cell").isin(cells))
+    cv = cv.select(F.col("id").alias("neighbor_id"),
+                   F.col("vector").alias("cv"))
+    # no forced broadcasts: shortlist is Q x rerank and qv_df is Q rows
+    # — AQE converts to broadcast when they turn out small
+    exact = (cv.join(shortlist, "neighbor_id")
+               .join(qv_df, "query_id")
                .withColumn("cosine", _cosine_expr("qv", "cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())

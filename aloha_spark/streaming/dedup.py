@@ -93,6 +93,76 @@ def streaming_snapshot_dedup(stream: DataFrame, snapshot_path: str,
     return out.drop("content_hash")
 
 
+def snapshot_dedup_batch_sink(snapshot_path: str, sink,
+                              cols: Sequence[str] = ("text",),
+                              in_batch: bool = True,
+                              append_survivors: bool = False,
+                              id_col: str = None):
+    """``foreachBatch`` counterpart of :func:`streaming_snapshot_dedup`
+    for when snapshot APPENDS must become visible without restarting
+    the query: returns a ``(batch_df, batch_id) -> None`` callable that
+    re-reads the digest table on EVERY micro-batch (a fresh
+    ``spark.read`` re-lists the files each call, unlike the streaming
+    plan's pinned ``InMemoryFileIndex``), anti-joins the batch against
+    it, and hands the survivors to ``sink(kept_df, batch_id)``.
+
+    ``in_batch`` collapses same-digest rows within one micro-batch
+    (arbitrary keeper, same as the batch layer's contract for
+    re-deliveries).  ``append_survivors`` folds each batch's surviving
+    digests back into the snapshot AFTER the sink returns — the stream
+    becomes self-absorbing: batch N+1 drops content batch N already
+    shipped, with NO watermark bound and no streaming state at all.
+
+    Delivery contract: ``foreachBatch`` is at-least-once, so ``sink``
+    must be idempotent per (batch content, batch_id).  With
+    ``append_survivors``, a replay AFTER a completed batch re-runs the
+    anti-join against the now-updated snapshot, so the replayed sink
+    call receives an EMPTY frame — duplicates cannot re-ship; a crash
+    between sink and append simply re-offers the same survivors.
+
+    Use with ``.writeStream.foreachBatch(...)`` — cross-batch
+    watermark dedup (``dropDuplicatesWithinWatermark``) can still be
+    composed UPSTREAM in the streaming plan; with ``append_survivors``
+    it is redundant."""
+    import os
+
+    from ..operators.snapshot import (_DIGESTS, append_to_snapshot,
+                                      load_snapshot_meta)
+
+    meta = load_snapshot_meta(snapshot_path)   # validate cols up front
+    if list(cols) != meta["cols"]:
+        raise ValueError(
+            f"snapshot_dedup_batch_sink: digest cols {list(cols)} != "
+            f"snapshot's {meta['cols']} — the digests would be "
+            f"incomparable")
+    digests_path = os.path.join(snapshot_path, _DIGESTS)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        old = spark.read.parquet(digests_path)   # fresh listing per batch
+        kept = (batch
+                .withColumn("content_hash", content_digest(cols))
+                .join(old, "content_hash", "left_anti"))
+        if in_batch:
+            kept = kept.dropDuplicates(["content_hash"])
+        kept = kept.drop("content_hash")
+        if append_survivors:
+            # both the sink and the append consume `kept`; persist so
+            # the anti-join runs once and both see the SAME survivors
+            kept = kept.persist()
+            try:
+                sink(kept, batch_id)
+                if not kept.isEmpty():
+                    append_to_snapshot(kept, snapshot_path,
+                                       id_col=id_col)
+            finally:
+                kept.unpersist()
+        else:
+            sink(kept, batch_id)
+
+    return process
+
+
 def streaming_event_dedup(stream: DataFrame,
                           id_cols: Sequence[str] = ("conv_id", "turn_idx"),
                           ts_col: str = "ts",

@@ -276,3 +276,53 @@ class TestIncrementalEmbeddingDedup:
         assert max(sizes) <= index.meta["n_centroids"], sizes
         # near-orthogonal synthetic vectors: almost everything survives
         assert kept_n >= n_inc * 0.9
+
+
+class TestPqDistributed:
+    """distributed=True must be result-identical to the driver-LUT
+    serving path, stay exact when exhaustive, and never materialize
+    the query side on the driver."""
+
+    def test_parity_with_driver_path(self, spark, embs, index):
+        """Same results as the driver-LUT path wherever the rerank
+        shortlist isn't boundary-tight: a TIGHT rerank can admit a
+        different boundary candidate because the two paths compute ADC
+        scores with differently-shaped einsums (BLAS rounding differs
+        in the last ulp) — the k results are then still exact-cosine
+        verified, just from a slightly different shortlist."""
+        q = embs.where("vec_id < 20")
+        for kw in ({"nprobe": 2, "rerank": 50},
+                   {"nprobe": 8, "rerank": 50},
+                   {"nprobe": None, "rerank": N}):
+            a = pq_topk_indexed(q, index, k=3, **kw)
+            b = pq_topk_indexed(q, index, k=3, distributed=True, **kw)
+            assert _pairs(a) == _pairs(b), kw
+
+    def test_exhaustive_equals_brute(self, spark, embs, index):
+        q = embs.where("vec_id < 6")
+        got = pq_topk_indexed(q, index, k=3, rerank=N, nprobe=8,
+                              distributed=True)
+        want = brute_force_topk_sql(q, embs, k=3)
+        assert _pairs(got) == _pairs(want)
+
+    def test_no_driver_query_collect(self, spark, embs, index,
+                                     monkeypatch):
+        from pyspark.sql.classic.dataframe import DataFrame
+        q = embs.where("vec_id < 20")
+        sizes = []
+        orig = DataFrame.collect
+
+        def gated(df):
+            rows = orig(df)
+            sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(DataFrame, "collect", gated)
+        n = pq_topk_indexed(q, index, k=3, rerank=20, nprobe=2,
+                            distributed=True).count()
+        # nprobe=None skips even the probed-cell collect
+        n2 = pq_topk_indexed(q, index, k=3, rerank=20, nprobe=None,
+                             distributed=True).count()
+        monkeypatch.setattr(DataFrame, "collect", orig)
+        assert n > 0 and n2 > 0
+        assert max(sizes, default=0) <= index.meta["n_centroids"], sizes

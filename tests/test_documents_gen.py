@@ -133,3 +133,6 @@ def test_testdata_vocab_covered_by_oracle_literals(spark):
                   F.col("text").rlike("[\\t\\n]") |
                   F.col("text").isNull()).count()
     assert bad == 0
+    # doc_fingerprint's oracle power table covers exponents 0..255
+    max_toks = d.select(F.max(F.size(F.split("text", " ")))).first()[0]
+    assert max_toks <= 256, max_toks

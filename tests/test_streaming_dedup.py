@@ -112,3 +112,69 @@ def test_streaming_snapshot_dedup_cols_contract(spark, tmp_path):
     stream = read_transcript_stream(spark, snap)  # any stream handle
     with _pytest.raises(ValueError, match="incomparable"):
         streaming_snapshot_dedup(stream, snap, cols=["role"])
+
+
+def test_snapshot_dedup_batch_sink_append_visibility(spark, tmp_path):
+    """The foreachBatch variant re-reads the digest table per
+    micro-batch: digests appended DURING the run (here by the
+    self-absorbing append_survivors mode in batch 0) dedup batch 1
+    without a query restart — impossible for the plain streaming plan,
+    whose static-side file listing is pinned at plan time.  A
+    checkpointed restart over an extra file stays exact: old content
+    never re-ships, only genuinely new rows do."""
+    import os
+    from aloha_spark.operators.snapshot import write_dedup_snapshot
+    from aloha_spark.streaming.dedup import snapshot_dedup_batch_sink
+    from aloha_spark.streaming.sessionize import read_transcript_stream
+
+    snap = str(tmp_path / "snap_fb")
+    write_dedup_snapshot(
+        spark.createDataFrame([(100, "content snap")],
+                              "doc_id long, text string"), snap)
+
+    def turns(rows):
+        return spark.createDataFrame(
+            [(f"c{i}", i, "user", t, None, f"2024-01-01 10:{i:02d}:00")
+             for i, t in enumerate(rows)],
+            "conv_id string, turn_idx long, role string, text string, "
+            "tool string, ts string") \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src = str(tmp_path / "src_fb")
+    out_dir = str(tmp_path / "out_fb")
+    ckpt = str(tmp_path / "ckpt_fb")
+    os.makedirs(src)
+    # two files -> two micro-batches (maxFilesPerTrigger=1); file B
+    # repeats file A's fresh content plus one genuinely new row
+    turns(["content snap", "fresh A", "fresh B"]) \
+        .coalesce(1).write.parquet(src + "/f1")
+    turns(["fresh A", "fresh B", "fresh C"]) \
+        .coalesce(1).write.parquet(src + "/f2")
+
+    def sink(df, batch_id):
+        if not df.isEmpty():
+            df.write.mode("append").parquet(out_dir)
+
+    def run():
+        q = (read_transcript_stream(spark, src + "/f*", max_files=1)
+             .writeStream
+             .foreachBatch(snapshot_dedup_batch_sink(
+                 snap, sink, cols=["text"], append_survivors=True))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    got = spark.read.parquet(out_dir).toPandas()
+    # snapshot content dropped in batch 0; batch 1's repeats dropped by
+    # the digests batch 0 appended mid-run; each fresh content ONCE
+    assert sorted(got["text"]) == ["fresh A", "fresh B", "fresh C"]
+
+    # checkpointed restart with one more file: old content (snapshot,
+    # already-shipped, in-file repeat) never re-ships; new row does
+    turns(["fresh C", "content snap", "fresh D", "fresh D"]) \
+        .coalesce(1).write.parquet(src + "/f3")
+    run()
+    got2 = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got2["text"]) == ["fresh A", "fresh B", "fresh C",
+                                    "fresh D"]
