@@ -1747,6 +1747,32 @@ def q_top_tokens(spark, sf_dir):
     return top_tokens(_docs(spark, sf_dir), "text", k=50)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """X43: exact frequency heavy hitters — per-partition Misra-Gries
+    candidate pass (bounded counters, provable superset) + exact
+    recount of only the candidates; the long-tail vocabulary never
+    enters an exchange.  Oracle = plain GROUP BY/HAVING."""
+    from aloha_spark.operators.corpus import heavy_hitters
+    return heavy_hitters(_docs(spark, sf_dir), support=0.033) \
+        .select("token", "cnt", F.round("freq", 6).alias("freq"))
+
+
+def q_split_leakage(spark, sf_dir):
+    """X44: train/eval exact-content leakage audit over a corpus with
+    injected cross-split duplicates (every 10th doc re-id'd +10000, so
+    clones deterministically land in different md5-bucket splits)."""
+    from aloha_spark.operators.corpus import (deterministic_split,
+                                              split_leakage)
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = (base.where(F.col("doc_id") % 10 == 0)
+                  .select((F.col("doc_id") + 10_000).alias("doc_id"),
+                          "text"))
+    sp = deterministic_split(
+        base.unionByName(clones),
+        weights=(("train", 0.7), ("val", 0.15), ("test", 0.15)))
+    return split_leakage(sp)
+
+
 def q_doc_chunks(spark, sf_dir):
     """Token-budget document chunking (budget 32, overlap 8): the
     upstream re-chunker for pack_sequences' oversized documents.  Pure
@@ -2056,6 +2082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multilabel_blocks": q_multilabel_blocks,
         "feature_vectors_jvm": q_feature_vectors_jvm,
         "model_tree_leaves": q_model_tree_leaves,
+        # new in round 5 (past-window; oracle-checked by selfcheck)
+        "heavy_hitters": q_heavy_hitters,
+        "split_leakage": q_split_leakage,
         # rows-only (approx algorithms / binary formats — each backed
         # by a machine-checked property gate in tools/selfcheck.py)
         "dedup_minhash": q_dedup_minhash,
@@ -2734,6 +2763,34 @@ FROM documents""",
         "vw_lines": _vw_lines_oracle(),
         "libsvm_lines": _libsvm_lines_oracle(),
         "doc_fingerprint": _doc_fingerprint_oracle(),
+        "heavy_hitters": """
+WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS token
+             FROM documents),
+tot AS (SELECT COUNT(*) AS t FROM tok),
+g AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+SELECT g.token, g.cnt,
+       ROUND(CAST(g.cnt AS DOUBLE) / t, 6) AS freq
+FROM g, tot WHERE g.cnt >= CEIL(0.033 * t)""",
+        "split_leakage": """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
+), s AS (
+  SELECT doc_id, text,
+         CASE WHEN b < 7000 THEN 'train'
+              WHEN b < 8500 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id, text,
+               ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT % 10000 AS b
+        FROM d) t
+), tr AS (
+  SELECT text, COUNT(*) AS n_train_copies FROM s
+  WHERE split = 'train' GROUP BY text
+)
+SELECT s.doc_id, s.split, tr.n_train_copies
+FROM s JOIN tr USING (text)
+WHERE s.split IN ('val', 'test')""",
         "csv_columnar": """
 SELECT c_custkey AS key, c_name AS name,
        CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END

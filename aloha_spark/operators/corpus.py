@@ -31,6 +31,7 @@ Spark-first design notes (the 100 TB story):
 from __future__ import annotations
 
 import bisect
+import math
 from fractions import Fraction
 from typing import Iterator, Mapping, Sequence, Tuple
 
@@ -572,6 +573,115 @@ def top_tokens(df: DataFrame, text: str = "text", k: int = 100) -> DataFrame:
             .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("token"))
             .limit(k))
+
+
+def split_leakage(df: DataFrame, *, split_col: str = "split",
+                  text: str = "text", id_col: str = "doc_id",
+                  train_splits: Sequence[str] = ("train",),
+                  eval_splits: Sequence[str] = ("val", "test")) -> DataFrame:
+    """Train/eval leakage audit by EXACT content: one row per eval-side
+    document whose content (digest of ``text``) also appears in any
+    train split — ``(id, split, n_train_copies)``.
+
+    The eval-set stability the deterministic split buys is void if the
+    same text lands on both sides (common after near-dup-preserving
+    ingestion or chunk-level splits); this is the audit every training
+    pipeline should run between ``deterministic_split`` and shipping.
+    Same digest definition as ``exact_dedup`` (NULL-sentinel encoding),
+    so "duplicate" means the same thing in the dedup pass and the audit.
+
+    Plan shape at 100 TB: digest both sides in-map, partial-aggregate
+    the train side to (digest, n) BEFORE the join — the join's build
+    side carries one row per distinct duplicated digest, not per train
+    row; eval rows stream past it.  Near-dup variant: compose
+    ``dedup.minhash_dedup_pairs`` over the full frame and keep pairs
+    whose endpoints land in different splits (pytest-gated; not SQL-
+    expressible, so it stays a composition rather than a query row).
+    """
+    from .dedup import content_digest
+
+    overlap = set(df.columns) & {"_h", "n_train_copies"}
+    if overlap:
+        raise ValueError(f"split_leakage: reserved column names in "
+                         f"input: {sorted(overlap)}")
+    d = df.withColumn("_h", content_digest([text]))
+    train = (d.where(F.col(split_col).isin(list(train_splits)))
+              .groupBy("_h").agg(F.count(F.lit(1)).alias("n_train_copies")))
+    ev = d.where(F.col(split_col).isin(list(eval_splits)))
+    return (ev.join(train, "_h")
+              .select(id_col, split_col, "n_train_copies"))
+
+
+def heavy_hitters(df: DataFrame, *, support: float = 0.001,
+                  text: str = "text",
+                  candidate_slack: int = 2) -> DataFrame:
+    """EXACT frequency heavy hitters: every token whose corpus-wide
+    count is ``>= support * total_tokens``, with its exact count and
+    frequency — no false positives, no false negatives.
+
+    Two passes, neither of which shuffles the long-tail vocabulary
+    (the 100 TB story — ``top_tokens``'s groupBy partially aggregates
+    but still exchanges one row per DISTINCT token, and a web-scale
+    token/n-gram universe is billions of distinct keys):
+
+    1. **Candidates** — a per-partition Misra-Gries summary with
+       ``cap = candidate_slack * ceil(1/support)`` counters
+       (``applyInPandas``-free: one ``mapInPandas`` sweep, a pandas
+       ``value_counts`` + top-cap per batch folded into a bounded dict
+       per partition).  Misra-Gries guarantees any token with
+       partition count ``> n_p / (cap+1)`` survives its partition's
+       summary; a token with GLOBAL frequency >= support has, by
+       pigeonhole, at least one partition where its local frequency
+       >= support > 1/(cap+1), so the union of summaries is a provable
+       SUPERSET of the true heavy hitters.  At most ``cap`` candidate
+       rows leave each partition.
+    2. **Exact recount** — explode tokens again, hash-semi-join
+       against the (tiny, broadcastable) candidate set, count exactly,
+       filter ``count >= ceil(support * total)``.  Only candidate
+       tokens ever enter the aggregation exchange.
+
+    Output: ``(token, cnt, freq)`` — deterministic, oracle-checkable
+    against a plain GROUP BY/HAVING (selfcheck ``heavy_hitters``).
+    ``support`` must be in (0, 1]; lower support costs more candidate
+    memory (``cap`` counters per partition)."""
+    if not 0 < support <= 1:
+        raise ValueError(f"support must be in (0, 1]: {support}")
+    if candidate_slack < 1:
+        raise ValueError(f"candidate_slack must be >= 1: {candidate_slack}")
+    cap = candidate_slack * math.ceil(1.0 / support)
+
+    toks = df.select(F.explode(tokens_col(text)).alias("token"))
+
+    def mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # fold the batch's exact counts into the bounded summary:
+            # add matches, then apply the Misra-Gries global decrement
+            # until <= cap counters remain (subtracting the (cap+1)-th
+            # largest value preserves the MG retention guarantee)
+            for tok, c in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > cap:
+                vals = sorted(counters.values(), reverse=True)
+                dec = vals[cap]
+                counters = {t: v - dec for t, v in counters.items()
+                            if v > dec}
+        if counters:
+            yield pd.DataFrame({"token": list(counters.keys())})
+
+    cands = toks.mapInPandas(
+        mg_candidates, schema="token string").distinct()
+
+    total_col = toks.agg(F.count(F.lit(1)).alias("_total"))
+    counted = (toks.join(F.broadcast(cands), "token", "left_semi")
+                   .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+                   .crossJoin(F.broadcast(total_col)))
+    return (counted
+            .where(F.col("cnt") >= F.ceil(F.lit(support) * F.col("_total")))
+            .select("token", "cnt",
+                    (F.col("cnt") / F.col("_total")).alias("freq")))
 
 
 def chunk_documents(df: DataFrame, *, text: str = "text",

@@ -259,3 +259,16 @@ def test_top_k_per_group_window_group_limit(spark, sf_dir):
                         tie_by=["doc_id"])
     plan = _plan(q, "simple")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_heavy_hitters_candidate_join_is_broadcast_semi(spark, sf_dir):
+    """The exact recount must probe the (tiny) Misra-Gries candidate
+    set with a broadcast LEFT SEMI join — the long-tail vocabulary must
+    not reach a sort-merge exchange — and the final count must partial-
+    aggregate before its single exchange."""
+    from aloha_spark.operators.corpus import heavy_hitters
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(heavy_hitters(d, support=0.033))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan       # map-side combine before shuffle
