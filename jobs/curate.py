@@ -226,6 +226,15 @@ def parse_args(argv):
                         "train=0.98,val=0.01,test=0.01 — appends a "
                         "'split' column")
     p.add_argument("--split-salt", default="split")
+    p.add_argument("--leakage-audit", action="store_true",
+                   help="after --split: count val/test documents whose "
+                        "exact content also appears in train "
+                        "(operators/corpus.py::split_leakage) and "
+                        "report it; requires --split")
+    p.add_argument("--max-leaked", type=int, default=None,
+                   help="with --leakage-audit: fail the job (before "
+                        "any write) if more than this many eval "
+                        "documents leak from train")
     p.add_argument("--chunk-budget", type=int, default=None,
                    help="chunk documents into token windows of at most "
                         "this many tokens (one output row per chunk)")
@@ -563,6 +572,27 @@ def curate(spark, args):
         x = deterministic_split(x, id_col, weights=weights,
                                 salt=args.split_salt)
         checkpoint("split_assign")
+    if args.leakage_audit:
+        if not args.split:
+            raise SystemExit("--leakage-audit requires --split")
+        from aloha_spark.operators.corpus import split_leakage
+        # convention: the FIRST --split name is the train side, the
+        # rest are eval.  The audit frame is built here (post-split,
+        # pre-chunk — document granularity) but evaluated in main()
+        # BEFORE the write so --max-leaked can abort a poisoned run;
+        # x is persisted so the audit doesn't re-run the whole chain.
+        names = [n for n, _ in weights]
+        if len(names) < 2:
+            raise SystemExit("--leakage-audit needs at least two "
+                             "splits (train side + an eval side)")
+        x = x.persist()
+        caches.append(x)
+        report["_leakage_df"] = split_leakage(
+            x, split_col="split", text=text_col, id_col=id_col,
+            train_splits=(names[0],), eval_splits=tuple(names[1:]))
+        checkpoint("leakage_audit")
+    elif args.max_leaked is not None:
+        raise SystemExit("--max-leaked requires --leakage-audit")
     if args.dedup_snapshot and args.snapshot_append:
         # the fingerprint to fold back is the curated DOCUMENT set —
         # captured before chunking/packing rewrites rows; main() appends
@@ -726,6 +756,22 @@ def main(argv=None):
             sort_cols.append("chunk_idx")
         report["shuffle"] = {"seed": args.shuffle_seed,
                              "n_shards": args.num_buckets}
+    leak_df = report.pop("_leakage_df", None)
+    if leak_df is not None:
+        # evaluated BEFORE the write: a run over the --max-leaked bound
+        # must abort with nothing on disk (lineage untouched, so a
+        # fixed re-run starts clean)
+        by_split = {r["split"]: r["n"] for r in
+                    leak_df.groupBy("split")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+        n_leak = sum(by_split.values())
+        report["split_leakage"] = {"leaked_docs": n_leak,
+                                   "by_split": by_split}
+        if args.max_leaked is not None and n_leak > args.max_leaked:
+            raise SystemExit(
+                f"--max-leaked: {n_leak} eval documents share exact "
+                f"content with train (> {args.max_leaked}); aborting "
+                f"before the write")
     wr = write_with_lineage(
         wx, args.out, args.lineage, key=shard_key, ts_col=shard_key,
         num_buckets=args.num_buckets, group_size=args.group_size,

@@ -549,3 +549,60 @@ def test_curate_snapshot_flag_contracts(spark, tmp_path):
             "--lineage", str(tmp_path / "l"), *extra])
         with pytest.raises(SystemExit, match=msg):
             curate_job.curate(spark, args)
+
+
+def test_curate_leakage_audit_and_gate(spark, tmp_path):
+    """--leakage-audit reports exact-content train->eval leaks in the
+    job report; --max-leaked aborts BEFORE the write (nothing on disk)
+    when the bound is exceeded."""
+    from aloha_spark.operators.corpus import deterministic_split
+
+    # find two ids the md5 split provably separates (content-hash
+    # assignment => deterministic), then give them identical text
+    probe = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long")
+    sp = {r.doc_id: r.split for r in deterministic_split(
+        probe, weights=(("train", 0.5), ("val", 0.5))).collect()}
+    tr_id = next(i for i in sorted(sp) if sp[i] == "train")
+    ev_id = next(i for i in sorted(sp) if sp[i] == "val")
+
+    docs = str(tmp_path / "docs")
+    rows = [(tr_id, GOOD + " shared"), (ev_id, GOOD + " shared"),
+            (199, GOOD + " unrelated")]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(docs)
+
+    # no --exact-dedup: the audit exists for runs where dedup was NOT
+    # applied across the whole corpus
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lin")
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        curate_job.main(["--docs", docs, "--out", out, "--lineage", lin,
+                         "--num-buckets", "4", "--group-size", "4",
+                         "--split", "train=0.5,val=0.5",
+                         "--leakage-audit"])
+    report = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["split_leakage"] == {
+        "leaked_docs": 1, "by_split": {"val": 1}}
+    assert report["written_buckets"] > 0
+
+    # gate: bound 0 -> abort before writing anything
+    out2, lin2 = str(tmp_path / "out2"), str(tmp_path / "lin2")
+    with pytest.raises(SystemExit, match="max-leaked"):
+        curate_job.main(["--docs", docs, "--out", out2, "--lineage",
+                         lin2, "--num-buckets", "4", "--group-size",
+                         "4", "--split", "train=0.5,val=0.5",
+                         "--leakage-audit", "--max-leaked", "0"])
+    assert not os.path.exists(lin2)
+
+    # validation: flags require their prerequisites
+    with pytest.raises(SystemExit, match="requires --split"):
+        curate_job.main(["--docs", docs, "--out", out2, "--lineage",
+                         lin2, "--leakage-audit"])
+    with pytest.raises(SystemExit, match="requires --leakage-audit"):
+        curate_job.main(["--docs", docs, "--out", out2, "--lineage",
+                         lin2, "--split", "train=0.5,val=0.5",
+                         "--max-leaked", "0"])
