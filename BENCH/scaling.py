@@ -344,19 +344,21 @@ plan of THAT commit did when the box wasn't stealing cycles; it is not
 re-measured by this template, so if the pipeline has changed since,
 trust the freshest table above over it.
 
-Same-day disclosure (round 5, 2026-08-21): before the 16M table above,
-the SAME protocol ran twice at 8M turns (two interleaved triples per
-level).  Pooled walls — local[2]: 58.91, 58.06, 59.22, 61.44, 57.79,
-62.38; local[8]: 18.88, 18.15, 19.91, 18.26, 18.38, 19.13; local[32]:
-18.41, 20.2, 33.16, 14.81, 14.39, 15.26 — best-of-pooled efficiencies
-2->8 = 0.796, 8->32 = 0.317.  At 8M rows the per-level fixed overhead
-(JVM spin-up amortization aside, scan/plan/stage setup inside the timed
-wall) is a visibly larger share of an 18s width-8 wall than of a 32s
-one, which systematically understates efficiency versus the 16M table
-taken the same day (0.889 / 0.401) — and the target regime of the
-north rule is 10^12 turns, which the LARGER input approximates better.
-Both input sizes and all 18 walls are disclosed so the reader can form
-either ratio.
+Round-5 disclosure (all measurements dated 2026-08-21; like the
+historical row above, this paragraph is static history baked into the
+template, NOT re-measured on render — if the table above carries a
+later date, trust it): on 2026-08-21 the SAME protocol also ran twice
+at 8M turns (two interleaved triples per level).  Pooled walls —
+local[2]: 58.91, 58.06, 59.22, 61.44, 57.79, 62.38; local[8]: 18.88,
+18.15, 19.91, 18.26, 18.38, 19.13; local[32]: 18.41, 20.2, 33.16,
+14.81, 14.39, 15.26 — best-of-pooled efficiencies 2->8 = 0.796,
+8->32 = 0.317.  At 8M rows the per-level fixed overhead (scan/plan/
+stage setup inside the timed wall) is a visibly larger share of an 18s
+width-8 wall than of a 32s one, which systematically understates
+efficiency versus the 16M run of the same date (2->8 = 0.889, 8->32 =
+0.401) — and the target regime of the north rule is 10^12 turns, which
+the LARGER input approximates better.  Both input sizes and all 18
+walls are disclosed so the reader can form either ratio.
 
 Analysis: the qualifying N -> 4N pair is **{qual}** (efficiency above).
 Every stage of the plan — range-partitioned as-of merge, window
@@ -371,18 +373,18 @@ host artifacts:
    quantified** (`BENCH/stage_probe.py`, results in
    `BENCH/last_stage_probe.json`).
 
-   **Round-5 same-day probe (16M turns, 2026-08-21, same host phase
-   as the table above)**: the ZERO-PYTHON portion (windows + salted
-   as-of, pure Catalyst — no Arrow workers) measured 847,365 rows/s
-   at local[8] and 775,014 rows/s at local[32] — the pure-JVM plan
-   went BACKWARDS 8->32 (efficiency 0.23) in this phase — while the
-   FULL pipeline measured 440,750 -> 525,718 rows/s (efficiency
-   0.30).  The full pipeline's 8->32 ratio is ~1.3x the same-day
-   zero-Python ceiling: whatever limits width 32 today limits a plan
-   with no Python in it MORE than it limits ours, which closes the
-   attribution — the residual is the host (one shared DRAM bus for
-   all 32 virtualized lanes + 20-30% hypervisor steal), not the
-   engine.
+   **Round-5 probe (16M turns, measured 2026-08-21 — static history
+   in this template; compare against a table of the same date)**: the
+   ZERO-PYTHON portion (windows + salted as-of, pure Catalyst — no
+   Arrow workers) measured 847,365 rows/s at local[8] and 775,014
+   rows/s at local[32] — the pure-JVM plan went BACKWARDS 8->32
+   (efficiency 0.23) in that phase — while the FULL pipeline measured
+   440,750 -> 525,718 rows/s (efficiency 0.30).  The full pipeline's
+   8->32 ratio is ~1.3x the zero-Python ceiling of the same date:
+   whatever limits width 32 limits a plan with no Python in it MORE
+   than it limits ours, which closes the attribution — the residual
+   is the host (one shared DRAM bus for all 32 virtualized lanes +
+   20-30% hypervisor steal), not the engine.
 
    Round-4 history (healthier phase, same probe): jvm 1,166,147 ->
    2,809,562 rows/s (ceiling 0.602 for a plan with no Python at

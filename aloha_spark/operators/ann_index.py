@@ -259,9 +259,13 @@ def _assign_probes(queries: DataFrame, q_id: str, q_vec: str,
                    .mapInPandas(assign, schema=out_schema))
 
 
-def _empty_result(spark: SparkSession, id_type: str) -> DataFrame:
+def _empty_result(spark: SparkSession, q_id_type: str,
+                  n_id_type: str) -> DataFrame:
+    """Schema-matched empty frame: query_id carries the QUERY frame's
+    id type and neighbor_id the INDEX's, exactly like the non-empty
+    branch — so a zero-probe day unions cleanly with a normal day."""
     return spark.createDataFrame(
-        [], f"query_id {id_type}, neighbor_id {id_type}, "
+        [], f"query_id {q_id_type}, neighbor_id {n_id_type}, "
             f"cosine double, rank int")
 
 
@@ -285,13 +289,24 @@ def ivf_topk_indexed(queries: DataFrame, index: AnnIndex, k: int = 5, *,
 
     ``nprobe == n_centroids`` probes everything = exact brute force,
     which is the oracle gate."""
+    from .dedup import _track_intermediates
+
     spark = index.spark
-    qdf = _assign_probes(queries, q_id, q_vec, index.centroids, nprobe)
+    # persist the probe table: the distinct-cells collect AND the cell
+    # join both read it — without the cache the query-side assignment
+    # pass runs twice, and a nondeterministic query source could even
+    # probe cells the pruned read no longer covers.  Released with the
+    # result via the intermediate tracker.
+    qdf = _assign_probes(queries, q_id, q_vec, index.centroids, nprobe) \
+        .persist()
     # the distinct probed-cell list is <= n_centroids rows — the one
     # bounded collect that buys static partition pruning on the read
     cells = sorted(r[0] for r in qdf.select("cell").distinct().collect())
     if not cells:
-        return _empty_result(spark, index.meta["id_type"])
+        qdf.unpersist()
+        return _empty_result(spark,
+                             queries.schema[q_id].dataType.simpleString(),
+                             index.meta["id_type"])
     # isin on the partition column -> Catalyst prunes unprobed cells'
     # files before any IO happens
     pruned = index.corpus().where(F.col("cell").isin(cells))
@@ -302,11 +317,12 @@ def ivf_topk_indexed(queries: DataFrame, index: AnnIndex, k: int = 5, *,
                    .withColumnRenamed("id", "neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (cands.withColumn("rank", F.row_number().over(w))
-                 .where(F.col("rank") <= k)
-                 .select("query_id", "neighbor_id",
-                         (F.round("cosine", round_to) if round_to is not None
-                          else F.col("cosine")).alias("cosine"), "rank"))
+    out = (cands.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        (F.round("cosine", round_to) if round_to is not None
+                         else F.col("cosine")).alias("cosine"), "rank"))
+    return _track_intermediates(out, qdf)
 
 
 def pq_topk_indexed(queries: DataFrame, index: AnnIndex, k: int = 5, *,
@@ -347,7 +363,12 @@ def pq_topk_indexed(queries: DataFrame, index: AnnIndex, k: int = 5, *,
                                     rerank, nprobe, round_to)
     q_ids, qn = _collect_queries(queries, q_id, q_vec, max_queries)
     if not q_ids:
-        return _empty_result(spark, index.meta["id_type"])
+        # the driver path COERCES query ids into the index id type (the
+        # qdf literal below is built with it), so both of ITS branches
+        # speak index id_type; the distributed path keeps the query
+        # frame's own type in both of its branches
+        return _empty_result(spark, index.meta["id_type"],
+                             index.meta["id_type"])
     books = index.codebooks
     m_sub, _, dsub = books.shape
     lut = np.einsum("qmd,mjd->qmj",
@@ -464,12 +485,18 @@ def _pq_topk_distributed(queries: DataFrame, index: AnnIndex, k: int,
     docstring).  ``nprobe=None`` assigns every query to every cell —
     classic all-cells PQ, where the qv fan-out (n_centroids rows per
     query) is negligible next to the Q x |corpus| code scan it feeds."""
+    from .dedup import _track_intermediates
+
     spark = index.spark
     books = index.codebooks
     m_sub, _, dsub = books.shape
-    id_t = index.meta["id_type"]
+    n_id_t = index.meta["id_type"]               # corpus/neighbor ids
+    q_id_t = queries.schema[q_id].dataType.simpleString()
     npb = nprobe if nprobe is not None else len(index.centroids)
-    qdf = _assign_probes(queries, q_id, q_vec, index.centroids, npb)
+    # persisted: the cells collect, the ADC join, and the rerank's
+    # qv_df all read the probe table — one assignment pass, not three
+    qdf = _assign_probes(queries, q_id, q_vec, index.centroids, npb) \
+        .persist()
 
     cells = None
     coded = index.corpus()
@@ -477,7 +504,8 @@ def _pq_topk_distributed(queries: DataFrame, index: AnnIndex, k: int,
         cells = sorted(r[0] for r in
                        qdf.select("cell").distinct().collect())
         if not cells:
-            return _empty_result(spark, id_t)
+            qdf.unpersist()
+            return _empty_result(spark, q_id_t, n_id_t)
         coded = coded.where(F.col("cell").isin(cells))
     joined = (coded.select(F.col("id").alias("neighbor_id"),
                            "codes", "cell")
@@ -510,7 +538,8 @@ def _pq_topk_distributed(queries: DataFrame, index: AnnIndex, k: int,
                 "approx": s})
 
     cands = joined.mapInPandas(
-        score, schema=f"query_id {id_t}, neighbor_id {id_t}, approx double")
+        score,
+        schema=f"query_id {q_id_t}, neighbor_id {n_id_t}, approx double")
     wa = Window.partitionBy("query_id").orderBy(
         F.col("approx").desc(), F.col("neighbor_id").asc())
     shortlist = (cands.where(F.col("query_id") != F.col("neighbor_id"))
@@ -530,11 +559,12 @@ def _pq_topk_distributed(queries: DataFrame, index: AnnIndex, k: int,
                .withColumn("cosine", _cosine_expr("qv", "cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (exact.withColumn("rank", F.row_number().over(w))
-                 .where(F.col("rank") <= k)
-                 .select("query_id", "neighbor_id",
-                         (F.round("cosine", round_to) if round_to is not None
-                          else F.col("cosine")).alias("cosine"), "rank"))
+    out = (exact.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        (F.round("cosine", round_to) if round_to is not None
+                         else F.col("cosine")).alias("cosine"), "rank"))
+    return _track_intermediates(out, qdf)
 
 
 def incremental_embedding_dedup(new_docs: DataFrame, index: AnnIndex,

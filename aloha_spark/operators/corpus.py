@@ -650,13 +650,20 @@ def heavy_hitters(df: DataFrame, *, support: float = 0.001,
         raise ValueError(f"candidate_slack must be >= 1: {candidate_slack}")
     cap = candidate_slack * math.ceil(1.0 / support)
 
+    from .dedup import _track_intermediates
+
     toks = df.select(F.explode(tokens_col(text)).alias("token"))
 
-    def mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def mg_summary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one sweep yields BOTH the candidate tokens and this
+        # partition's token total (as a NULL-token row), so the total
+        # never costs a third corpus scan
         counters: dict = {}
+        n_seen = 0
         for pdf in batches:
             if pdf.empty:
                 continue
+            n_seen += len(pdf)
             # fold the batch's exact counts into the bounded summary:
             # add matches, then apply the Misra-Gries global decrement
             # until <= cap counters remain (subtracting the (cap+1)-th
@@ -668,20 +675,28 @@ def heavy_hitters(df: DataFrame, *, support: float = 0.001,
                 dec = vals[cap]
                 counters = {t: v - dec for t, v in counters.items()
                             if v > dec}
-        if counters:
-            yield pd.DataFrame({"token": list(counters.keys())})
+        if n_seen:
+            yield pd.DataFrame({
+                "token": list(counters.keys()) + [None],
+                "part_rows": [None] * len(counters) + [n_seen]})
 
-    cands = toks.mapInPandas(
-        mg_candidates, schema="token string").distinct()
+    # tiny (<= cap+1 rows per partition); persisted because candidates
+    # and the total both read it — ONE summary pass over the corpus
+    summary = toks.mapInPandas(
+        mg_summary, schema="token string, part_rows long").persist()
+    cands = summary.where(F.col("token").isNotNull()) \
+                   .select("token").distinct()
+    total_col = summary.where(F.col("token").isNull()) \
+                       .agg(F.sum("part_rows").alias("_total"))
 
-    total_col = toks.agg(F.count(F.lit(1)).alias("_total"))
     counted = (toks.join(F.broadcast(cands), "token", "left_semi")
                    .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
                    .crossJoin(F.broadcast(total_col)))
-    return (counted
-            .where(F.col("cnt") >= F.ceil(F.lit(support) * F.col("_total")))
-            .select("token", "cnt",
-                    (F.col("cnt") / F.col("_total")).alias("freq")))
+    out = (counted
+           .where(F.col("cnt") >= F.ceil(F.lit(support) * F.col("_total")))
+           .select("token", "cnt",
+                   (F.col("cnt") / F.col("_total")).alias("freq")))
+    return _track_intermediates(out, summary)
 
 
 def chunk_documents(df: DataFrame, *, text: str = "text",

@@ -227,10 +227,14 @@ def parse_args(argv):
                         "'split' column")
     p.add_argument("--split-salt", default="split")
     p.add_argument("--leakage-audit", action="store_true",
-                   help="after --split: count val/test documents whose "
-                        "exact content also appears in train "
-                        "(operators/corpus.py::split_leakage) and "
-                        "report it; requires --split")
+                   help="after --split: count eval-side documents "
+                        "whose exact content also appears in the "
+                        "train side (operators/corpus.py::"
+                        "split_leakage) and report it; the train side "
+                        "is the split literally named 'train' if one "
+                        "exists, otherwise the FIRST --split name — "
+                        "every other split is audited as eval; "
+                        "requires --split")
     p.add_argument("--max-leaked", type=int, default=None,
                    help="with --leakage-audit: fail the job (before "
                         "any write) if more than this many eval "
@@ -576,20 +580,24 @@ def curate(spark, args):
         if not args.split:
             raise SystemExit("--leakage-audit requires --split")
         from aloha_spark.operators.corpus import split_leakage
-        # convention: the FIRST --split name is the train side, the
-        # rest are eval.  The audit frame is built here (post-split,
-        # pre-chunk — document granularity) but evaluated in main()
-        # BEFORE the write so --max-leaked can abort a poisoned run;
-        # x is persisted so the audit doesn't re-run the whole chain.
+        # train side = the split literally named 'train' when present
+        # (so --split ordering is never load-bearing), else the first
+        # name; everything else is eval.  The audit frame is built here
+        # (post-split, pre-chunk — document granularity) but evaluated
+        # in main() BEFORE the write so --max-leaked can abort a
+        # poisoned run; x is persisted so the audit doesn't re-run the
+        # whole chain.
         names = [n for n, _ in weights]
         if len(names) < 2:
             raise SystemExit("--leakage-audit needs at least two "
                              "splits (train side + an eval side)")
+        train_name = "train" if "train" in names else names[0]
         x = x.persist()
         caches.append(x)
         report["_leakage_df"] = split_leakage(
             x, split_col="split", text=text_col, id_col=id_col,
-            train_splits=(names[0],), eval_splits=tuple(names[1:]))
+            train_splits=(train_name,),
+            eval_splits=tuple(n for n in names if n != train_name))
         checkpoint("leakage_audit")
     elif args.max_leaked is not None:
         raise SystemExit("--max-leaked requires --leakage-audit")

@@ -606,3 +606,34 @@ def test_curate_leakage_audit_and_gate(spark, tmp_path):
         curate_job.main(["--docs", docs, "--out", out2, "--lineage",
                          lin2, "--split", "train=0.5,val=0.5",
                          "--max-leaked", "0"])
+
+
+def test_curate_leakage_audit_train_by_name(spark, tmp_path):
+    """--split ordering is not load-bearing: the split literally named
+    'train' is the train side even when listed last."""
+    from aloha_spark.operators.corpus import deterministic_split
+    probe = spark.createDataFrame([(i,) for i in range(200)],
+                                  "doc_id long")
+    sp = {r.doc_id: r.split for r in deterministic_split(
+        probe, weights=(("val", 0.5), ("train", 0.5))).collect()}
+    tr_id = next(i for i in sorted(sp) if sp[i] == "train")
+    ev_id = next(i for i in sorted(sp) if sp[i] == "val")
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(tr_id, GOOD + " shared"), (ev_id, GOOD + " shared")],
+        "doc_id long, text string").write.mode("overwrite").parquet(docs)
+
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        curate_job.main(["--docs", docs, "--out", str(tmp_path / "o"),
+                         "--lineage", str(tmp_path / "l"),
+                         "--num-buckets", "4", "--group-size", "4",
+                         "--split", "val=0.5,train=0.5",
+                         "--leakage-audit"])
+    report = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    # 'val' listed FIRST must still be audited as the eval side
+    assert report["split_leakage"] == {
+        "leaked_docs": 1, "by_split": {"val": 1}}
