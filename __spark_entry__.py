@@ -630,6 +630,31 @@ def q_ann_topk_indexed(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_topk_pq_dist(spark, sf_dir):
+    """The DISTRIBUTED PQ query path (pq_topk_indexed
+    distributed=True — executor-side probe assignment + per-batch ADC
+    lookup tables, no driver collect) against the same prebuilt index
+    as q_ann_topk_indexed, exhaustive (nprobe = n_centroids, rerank >=
+    |corpus|) so the brute-force DuckDB oracle gates it end to end."""
+    import tempfile
+    from aloha_spark.operators.ann_index import (
+        build_ann_index, load_ann_index, pq_topk_indexed)
+    embs = _embs(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "aloha_ann_idx_" + sf_dir.strip("/").replace("/", "_"))
+    if path not in _ANN_INDEX_BUILT:
+        build_ann_index(embs, path, n_centroids=8, m_sub=8, ksub=16,
+                        seed=7)
+        _ANN_INDEX_BUILT.add(path)
+    idx = load_ann_index(spark, path)
+    q = embs.where("vec_id < 10")
+    return pq_topk_indexed(q, idx, k=3, nprobe=8, rerank=4096,
+                           distributed=True).select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("long").alias("rank"))
+
+
 def q_embed_neardup(spark, sf_dir):
     """Exact cosine-threshold pair baseline (the LSH-accelerated variant
     is q_embed_neardup_lsh, rows-only)."""
@@ -2085,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 5 (past-window; oracle-checked by selfcheck)
         "heavy_hitters": q_heavy_hitters,
         "split_leakage": q_split_leakage,
+        "ann_topk_pq_dist": q_ann_topk_pq_dist,
         # rows-only (approx algorithms / binary formats — each backed
         # by a machine-checked property gate in tools/selfcheck.py)
         "dedup_minhash": q_dedup_minhash,
@@ -2099,7 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     T = f"WITH transcripts AS ({_TRANSCRIPTS_SQL}), state AS ({_STATE_SQL})"
-    return {
+    d = {
         "window_lag_lead": f"""{T}
 SELECT conv_id, turn_idx,
        LAG(text) OVER w AS prev_text, LEAD(text) OVER w AS next_text,
@@ -2763,6 +2789,7 @@ FROM documents""",
         "vw_lines": _vw_lines_oracle(),
         "libsvm_lines": _libsvm_lines_oracle(),
         "doc_fingerprint": _doc_fingerprint_oracle(),
+
         "heavy_hitters": """
 WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS token
              FROM documents),
@@ -3361,6 +3388,10 @@ SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
        a.xent AS xent
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
     }
+    # the distributed PQ path must be exactly as correct as the
+    # serving path: same exhaustive brute-force oracle
+    d["ann_topk_pq_dist"] = d["ann_topk_pq"]
+    return d
 
 
 def _sql_list(lang: str) -> str:
