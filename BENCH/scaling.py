@@ -291,6 +291,10 @@ def main():
 def render_md(summary, reps):
     results = {int(c): v for c, v in summary["levels"].items()}
     levels = sorted(results)
+    # walls may be POOLED across same-protocol runs (the pooling is a
+    # post-step editing last_scaling.json) — report the real count
+    reps = max(reps, *(len(results[c].get("all_walls", []))
+                       for c in levels))
     effs = summary["efficiencies"]
     pairs = [(a, b) for a in levels for b in levels
              if b == 4 * a and f"{a}->{b}" in effs]

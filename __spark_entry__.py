@@ -1782,6 +1782,15 @@ def q_heavy_hitters(spark, sf_dir):
         .select("token", "cnt", F.round("freq", 6).alias("freq"))
 
 
+def q_heavy_hitters_bigrams(spark, sf_dir):
+    """X43 n-gram mode: frequent word-bigram mining (the boilerplate /
+    decontamination review feed) through the same Misra-Gries candidate
+    pass — exactness oracle is a plain bigram GROUP BY/HAVING."""
+    from aloha_spark.operators.corpus import heavy_hitters
+    return heavy_hitters(_docs(spark, sf_dir), support=0.0015, ngram=2) \
+        .select("token", "cnt", F.round("freq", 6).alias("freq"))
+
+
 def q_split_leakage(spark, sf_dir):
     """X44: train/eval exact-content leakage audit over a corpus with
     injected cross-split duplicates (every 10th doc re-id'd +10000, so
@@ -2109,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_tree_leaves": q_model_tree_leaves,
         # new in round 5 (past-window; oracle-checked by selfcheck)
         "heavy_hitters": q_heavy_hitters,
+        "heavy_hitters_bigrams": q_heavy_hitters_bigrams,
         "split_leakage": q_split_leakage,
         "ann_topk_pq_dist": q_ann_topk_pq_dist,
         # rows-only (approx algorithms / binary formats — each backed
@@ -2798,6 +2808,17 @@ g AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
 SELECT g.token, g.cnt,
        ROUND(CAST(g.cnt AS DOUBLE) / t, 6) AS freq
 FROM g, tot WHERE g.cnt >= CEIL(0.033 * t)""",
+        "heavy_hitters_bigrams": """
+WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+tok AS (SELECT UNNEST(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i+1]))
+               AS token
+        FROM toks),
+tot AS (SELECT COUNT(*) AS t FROM tok),
+g AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+SELECT g.token, g.cnt,
+       ROUND(CAST(g.cnt AS DOUBLE) / t, 6) AS freq
+FROM g, tot WHERE g.cnt >= CEIL(0.0015 * t)""",
         "split_leakage": """
 WITH d AS (
   SELECT doc_id, text FROM documents

@@ -613,11 +613,15 @@ def split_leakage(df: DataFrame, *, split_col: str = "split",
 
 
 def heavy_hitters(df: DataFrame, *, support: float = 0.001,
-                  text: str = "text",
+                  text: str = "text", ngram: int = 1, sep: str = " ",
                   candidate_slack: int = 2) -> DataFrame:
-    """EXACT frequency heavy hitters: every token whose corpus-wide
-    count is ``>= support * total_tokens``, with its exact count and
-    frequency — no false positives, no false negatives.
+    """EXACT frequency heavy hitters: every token (or word ``ngram``
+    when ``ngram > 1``) whose corpus-wide count is ``>= support *
+    total``, with its exact count and frequency — no false positives,
+    no false negatives.  N-gram mode is the frequent-sequence miner
+    that feeds boilerplate line filters and decontamination reviews —
+    and the case where avoiding the long-tail shuffle matters most
+    (the distinct n-gram universe grows ~linearly with corpus size).
 
     Two passes, neither of which shuffles the long-tail vocabulary
     (the 100 TB story — ``top_tokens``'s groupBy partially aggregates
@@ -648,11 +652,18 @@ def heavy_hitters(df: DataFrame, *, support: float = 0.001,
         raise ValueError(f"support must be in (0, 1]: {support}")
     if candidate_slack < 1:
         raise ValueError(f"candidate_slack must be >= 1: {candidate_slack}")
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1: {ngram}")
     cap = candidate_slack * math.ceil(1.0 / support)
 
     from .dedup import _track_intermediates
 
-    toks = df.select(F.explode(tokens_col(text)).alias("token"))
+    # tokens are projected before the n-gram transform so the shifted
+    # zip_with slices share ONE split per row (see ngrams_of docstring)
+    tk = df.select(tokens_col(text).alias("_tk"))
+    unit = F.col("_tk") if ngram == 1 else ngrams_of(F.col("_tk"),
+                                                    ngram, sep)
+    toks = tk.select(F.explode(unit).alias("token"))
 
     def mg_summary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one sweep yields BOTH the candidate tokens and this

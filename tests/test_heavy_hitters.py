@@ -122,3 +122,40 @@ class TestSplitLeakage:
         got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
                for r in crossing.collect()}
         assert (0, 1) in got          # near-identical docs 0/1 cross
+
+
+class TestHeavyHittersNgrams:
+    def _brute_ngrams(self, df, support, n):
+        import math
+        from aloha_spark.operators.corpus import ngrams_of
+        from aloha_spark.operators.textstats import tokens_col
+        toks = df.select(tokens_col("text").alias("_tk")) \
+            .select(F.explode(ngrams_of(F.col("_tk"), n)).alias("g"))
+        total = toks.count()
+        thr = math.ceil(support * total)
+        return {(r["g"], r["count"]) for r in
+                toks.groupBy("g").count()
+                .where(F.col("count") >= thr).collect()}
+
+    def test_bigram_exact_vs_brute(self, spark):
+        df = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ", F.lit("the boilerplate header line"),
+                F.concat(F.lit("u"), F.col("id").cast("string")),
+                F.lit("all rights reserved")).alias("text"))
+        for parts in (1, 9):
+            d = df.repartition(parts) if parts > 1 else df.coalesce(1)
+            got = {(r["token"], r["cnt"]) for r in heavy_hitters(
+                d, support=0.05, ngram=2).collect()}
+            assert got == self._brute_ngrams(d, 0.05, 2), parts
+        # the boilerplate bigrams surface, the unique ids don't
+        grams = {g for g, _ in got}
+        assert "the boilerplate" in grams
+        assert "rights reserved" in grams
+        assert not any(g.startswith("u1 ") for g in grams)
+
+    def test_ngram_validation(self, spark):
+        df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="ngram"):
+            heavy_hitters(df, support=0.5, ngram=0)
