@@ -269,6 +269,12 @@ BENCH_QUERIES = [
     "pps_tokens",
     # round 4d: staleness-bounded as-of and WindowGroupLimit top-k
     "asof_tolerance", "top_docs",
+    # round 5: exact Misra-Gries heavy hitters (unigram + bigram modes;
+    # long-tail vocabulary never shuffles), train/eval split-leakage
+    # audit, and the distributed PQ query path (executor-side probe
+    # assignment + per-batch ADC lookup tables)
+    "heavy_hitters", "heavy_hitters_bigrams", "split_leakage",
+    "ann_topk_pq_dist",
 ]
 
 
