@@ -344,6 +344,47 @@ def property_gates(spark, sf_dir) -> dict:
     finally:
         shutil.rmtree(tmpd, ignore_errors=True)
 
+    # --- foreachBatch snapshot dedup: per-micro-batch append
+    # visibility.  Two files -> two batches; with append_survivors the
+    # digests batch 0 folds into the snapshot must dedup batch 1
+    # WITHOUT a restart, and each fresh content ships exactly once ---
+    from aloha_spark.operators.snapshot import write_dedup_snapshot
+    from aloha_spark.streaming.dedup import snapshot_dedup_batch_sink
+    tmpd = tempfile.mkdtemp(prefix="sc_fb_dedup_")
+    try:
+        snap = tmpd + "/snap"
+        write_dedup_snapshot(
+            spark.createDataFrame([(0, "snap content")],
+                                  "doc_id long, text string"), snap)
+
+        def _f(rows, path):
+            spark.createDataFrame(
+                rows, "doc_id long, text string") \
+                .coalesce(1).write.parquet(path)
+
+        _f([(1, "snap content"), (2, "fresh A")], tmpd + "/src/f1")
+        _f([(3, "fresh A"), (4, "fresh B")], tmpd + "/src/f2")
+        shipped = []
+
+        def sink(df, _bid):
+            shipped.extend(r.text for r in df.select("text").collect())
+
+        q = (spark.readStream.schema("doc_id long, text string")
+             .option("maxFilesPerTrigger", 1).parquet(tmpd + "/src/f*")
+             .writeStream
+             .foreachBatch(snapshot_dedup_batch_sink(
+                 snap, sink, cols=["text"], append_survivors=True))
+             .option("checkpointLocation", tmpd + "/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        ok = sorted(shipped) == ["fresh A", "fresh B"]
+        record("stream_fb_snapshot_dedup", ok,
+               f"per-batch append visibility: shipped={sorted(shipped)} "
+               f"(want ['fresh A', 'fresh B'] — snapshot content "
+               f"dropped, batch-0 survivor dedups batch 1 mid-run)")
+    finally:
+        shutil.rmtree(tmpd, ignore_errors=True)
+
     return gates
 
 
